@@ -1,0 +1,67 @@
+"""Query registry backing ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL string a DuckDB oracle can run over the same parquet
+tables.  Ops whose semantics are not SQL-expressible (stateful streaming,
+LSH banding internals) register ``oracle=None`` and get a rows-only check.
+
+Determinism rules (the driver hash-compares values):
+- every computed column is aliased identically on both sides;
+- float aggregates are quantized via ``SUM(CAST(x AS DECIMAL(38,6)))`` then
+  cast back to double — exact decimal addition makes Spark and DuckDB agree
+  bit-for-bit regardless of summation order;
+- list-valued results are rendered as canonical sorted strings
+  (``array_join(array_sort(...))`` vs ``string_agg(... ORDER BY ...)``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: SparkQuery
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[SparkQuery], SparkQuery]:
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic parquet table.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects by default; read it as long nanos and truncate to microseconds
+    (exactly what DuckDB's ns->us cast does, so oracles agree).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return spark.read.parquet(path)

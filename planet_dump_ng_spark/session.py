@@ -1,0 +1,90 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (single JVM); production targets a
+multi-executor cluster reading ~100 TB.  All scale-sensitive knobs are
+centralized here so the same code runs in both.
+
+Reference parity: the C++ engine hand-tunes external-sort run size (64 MiB,
+src/dump_reader.cpp:34), merge fan-in (16, :595-613) and per-table thread
+caps (:527-531).  On Spark those jobs belong to Tungsten's
+UnsafeExternalSorter and the shuffle service; the knobs that matter are
+``spark.sql.shuffle.partitions``, AQE, and file split sizes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "planet_dump_ng_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - AQE on: runtime coalescing + skew-join splitting stand in for the
+      reference's hand-tuned merge cascade.
+    - Arrow on: every Pandas-UDF operator (dedup hashing, sinks) rides the
+      vectorized path.
+    - UTC session timezone: the reference treats all timestamps as UTC
+      (src/time_epoch.cpp custom 2004 epoch); we must too or oracle
+      comparisons drift.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # ~128 MB splits: at 100 TB this yields ~800k input partitions, the
+        # right granularity for a 1000-executor cluster; local SFs produce
+        # one partition per file, which AQE then keeps cheap.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the driver's synthetic parquet tables as a dict of DataFrames
+    and register each as a temp view (mirrors DuckDB's pre-registered
+    views so ``spark.sql`` text matches ``oracle_sql`` text closely)."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
