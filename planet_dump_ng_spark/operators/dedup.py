@@ -1,0 +1,283 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB corpus):
+- exact dedup is one hash-partitioned groupBy on a fingerprint — the only
+  shuffle is (fingerprint -> min id), map-side combined.
+- MinHash signatures are computed scan-side with built-in array functions
+  (no Python in the loop); LSH banding turns the quadratic all-pairs
+  problem into an equi-join on (band_index, band_hash), which Spark
+  hash-partitions; AQE skew-join handles hot buckets (boilerplate shingles).
+- candidate verification re-joins the shingle sets only for candidate
+  pairs, so exact-Jaccard cost is O(candidates), not O(n^2).
+- SimHash is the one Pandas-UDF operator (bit-twiddling over md5 digests);
+  it is Arrow-batched and embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from planet_dump_ng_spark.operators.text import fingerprint, tokens
+
+# 31-bit Mersenne prime: with h, a, b < 2^31, (a*h + b) < 2^62 never
+# overflows a signed 64-bit long (Spark 4 runs ANSI mode, which would throw).
+_MERSENNE_31 = (1 << 31) - 1
+
+
+# -- exact dedup --------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest id per canonical-fingerprint group.
+
+    Returns (keep_id, dup_count, fp).  One shuffle on the fingerprint;
+    min/count are partial-aggregatable so the combine happens map-side.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Return the surviving rows (first occurrence per fingerprint)."""
+    keep = exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# -- shingling ----------------------------------------------------------------
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined).  Documents shorter than k
+    tokens fall back to their full token string so they still carry one
+    shingle."""
+    toks = tokens(col)
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(windows)
+
+
+def shingle_hashes(col: Column | str, k: int = 3) -> Column:
+    """Rolling-hash style shingle fingerprints: 64-bit xxhash per shingle,
+    folded into [0, 2^61) so MinHash's modular arithmetic stays positive."""
+    return F.transform(
+        shingles(col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
+    )
+
+
+# -- MinHash + LSH ------------------------------------------------------------
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P."""
+    params = []
+    for i in range(num_hashes):
+        d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        a = (int.from_bytes(d[:8], "big") % (_MERSENNE_31 - 1)) + 1
+        b = int.from_bytes(d[8:16], "big") % _MERSENNE_31
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 64, k: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature as array<long>, entirely in JVM expressions.
+
+    sig[i] = min over shingles s of (a_i * h(s) + b_i) mod P.  The 64-bit
+    multiply wraps, which is fine for hashing (deterministic, well mixed).
+    """
+    hashes = shingle_hashes(col, k)
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))
+
+    mins = [
+        F.array_min(F.transform(hashes, perm(a, b)))
+        for a, b in _hash_params(num_hashes, seed)
+    ]
+    return F.array(*mins)
+
+
+def lsh_bands(sig_col: Column | str, bands: int, rows: int) -> Column:
+    """Split a signature into ``bands`` bands of ``rows`` values and hash
+    each band -> array<struct<band:int, bh:long>> for the bucket join."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.  Plan shape:
+    scan -> signature (map-only) -> explode bands -> self equi-join on
+    (band, band_hash) -> distinct.  At 100 TB the join is the only
+    shuffle and is keyed on band hashes, which are uniform by
+    construction; ``spark.sql.adaptive.skewJoin`` splits any boilerplate
+    mega-bucket.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, k, seed).alias("sig"),
+    )
+    buckets = sigs.select(
+        "id", F.explode(lsh_bands("sig", bands, rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over document pairs.
+
+    With ``candidates`` (e.g. from LSH) the cost is O(|candidates|); with
+    ``block_col`` pairs are generated within blocks (equi-join, shuffled on
+    the block key); with neither this is a full cross join — only for tests.
+    Jaccard is |A∩B| / |A∪B| over distinct shingles: a ratio of small ints,
+    so it compares exactly across engines.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, k).alias("sh"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    if candidates is not None:
+        pairs = (
+            candidates.join(a, candidates.id_a == F.col("a.id"))
+            .join(b, candidates.id_b == F.col("b.id"))
+        )
+    elif block_col:
+        pairs = a.join(
+            b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+        )
+    else:
+        pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash ------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes).
+
+    Arrow-batched; the per-batch loop is pure Python but each call
+    processes thousands of rows, and SimHash's bit-vote accumulation has
+    no built-in Spark expression equivalent.
+    """
+
+    def one(text: str | None) -> int:
+        if not text:
+            return 0
+        votes = [0] * 64
+        for tok in text.split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        out = 0
+        for bit in range(64):
+            if votes[bit] > 0:
+                out |= 1 << bit
+        # fold into signed 64-bit for Spark LongType
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    return texts.map(one)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Scale path: block on the top ``block_bits`` bits (near-dups almost
+    always agree there), equi-join within blocks, then exact popcount
+    filter — the same band-then-verify shape as MinHash LSH.
+    """
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    blocked = sh.withColumn("blk", F.shiftrightunsigned("sh", 64 - block_bits))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    xor = F.expr("a.sh ^ b.sh")
+    hamming = F.bit_count(xor)
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

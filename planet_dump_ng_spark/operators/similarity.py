@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products are computed with built-in array expressions (zip_with +
+  aggregate) entirely JVM-side; the accumulator is DECIMAL so the result
+  is order-independent and oracle-exact.
+- ``lsh_cosine_topk``: random-hyperplane (SimHash-for-vectors) bucketing —
+  the 100 TB path.  Queries only join corpus vectors sharing a hyperplane
+  bucket, turning O(|Q|x|C|) into O(|Q| x bucket_size x n_tables).
+
+At cluster scale the corpus side is hash-partitioned by bucket; queries
+are typically small enough to broadcast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+def _dot_exact(a: Column, b: Column) -> Column:
+    """Deterministic dot product: IEEE double multiply + strict left-to-right
+    fold.  Bit-identical to DuckDB's ``list_reduce`` over the same lists
+    (verified empirically), so oracle comparisons are exact without decimal
+    quantization."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot_exact(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot_exact(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query (excluding self).
+
+    queries is expected to be small (broadcast); ties break on ascending
+    corpus id so ranking is total and deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes from sha256 bits
+    (Box-Muller over hash-derived uniforms)."""
+    planes = []
+    for p in range(n_planes):
+        vals: list[float] = []
+        i = 0
+        while len(vals) < dim:
+            d = hashlib.sha256(f"{seed}:{p}:{i}".encode()).digest()
+            for off in range(0, 32, 16):
+                u1 = (int.from_bytes(d[off : off + 8], "big") + 1) / (2**64 + 2)
+                u2 = int.from_bytes(d[off + 8 : off + 16], "big") / (2**64)
+                vals.append(
+                    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+                )
+            i += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane signature: bit b = sign(vec . plane_b) -> int."""
+    bucket = F.lit(0)
+    for b, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        pl = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, pl, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket equi-join, then exact cosine
+    rerank within the shared bucket.  Recall rises with fewer planes
+    (bigger buckets) or multiple tables (union of seeds)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bkt"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bkt"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bkt")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,1 +1,82 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication queries over ``documents`` (oracle-checked where the
+semantics are SQL-expressible; LSH/SimHash internals get rows-only checks
+plus property tests in tests/test_dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from planet_dump_ng_spark.operators import dedup as dd
+from planet_dump_ng_spark.plans.registry import register, table
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+# distinct 3-token shingles, with the same short-document fallback as
+# operators.dedup.shingles (documents < k tokens keep one full-text shingle)
+_SHINGLES = (
+    "list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS}) - 2, 1) + 1), "
+    f"i -> array_to_string(({_TOKS})[i:i+2], ' ')))"
+)
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY fp
+    """,
+    doc="Exact dedup: min-id survivor per canonical fingerprint (one shuffle).",
+    tags=("dedup", "bench"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs, blocked by source (equi-join).",
+    tags=("dedup", "bench"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.1,
+        block_col="source",
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # banding internals aren't SQL-expressible; verified in tests
+    doc="MinHash(64)+LSH(16 bands) candidates verified with exact Jaccard >= 0.1.",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+
+
+@register(
+    "dedup_simhash",
+    None,  # pandas-UDF bit votes aren't SQL-expressible; verified in tests
+    doc="SimHash64 near-dup pairs (hamming <= 12) blocked on top 8 bits.",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=12, block_bits=8
+    )

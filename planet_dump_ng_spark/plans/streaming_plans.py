@@ -1,1 +1,115 @@
-"""Placeholder — filled in as operators land."""
+"""Event-stream analytics: batch-mode plans whose logic is shared with the
+Structured Streaming variants in ``planet_dump_ng_spark.streaming``.
+
+The oracle gate runs the batch form; tests assert the streaming form
+produces identical results on the same data (stream-batch equivalence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.plans.registry import register, table
+from planet_dump_ng_spark.plans.relational import DSUM_SQL, dsum
+
+
+@register(
+    "hourly_event_rollup",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           {DSUM_SQL.format(x='value')} AS total_value
+    FROM events GROUP BY hour, event_type
+    """,
+    doc="Tumbling-window rollup (batch analog of the streaming windowed agg).",
+    tags=("streaming", "agg", "bench"),
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@register(
+    "user_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30 min): window lag + running sum, "
+    "the batch analog of the stateful streaming sessionizer.",
+    tags=("streaming", "window", "bench"),
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            <= 30 * 60,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'view')     AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY day
+    """,
+    doc="Pivot (daily event-type matrix) — conditional-aggregation form.",
+    tags=("streaming", "pivot"),
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot leaves NULL for absent combos; the oracle's FILTER form yields 0
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )

@@ -1,1 +1,101 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over the ``documents`` table (oracle-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import text as tx
+from planet_dump_ng_spark.plans.registry import register, table
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    wl = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKS}, t -> list_contains([{wl}], lower(t))))"
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           length(text) AS n_chars_calc,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+             / greatest(length(text), 1) AS punct_ratio,
+           {_hits_sql(tx.LANG_STOPWORDS['en'])}::DOUBLE
+             / greatest(len({_TOKS}), 1) AS stopword_ratio,
+           (length(text) - (len({_TOKS}) - 1))::DOUBLE
+             / greatest(len({_TOKS}), 1) AS mean_token_len,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Quality features: token/char counts, punct + stopword ratios (map-only).",
+    tags=("text", "bench"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = tx.quality_features(table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_calc",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(tx.LANG_STOPWORDS)
+    hit_cols = ",\n           ".join(
+        f"{_hits_sql(tx.LANG_STOPWORDS[lang])} AS hits_{lang}" for lang in langs
+    )
+    m = f"greatest({', '.join('hits_' + lang for lang in langs)})"
+    case = " ".join(
+        f"WHEN hits_{lang} = {m} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_label,
+           {hit_cols}
+      FROM documents
+    )
+    SELECT doc_id, lang_label,
+           CASE {case} END AS lang_pred,
+           {m} AS lang_pred_hits
+    FROM scored
+    """
+
+
+@register(
+    "doc_language_id",
+    _langid_oracle(),
+    doc="Stopword-count language heuristic, deterministic lexicographic tie-break.",
+    tags=("text",),
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_label"), "text"
+    )
+    return tx.language_id(df).select(
+        "doc_id", "lang_label", "lang_pred", "lang_pred_hits"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Canonical document fingerprint (casefold + whitespace collapse + md5).",
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", tx.fingerprint("text").alias("fp")
+    )

@@ -1,0 +1,92 @@
+"""Dedup operator semantics on hand-built fixtures with known duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one token changed
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "a"),
+        (2, BASE, "a"),  # exact dup of 1
+        (3, "  THE  quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill and the birds sing in the "
+            "garden outside ", "a"),  # dup modulo case/whitespace
+        (4, NEAR, "a"),  # near dup of 1
+        (5, FAR, "a"),
+        (6, "tiny", "b"),  # shorter than k tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_groups(docs):
+    got = {r.keep_id: r.dup_count for r in dd.exact_dedup(docs).collect()}
+    assert got[1] == 3  # 1, 2, 3 share a canonical fingerprint
+    assert got[4] == 1 and got[5] == 1 and got[6] == 1
+
+
+def test_dedup_keep_first(docs):
+    kept = sorted(r.doc_id for r in dd.dedup_keep_first(docs).collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_shingles_short_doc_fallback(docs):
+    row = docs.filter("doc_id = 6").select(dd.shingles("text", 3).alias("sh")).head()
+    assert row.sh == ["tiny"]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    by_pair = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert by_pair[(1, 2)] == 1.0
+    assert 0.5 <= by_pair[(1, 4)] < 1.0  # one-token change
+    assert (1, 5) not in by_pair
+
+
+def test_minhash_signature_similarity(docs):
+    """MinHash agreement rate approximates Jaccard."""
+    sigs = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", dd.minhash_signature("text", num_hashes=128).alias("sig")
+        ).collect()
+    }
+    same = [int(a == b) for a, b in zip(sigs[1], sigs[2])]
+    assert sum(same) == 128  # identical docs -> identical signatures
+    near = sum(int(a == b) for a, b in zip(sigs[1], sigs[4])) / 128
+    far = sum(int(a == b) for a, b in zip(sigs[1], sigs[5])) / 128
+    assert near > 0.5  # true jaccard ~0.87
+    assert far < 0.2
+
+
+def test_minhash_lsh_candidates(docs):
+    cands = {
+        (r.id_a, r.id_b) for r in dd.minhash_lsh_candidates(docs, bands=16).collect()
+    }
+    assert (1, 2) in cands and (1, 3) in cands
+    assert (1, 4) in cands  # near dup caught by at least one band
+    assert (1, 5) not in cands
+
+
+def test_simhash_near_dup(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_pairs(docs, max_hamming=16, block_bits=4).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text -> identical simhash
+    assert pairs.get((1, 4), 99) <= 16  # near dup within hamming budget
+
+
+def test_simhash_deterministic(spark, docs):
+    a = docs.select(dd.simhash64("text").alias("h")).collect()
+    b = docs.select(dd.simhash64("text").alias("h")).collect()
+    assert [r.h for r in a] == [r.h for r in b]

@@ -1,0 +1,71 @@
+"""Similarity-search operators: exactness of brute force, recall of LSH."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from planet_dump_ng_spark.plans.registry import table
+
+    return table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    pdf = emb.toPandas()
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64) for _, r in pdf.iterrows()}
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = sim.cosine_topk(emb, queries, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        q = vecs[qid]
+        sims = {
+            cid: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for cid, v in vecs.items()
+            if cid != qid
+        }
+        expected = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert [r.neighbor_id for r in rows] == [cid for cid, _ in expected]
+        for r, (_, s) in zip(rows, expected):
+            assert math.isclose(r.cosine, s, rel_tol=1e-9)
+
+
+def test_topk_rank_order(spark, emb):
+    """Ranks are 1..k per query with non-increasing cosine in [-1, 1]."""
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    rows = sorted(
+        sim.cosine_topk(emb, queries, k=5).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines)
+        assert all(a >= b for a, b in zip(cosines, cosines[1:]))
+
+
+def test_lsh_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = sim.cosine_topk(emb, queries, k=5).collect()
+    approx = sim.lsh_cosine_topk(emb, queries, dim=64, k=5, n_planes=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4  # 4 planes -> 16 buckets over a small corpus
+
+
+def test_lsh_bucket_deterministic(spark, emb):
+    b1 = emb.select(sim.lsh_bucket(F.col("embedding"), 64, 8).alias("b")).collect()
+    b2 = emb.select(sim.lsh_bucket(F.col("embedding"), 64, 8).alias("b")).collect()
+    assert [r.b for r in b1] == [r.b for r in b2]

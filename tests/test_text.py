@@ -1,0 +1,60 @@
+"""Text-analysis operator semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog", "en"),
+        (2, "der Hund und die Katze ist nicht da", "de"),
+        (3, "el perro y la casa es un lugar", "es"),
+        (4, "", "en"),
+        (5, "   ", "en"),
+        (6, "one-token", "en"),
+        (7, "Hello, world! 42 times...", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_count(docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", tx.token_count("text").alias("n")).collect()}
+    assert got == {1: 5, 2: 8, 3: 8, 4: 0, 5: 0, 6: 1, 7: 5}
+
+
+def test_bpe_ish_token_count(docs):
+    got = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", tx.bpe_ish_token_count("text").alias("n")).collect()
+    }
+    # "Hello, world! 42 times..." -> Hello , world ! 42 times . . . = 9
+    assert got[7] == 9
+    assert got[4] == 0
+
+
+def test_language_id(spark, docs):
+    got = {r.doc_id: r.lang_pred for r in tx.language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    # empty text: zero hits everywhere -> deterministic lexicographic first
+    assert got[4] == "de"
+
+
+def test_quality_features_ranges(docs):
+    rows = tx.quality_features(docs).collect()
+    for r in rows:
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO\tWORLD ")],
+        "id long, text string",
+    )
+    fps = [r.fp for r in df.select(tx.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
