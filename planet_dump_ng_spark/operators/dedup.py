@@ -73,7 +73,8 @@ def shingles(col: Column | str, k: int = 3) -> Column:
 
 def shingle_hashes(col: Column | str, k: int = 3) -> Column:
     """Rolling-hash style shingle fingerprints: 64-bit xxhash per shingle,
-    folded into [0, 2^61) so MinHash's modular arithmetic stays positive."""
+    folded into [0, 2^31-1) (pmod by the Mersenne prime 2^31-1) so MinHash's
+    a*x+b stays below 2^62 and never overflows under ANSI mode."""
     return F.transform(
         shingles(col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
     )
@@ -98,8 +99,9 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature as array<long>, entirely in JVM expressions.
 
-    sig[i] = min over shingles s of (a_i * h(s) + b_i) mod P.  The 64-bit
-    multiply wraps, which is fine for hashing (deterministic, well mixed).
+    sig[i] = min over shingles s of (a_i * h(s) + b_i) mod P.  With
+    h(s) < P < 2^31 and a_i < P, the product stays below 2^62 — the
+    arithmetic is designed NOT to overflow, so ANSI mode never trips.
     """
     hashes = shingle_hashes(col, k)
 

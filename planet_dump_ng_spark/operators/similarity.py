@@ -3,8 +3,10 @@
 Two paths:
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
   Dot products are computed with built-in array expressions (zip_with +
-  aggregate) entirely JVM-side; the accumulator is DECIMAL so the result
-  is order-independent and oracle-exact.
+  aggregate) entirely JVM-side.  Determinism rests on both engines doing
+  the IDENTICAL strict left-to-right IEEE-double fold over the same list
+  (not on order-independence — double addition is not associative); do
+  not reorder the reduction.
 - ``lsh_cosine_topk``: random-hyperplane (SimHash-for-vectors) bucketing —
   the 100 TB path.  Queries only join corpus vectors sharing a hyperplane
   bucket, turning O(|Q|x|C|) into O(|Q| x bucket_size x n_tables).
@@ -114,26 +116,50 @@ def lsh_cosine_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucket equi-join, then exact cosine
-    rerank within the shared bucket.  Recall rises with fewer planes
-    (bigger buckets) or multiple tables (union of seeds)."""
+    rerank within the shared bucket.
+
+    Multi-table LSH: each of ``n_tables`` independent hyperplane sets gets
+    its own bucket column; a (query, candidate) pair is considered if it
+    collides in ANY table (recall 1-(1-p)^T vs single-table p).  The
+    buckets are carried as an array and the table-bucket pairs exploded, so
+    the corpus is scanned ONCE regardless of n_tables, and the join stays a
+    single shuffle/broadcast equi-join on (table, bucket) — at 100 TB the
+    corpus side hash-partitions by that composite key and the exploded
+    factor is n_tables, not n_tables scans."""
+
+    def bkts(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(vec, dim, n_planes, seed + 1000 * t).alias("bkt"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bkt"),
-    )
+        F.explode(bkts(F.col(vec_col))).alias("tb"),
+    ).select("query_id", "qv", "tb.tbl", "tb.bkt")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bkt"),
-    )
+        F.explode(bkts(F.col(vec_col))).alias("tb"),
+    ).select("neighbor_id", "cv", "tb.tbl", "tb.bkt")
     scored = (
-        c.join(F.broadcast(q), "bkt")
+        c.join(F.broadcast(q), ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a pair colliding in several tables must score once, not T times
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
         )

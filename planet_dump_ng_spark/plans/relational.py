@@ -219,7 +219,8 @@ def assemble_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- history filter (A1): latest-version-per-id window -----------------------
 # Reference parity: history_filter.cpp:30-257 keeps max version per id then
 # drops invisible rows.  Here: latest event per user (ties broken by
-# event_id desc), keeping only rows whose value is non-negative ("visible").
+# event_id desc), keeping only rows with value <= 450 as the "visible"
+# stand-in (an arbitrary cut that leaves both kept and dropped rows).
 
 
 @register(

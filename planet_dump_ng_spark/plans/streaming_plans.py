@@ -44,7 +44,8 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH gaps AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
@@ -68,11 +69,14 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap compare at MICROSECOND precision on both sides: ts carries
+    # sub-second fractions, so casting to whole seconds flips boundaries
+    # exactly at gaps like 1800.5s (Spark<=1800 vs oracle >30min).
     gaps = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            <= 30 * 60,
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            <= 30 * 60 * 1_000_000,
             F.lit(0),
         ).otherwise(F.lit(1)),
     )
