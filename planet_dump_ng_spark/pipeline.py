@@ -1,0 +1,195 @@
+"""End-to-end planet pipeline (reference lifecycle, SURVEY.md section 3).
+
+Mirrors src/planet-dump.cpp:154-271 as a DataFrame program:
+
+  phase 1  extract:  per-table COPY decode -> typed frames (optionally
+           staged to parquet for resume, operator S9)
+  phase 2  assemble: filters + inner joins + attribution per element type
+  phase 3  emit:     one write action per requested output variant; the
+           shared assembled frame is persisted so N sinks = N actions on
+           one lineage (the reference's multicast barrier machinery,
+           copy_elements.cpp:372-415, becomes .persist()).
+
+The reference's fixed inter-type ordering (changesets before elements so
+writers learn changeset->uid, planet-dump.cpp:242-249) dissolves into an
+explicit join in attribute_elements — no ordering constraint remains.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from planet_dump_ng_spark.operators import assembly, history
+from planet_dump_ng_spark.sinks import xml_sink
+from planet_dump_ng_spark.sources import read_copy_table, split_dump_file
+
+ELEMENT_TABLES = (
+    "users",
+    "changesets",
+    "changeset_tags",
+    "changeset_comments",
+    "nodes",
+    "node_tags",
+    "ways",
+    "way_nodes",
+    "way_tags",
+    "relations",
+    "relation_members",
+    "relation_tags",
+)
+
+
+@dataclass
+class PlanetFrames:
+    """The engine's central IR: assembled + attributed per-type frames."""
+
+    changesets: DataFrame  # id, ..., tags, comments, comments_count, uid, user
+    nodes: DataFrame  # id, version, ..., tags, uid, user
+    ways: DataFrame  # + nds
+    relations: DataFrame  # + members
+    max_ts: datetime | None  # A2 global data timestamp
+
+
+def load_copy_tables(
+    spark: SparkSession, copy_dir: str, tables: tuple[str, ...] = ELEMENT_TABLES
+) -> dict[str, DataFrame]:
+    """Phase 1: one typed frame per table from per-table COPY text files
+    (<copy_dir>/<table>.copy, as produced by sources.split_dump_file)."""
+    out = {}
+    for t in tables:
+        path = os.path.join(copy_dir, f"{t}.copy")
+        out[t] = read_copy_table(spark, path, t)
+    return out
+
+
+def build_planet(spark: SparkSession, tables: dict[str, DataFrame]) -> PlanetFrames:
+    """Phase 2: assemble every element type and compute the data timestamp."""
+    max_ts_row = assembly.max_data_timestamp(
+        (tables["changesets"], "created_at"),
+        (tables["nodes"], "timestamp"),
+        (tables["ways"], "timestamp"),
+        (tables["relations"], "timestamp"),
+        (tables["changeset_comments"], "created_at"),
+    ).collect()[0]
+    max_ts = max_ts_row["max_ts"]
+
+    nodes = assembly.attribute_elements(
+        assembly.assemble_elements(tables["nodes"], tables["node_tags"], "nodes"),
+        tables["changesets"],
+        tables["users"],
+    )
+    ways = assembly.attribute_elements(
+        assembly.assemble_elements(
+            tables["ways"], tables["way_tags"], "ways", inners=tables["way_nodes"]
+        ),
+        tables["changesets"],
+        tables["users"],
+    )
+    relations = assembly.attribute_elements(
+        assembly.assemble_elements(
+            tables["relations"],
+            tables["relation_tags"],
+            "relations",
+            inners=tables["relation_members"],
+        ),
+        tables["changesets"],
+        tables["users"],
+    )
+    changesets = assembly.assemble_changesets(
+        tables["changesets"],
+        tables["changeset_tags"],
+        tables["changeset_comments"],
+        tables["users"],
+    )
+    return PlanetFrames(changesets, nodes, ways, relations, max_ts)
+
+
+@dataclass
+class OutputSpec:
+    """One requested output file (one CLI flag in the reference)."""
+
+    path: str
+    kind: str  # 'planet' | 'history' | 'changesets' | 'discussions'
+    anonymize: bool = False  # the -no-userinfo variants (F9)
+
+
+def write_outputs(
+    frames: PlanetFrames,
+    outputs: list[OutputSpec],
+    generator: str = "planet-dump-ng-spark",
+) -> None:
+    """Phase 3: one ordered single-file write per output spec.
+
+    'planet' applies the current-view filter (A1+F5); 'history' keeps all
+    versions; 'changesets'/'discussions' consume only the changesets frame
+    (F7).  Frames are persisted when consumed by >1 output (multicast).
+    """
+    needs_current = any(o.kind == "planet" for o in outputs)
+    needs_history = any(o.kind == "history" for o in outputs)
+    if needs_current and needs_history or sum(
+        o.kind in ("planet", "history") for o in outputs
+    ) > 1:
+        for df in (frames.nodes, frames.ways, frames.relations):
+            df.persist()
+
+    cur = (
+        {
+            "nodes": history.current_view(frames.nodes),
+            "ways": history.current_view(frames.ways),
+            "relations": history.current_view(frames.relations),
+        }
+        if needs_current
+        else {}
+    )
+
+    for spec in outputs:
+        if spec.kind in ("changesets", "discussions"):
+            rendered = xml_sink.render_changesets(
+                frames.changesets,
+                frames.max_ts,
+                anonymize=spec.anonymize,
+                discussions=spec.kind == "discussions",
+            )
+            xml_sink.write_xml_file(
+                [(rendered, ["id"])], spec.path, generator, frames.max_ts
+            )
+            continue
+
+        hist = spec.kind == "history"
+        n, w, r = (
+            (frames.nodes, frames.ways, frames.relations)
+            if hist
+            else (cur["nodes"], cur["ways"], cur["relations"])
+        )
+        parts = [
+            (
+                xml_sink.render_changesets(
+                    frames.changesets, frames.max_ts, anonymize=spec.anonymize
+                ),
+                ["id"],
+            ),
+            (xml_sink.render_nodes(n, hist, spec.anonymize), ["id", "version"]),
+            (xml_sink.render_ways(w, hist, spec.anonymize), ["id", "version"]),
+            (xml_sink.render_relations(r, hist, spec.anonymize), ["id", "version"]),
+        ]
+        xml_sink.write_xml_file(parts, spec.path, generator, frames.max_ts)
+
+
+def run_dump(
+    spark: SparkSession,
+    dump_file: str,
+    outputs: list[OutputSpec],
+    work_dir: str,
+    generator: str = "planet-dump-ng-spark",
+) -> PlanetFrames:
+    """Full lifecycle from a plain-format pg_dump file."""
+    copy_dir = os.path.join(work_dir, "copy")
+    split_dump_file(dump_file, copy_dir, list(ELEMENT_TABLES))
+    tables = load_copy_tables(spark, copy_dir)
+    frames = build_planet(spark, tables)
+    write_outputs(frames, outputs, generator)
+    return frames
