@@ -1,0 +1,100 @@
+"""Command-line entry point mirroring the reference's flag surface
+(src/planet-dump.cpp:27-114).
+
+    python -m planet_dump_ng_spark.cli \\
+        --dump-file liechtenstein.sql \\
+        --xml planet.osm.bz2 --history-pbf history.osm.pbf
+
+Differences from the reference, by design:
+- ``--dump-file`` takes a PLAIN-format dump (``pg_restore -f -`` output);
+  pg_restore against the custom format is one subprocess away and kept
+  outside the engine.
+- ``--compress-command`` is unnecessary: .bz2 outputs are compressed
+  cluster-parallel by the XML sink; plain paths skip compression.
+- ``--max-concurrency`` maps to shuffle partitions (the Spark analog of
+  per-table sort threads).
+- ``--resume`` reuses the staged per-table parquet (operator S9) instead
+  of re-splitting/re-parsing the dump.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from planet_dump_ng_spark import pipeline
+from planet_dump_ng_spark.session import get_spark
+
+#: (flag, kind, anonymize) — one output file per supplied flag, matching
+#: the reference's writer list construction (planet-dump.cpp:180-240).
+OUTPUT_FLAGS = [
+    ("xml", "planet", False),
+    ("xml_no_userinfo", "planet", True),
+    ("history_xml", "history", False),
+    ("history_xml_no_userinfo", "history", True),
+    ("pbf", "pbf", False),
+    ("pbf_no_userinfo", "pbf", True),
+    ("history_pbf", "pbf-history", False),
+    ("history_pbf_no_userinfo", "pbf-history", True),
+    ("changesets", "changesets", False),
+    ("changesets_no_userinfo", "changesets", True),
+    ("changeset_discussions", "discussions", False),
+    ("changeset_discussions_no_userinfo", "discussions", True),
+]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="planet-dump-ng-spark",
+        description="Convert an OpenStreetMap database dump to planet files.",
+    )
+    p.add_argument("--dump-file", "-f", required=True, help="plain-format pg dump")
+    p.add_argument("--work-dir", default=None, help="staging dir (default: <dump>.work)")
+    p.add_argument("--generator", default="planet-dump-ng-spark")
+    p.add_argument("--resume", action="store_true", help="reuse staged tables")
+    p.add_argument("--max-concurrency", type=int, default=32, help="shuffle partitions")
+    p.add_argument("--xml", "-x")
+    p.add_argument("--history-xml", "-X")
+    p.add_argument("--pbf", "-p")
+    p.add_argument("--history-pbf", "-P")
+    p.add_argument("--changesets", "-C")
+    p.add_argument("--changeset-discussions", "-D")
+    p.add_argument("--xml-no-userinfo")
+    p.add_argument("--history-xml-no-userinfo")
+    p.add_argument("--pbf-no-userinfo")
+    p.add_argument("--history-pbf-no-userinfo")
+    p.add_argument("--changesets-no-userinfo")
+    p.add_argument("--changeset-discussions-no-userinfo")
+    return p
+
+
+def outputs_from_args(args: argparse.Namespace) -> list[pipeline.OutputSpec]:
+    outs = []
+    for attr, kind, anon in OUTPUT_FLAGS:
+        path = getattr(args, attr, None)
+        if path:
+            outs.append(pipeline.OutputSpec(path, kind, anonymize=anon))
+    return outs
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    outputs = outputs_from_args(args)
+    if not outputs:
+        print("at least one output flag is required", file=sys.stderr)
+        return 2  # mirrors the reference's usage error (planet-dump.cpp:92-98)
+    spark = get_spark("planet-dump-ng-spark", shuffle_partitions=args.max_concurrency)
+    work_dir = args.work_dir or args.dump_file + ".work"
+    pipeline.run_dump(
+        spark,
+        args.dump_file,
+        outputs,
+        work_dir,
+        generator=args.generator,
+        resume=args.resume,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,7 +24,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from planet_dump_ng_spark.operators import assembly, history
-from planet_dump_ng_spark.sinks import xml_sink
+from planet_dump_ng_spark.sinks import pbf_sink, xml_sink
 from planet_dump_ng_spark.sources import read_copy_table, split_dump_file
 
 ELEMENT_TABLES = (
@@ -114,6 +114,7 @@ class OutputSpec:
 
     path: str
     kind: str  # 'planet' | 'history' | 'changesets' | 'discussions'
+    #        | 'pbf' | 'pbf-history'
     anonymize: bool = False  # the -no-userinfo variants (F9)
 
 
@@ -128,10 +129,10 @@ def write_outputs(
     versions; 'changesets'/'discussions' consume only the changesets frame
     (F7).  Frames are persisted when consumed by >1 output (multicast).
     """
-    needs_current = any(o.kind == "planet" for o in outputs)
-    needs_history = any(o.kind == "history" for o in outputs)
+    needs_current = any(o.kind in ("planet", "pbf") for o in outputs)
+    needs_history = any(o.kind in ("history", "pbf-history") for o in outputs)
     if needs_current and needs_history or sum(
-        o.kind in ("planet", "history") for o in outputs
+        o.kind in ("planet", "history", "pbf", "pbf-history") for o in outputs
     ) > 1:
         for df in (frames.nodes, frames.ways, frames.relations):
             df.persist()
@@ -159,12 +160,24 @@ def write_outputs(
             )
             continue
 
-        hist = spec.kind == "history"
+        hist = spec.kind in ("history", "pbf-history")
         n, w, r = (
             (frames.nodes, frames.ways, frames.relations)
             if hist
             else (cur["nodes"], cur["ways"], cur["relations"])
         )
+        if spec.kind in ("pbf", "pbf-history"):
+            pbf_sink.write_pbf_file(
+                n,
+                w,
+                r,
+                spec.path,
+                history=hist,
+                anonymize=spec.anonymize,
+                generator=generator,
+                max_ts=frames.max_ts,
+            )
+            continue
         parts = [
             (
                 xml_sink.render_changesets(
@@ -185,11 +198,35 @@ def run_dump(
     outputs: list[OutputSpec],
     work_dir: str,
     generator: str = "planet-dump-ng-spark",
+    resume: bool = False,
+    stage: bool = True,
 ) -> PlanetFrames:
-    """Full lifecycle from a plain-format pg_dump file."""
+    """Full lifecycle from a plain-format pg_dump file.
+
+    With ``stage`` (default) every table is decoded once into parquet
+    (staging.py, operator S9) so the N output actions scan columnar data
+    instead of re-parsing COPY text N times; ``resume`` additionally skips
+    tables whose stage is already marked complete."""
+    from planet_dump_ng_spark import staging
+
     copy_dir = os.path.join(work_dir, "copy")
-    split_dump_file(dump_file, copy_dir, list(ELEMENT_TABLES))
-    tables = load_copy_tables(spark, copy_dir)
+    stage_dir = os.path.join(work_dir, "stage")
+    all_staged = stage and all(
+        staging.is_staged(stage_dir, t) for t in ELEMENT_TABLES
+    )
+    if resume and all_staged:
+        tables = {
+            t: spark.read.parquet(os.path.join(stage_dir, t))
+            for t in ELEMENT_TABLES
+        }
+    else:
+        split_dump_file(dump_file, copy_dir, list(ELEMENT_TABLES))
+        tables = load_copy_tables(spark, copy_dir)
+        if stage:
+            tables = {
+                t: staging.stage_table(spark, df, stage_dir, t, resume=resume)
+                for t, df in tables.items()
+            }
     frames = build_planet(spark, tables)
     write_outputs(frames, outputs, generator)
     return frames

@@ -1,0 +1,547 @@
+"""OSM PBF sink (reference operator S8, src/pbf_writer.cpp) — built on the
+hand-rolled protobuf wire encoder (functions/protowire.py), no protobuf
+library required.
+
+Layout follows the public OSMPBF format: [int32-BE length][BlobHeader]
+[Blob] framing; OSMHeader blob then OSMData blobs, each a PrimitiveBlock
+with a per-block string table; dense nodes with delta-coded columns; ways
+and relations with delta-coded refs/memids (pbf_writer.cpp:356-399,
+delta helpers :84-90).  Header declares OsmSchema-V0.6 + DenseNodes
+(+ HistoricalInformation for history output), Has_Metadata and
+Sort.Type_then_ID, bbox, writingprogram, source, and the replication
+timestamp = global max data timestamp (:149-171).
+
+Distribution model: block packing is stateful ACROSS elements but PBF
+blocks are self-contained (string table and delta bases reset per block),
+so each partition of the (id, version)-range-sorted element stream encodes
+its own complete sequence of blobs in parallel; the driver concatenates
+header + partition files in range order (SURVEY.md section 4 item 2).
+Byte-identity with the reference is NOT guaranteed (different block
+boundaries); semantic identity is — tests parse both files back and
+compare canonical element streams.
+
+Anonymous / no-userinfo semantics (pbf_writer.cpp:309-327,373-397):
+dense info writes uid=0 and user_sid=stringtable("")=0 for hidden users;
+way/relation Info omits uid/user_sid.  Invisible elements carry no
+tags/refs and nodes write lat=lon=0 (:341-349,580,604,637).
+"""
+
+from __future__ import annotations
+
+import calendar
+import os
+import struct
+import zlib
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, functions as F
+
+from planet_dump_ng_spark.functions import protowire as pw
+
+GRANULARITY = 100  # nanodeg per unit -> units == 1e-7-deg fixed-point ints
+DATE_GRANULARITY = 1000  # ms per unit -> units == unix seconds
+LONLAT_RESOLUTION = 1_000_000_000  # nanodegrees per degree
+OSM_API_ORIGIN = "http://www.openstreetmap.org/api/0.6"
+
+#: elements per OSMData block (the reference flushes on a byte budget with
+#: per-type recheck cadences node 16000 / way 8000 / relation 200,
+#: pbf_writer.cpp:107,124-128; fixed counts give comparable block sizes)
+BLOCK_LIMITS = {"nodes": 16000, "ways": 8000, "relations": 4000}
+
+
+def _epoch_seconds(ts: datetime | None) -> int:
+    if ts is None:
+        return 0
+    return calendar.timegm(ts.timetuple())
+
+
+def encode_blob(payload: bytes, blob_type: str) -> bytes:
+    """[len BE][BlobHeader{type:1,datasize:3}][Blob{raw_size:2,zlib:3}]
+    (framing pbf_writer.cpp:177-222; zlib level 9 :197-199)."""
+    z = zlib.compress(payload, 9)
+    blob = pw.field_varint(2, len(payload)) + pw.field_bytes(3, z)
+    header = pw.field_string(1, blob_type) + pw.field_varint(3, len(blob))
+    return struct.pack(">i", len(header)) + header + blob
+
+
+def encode_header_block(
+    generator: str,
+    history: bool,
+    max_ts: datetime | None,
+    source: str = OSM_API_ORIGIN,
+) -> bytes:
+    bbox = (
+        pw.field_varint(1, pw.zigzag(-180 * LONLAT_RESOLUTION))
+        + pw.field_varint(2, pw.zigzag(180 * LONLAT_RESOLUTION))
+        + pw.field_varint(3, pw.zigzag(90 * LONLAT_RESOLUTION))
+        + pw.field_varint(4, pw.zigzag(-90 * LONLAT_RESOLUTION))
+    )
+    msg = pw.field_bytes(1, bbox)
+    msg += pw.field_string(4, "OsmSchema-V0.6")
+    if history:
+        msg += pw.field_string(4, "HistoricalInformation")
+    msg += pw.field_string(4, "DenseNodes")
+    msg += pw.field_string(5, "Has_Metadata")
+    msg += pw.field_string(5, "Sort.Type_then_ID")
+    msg += pw.field_string(16, generator)
+    msg += pw.field_string(17, source)
+    if max_ts is not None:
+        msg += pw.field_varint(32, _epoch_seconds(max_ts))
+    return encode_blob(msg, "OSMHeader")
+
+
+class _StringTable:
+    """Per-block string dedup table; index 0 reserved for ''
+    (pbf_writer.cpp:33-79)."""
+
+    def __init__(self) -> None:
+        self.index: dict[str, int] = {"": 0}
+        self.items: list[bytes] = [b""]
+
+    def __call__(self, s: str) -> int:
+        i = self.index.get(s)
+        if i is None:
+            i = len(self.items)
+            self.index[s] = i
+            self.items.append(s.encode("utf-8"))
+        return i
+
+    def encode(self) -> bytes:
+        return pw.field_bytes(
+            1, b"".join(pw.field_bytes(1, b) for b in self.items)
+        )
+
+
+def _primitive_block(st: _StringTable, group: bytes) -> bytes:
+    msg = st.encode() + pw.field_bytes(2, group)
+    if GRANULARITY != 100:
+        msg += pw.field_varint(17, GRANULARITY)
+    if DATE_GRANULARITY != 1000:
+        msg += pw.field_varint(18, DATE_GRANULARITY)
+    return encode_blob(msg, "OSMData")
+
+
+def _info(
+    st: _StringTable, row, history: bool, anonymize: bool
+) -> bytes:
+    msg = pw.field_varint(1, row["version"])
+    msg += pw.field_varint(2, _epoch_seconds(row["timestamp"]))
+    msg += pw.field_varint(3, row["changeset_id"])
+    if not anonymize and row["uid"] is not None:
+        msg += pw.field_varint(4, row["uid"])
+        msg += pw.field_varint(5, st(row["user"]))
+    if history:
+        msg += pw.field_varint(6, 1 if row["visible"] else 0)
+    return msg
+
+
+def _encode_dense_nodes(rows: list, history: bool, anonymize: bool) -> bytes:
+    st = _StringTable()
+    ids, lats, lons, kvs = [], [], [], []
+    versions, tss, css, uids, sids, vis = [], [], [], [], [], []
+    for r in rows:
+        ids.append(r["id"])
+        visible = r["visible"]
+        lats.append(r["latitude"] if visible else 0)
+        lons.append(r["longitude"] if visible else 0)
+        if visible:
+            for t in r["tags"]:
+                kvs.append(st(t["k"]))
+                kvs.append(st(t["v"]))
+        kvs.append(0)
+        versions.append(r["version"])
+        tss.append(_epoch_seconds(r["timestamp"]))
+        css.append(r["changeset_id"])
+        hidden = anonymize or r["uid"] is None
+        uids.append(0 if hidden else r["uid"])
+        sids.append(0 if hidden else st(r["user"]))
+        vis.append(1 if visible else 0)
+    info = (
+        pw.packed_varints(1, versions)
+        + pw.packed_sint64s(2, pw.delta_encode(tss))
+        + pw.packed_sint64s(3, pw.delta_encode(css))
+        + pw.packed_sint64s(4, pw.delta_encode(uids))
+        + pw.packed_sint64s(5, pw.delta_encode(sids))
+        + (pw.packed_varints(6, vis) if history else b"")
+    )
+    dense = (
+        pw.packed_sint64s(1, pw.delta_encode(ids))
+        + pw.field_bytes(5, info)
+        + pw.packed_sint64s(8, pw.delta_encode(lats))
+        + pw.packed_sint64s(9, pw.delta_encode(lons))
+        + pw.packed_varints(10, kvs)
+    )
+    return _primitive_block(st, pw.field_bytes(2, dense))
+
+
+def _encode_ways(rows: list, history: bool, anonymize: bool) -> bytes:
+    st = _StringTable()
+    ways = b""
+    for r in rows:
+        visible = r["visible"]
+        msg = pw.field_varint(1, r["id"])
+        if visible:
+            msg += pw.packed_varints(2, [st(t["k"]) for t in r["tags"]])
+            msg += pw.packed_varints(3, [st(t["v"]) for t in r["tags"]])
+        msg += pw.field_bytes(4, _info(st, r, history, anonymize))
+        if visible:
+            msg += pw.packed_sint64s(8, pw.delta_encode(r["nds"]))
+        ways += pw.field_bytes(3, msg)
+    return _primitive_block(st, ways)
+
+
+_MEMBER_TYPE = {"Node": 0, "Way": 1, "Relation": 2}
+
+
+def _encode_relations(rows: list, history: bool, anonymize: bool) -> bytes:
+    st = _StringTable()
+    rels = b""
+    for r in rows:
+        visible = r["visible"]
+        members = r["members"] if visible else []
+        msg = pw.field_varint(1, r["id"])
+        if visible:
+            msg += pw.packed_varints(2, [st(t["k"]) for t in r["tags"]])
+            msg += pw.packed_varints(3, [st(t["v"]) for t in r["tags"]])
+        msg += pw.field_bytes(4, _info(st, r, history, anonymize))
+        if members:
+            msg += pw.packed_varints(8, [st(m["member_role"]) for m in members])
+            msg += pw.packed_sint64s(
+                9, pw.delta_encode([m["member_id"] for m in members])
+            )
+            msg += pw.packed_varints(
+                10, [_MEMBER_TYPE[m["member_type"]] for m in members]
+            )
+        rels += pw.field_bytes(4, msg)
+    return _primitive_block(st, rels)
+
+
+_ENCODERS = {
+    "nodes": _encode_dense_nodes,
+    "ways": _encode_ways,
+    "relations": _encode_relations,
+}
+
+
+def _partition_encoder(table: str, history: bool, anonymize: bool, out_dir: str):
+    limit = BLOCK_LIMITS[table]
+    encode = _ENCODERS[table]
+
+    def run(idx: int, rows_iter):
+        path = os.path.join(out_dir, f"{table}-{idx:05d}.pbfpart")
+        wrote = False
+        buf: list = []
+        fh = None
+        try:
+            for row in rows_iter:
+                if fh is None:
+                    fh = open(path, "wb")
+                    wrote = True
+                buf.append(row)
+                if len(buf) >= limit:
+                    fh.write(encode(buf, history, anonymize))
+                    buf = []
+            if fh is not None and buf:
+                fh.write(encode(buf, history, anonymize))
+        finally:
+            if fh is not None:
+                fh.close()
+        if wrote:
+            yield path
+
+    return run
+
+
+def write_pbf_file(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    out_path: str,
+    history: bool = False,
+    anonymize: bool = False,
+    generator: str = "planet-dump-ng-spark",
+    max_ts: datetime | None = None,
+    source: str = OSM_API_ORIGIN,
+) -> None:
+    """Emit one ordered .osm.pbf: header blob, then nodes, ways, relations
+    in (id, version) order (Sort.Type_then_ID).  Each range partition
+    encodes its own complete blobs executor-side; the driver concatenates."""
+    out_dir = out_path + ".parts"
+    os.makedirs(out_dir, exist_ok=True)
+    part_lists: list[list[str]] = []
+    for table, df in (("nodes", nodes), ("ways", ways), ("relations", relations)):
+        cols = [F.col("id"), F.col("version")]
+        arranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        paths = arranged.rdd.mapPartitionsWithIndex(
+            _partition_encoder(table, history, anonymize, out_dir)
+        ).collect()
+        part_lists.append(sorted(paths))
+
+    with open(out_path, "wb") as out:
+        out.write(encode_header_block(generator, history, max_ts, source))
+        for paths in part_lists:
+            for p in paths:
+                with open(p, "rb") as part:
+                    out.write(part.read())
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# -- reader (verification path; also a usable source) ------------------------
+
+
+def read_pbf(path: str) -> dict:
+    """Parse a .osm.pbf back into canonical python structures.
+
+    Returns {'header': {...}, 'nodes': [...], 'ways': [...],
+    'relations': [...]} with tags as sorted (k, v) tuples — the canonical
+    comparison form used by the golden-parity tests.  Handles dense and
+    non-dense nodes, zlib or raw blobs.
+    """
+    header: dict = {}
+    nodes: list = []
+    ways: list = []
+    relations: list = []
+    with open(path, "rb") as fh:
+        data = fh.read()
+    pos = 0
+    while pos < len(data):
+        (hlen,) = struct.unpack(">i", data[pos : pos + 4])
+        pos += 4
+        bh = data[pos : pos + hlen]
+        pos += hlen
+        btype = ""
+        dsize = 0
+        for field, _, val in pw.iter_fields(bh):
+            if field == 1:
+                btype = val.decode()
+            elif field == 3:
+                dsize = val
+        blob = data[pos : pos + dsize]
+        pos += dsize
+        payload = b""
+        for field, _, val in pw.iter_fields(blob):
+            if field == 1:
+                payload = val
+            elif field == 3:
+                payload = zlib.decompress(val)
+        if btype == "OSMHeader":
+            header = _parse_header(payload)
+        elif btype == "OSMData":
+            _parse_block(payload, nodes, ways, relations)
+    return {"header": header, "nodes": nodes, "ways": ways, "relations": relations}
+
+
+def _parse_header(payload: bytes) -> dict:
+    out = {"required_features": [], "optional_features": []}
+    for field, _, val in pw.iter_fields(payload):
+        if field == 4:
+            out["required_features"].append(val.decode())
+        elif field == 5:
+            out["optional_features"].append(val.decode())
+        elif field == 16:
+            out["writingprogram"] = val.decode()
+        elif field == 17:
+            out["source"] = val.decode()
+        elif field == 32:
+            out["replication_ts"] = val
+    return out
+
+
+def _parse_block(payload: bytes, nodes, ways, relations) -> None:
+    st: list[str] = []
+    groups = []
+    granularity, date_gran, lat_off, lon_off = 100, 1000, 0, 0
+    for field, _, val in pw.iter_fields(payload):
+        if field == 1:
+            st = [
+                v.decode("utf-8")
+                for f2, _, v in pw.iter_fields(val)
+                if f2 == 1
+            ]
+        elif field == 2:
+            groups.append(val)
+        elif field == 17:
+            granularity = val
+        elif field == 18:
+            date_gran = val
+        elif field == 19:
+            lat_off = val
+        elif field == 20:
+            lon_off = val
+
+    def fix(raw: int, off: int) -> int:
+        # canonical fixed-point 1e-7 degrees
+        return (off + granularity * raw) // 100
+
+    for g in groups:
+        for field, _, val in pw.iter_fields(g):
+            if field == 1:  # plain Node
+                nodes.append(_parse_plain_node(val, st, fix, date_gran))
+            elif field == 2:  # DenseNodes
+                _parse_dense(val, st, fix, date_gran, nodes)
+            elif field == 3:
+                ways.append(_parse_way(val, st, date_gran))
+            elif field == 4:
+                relations.append(_parse_relation(val, st, date_gran))
+
+
+def _parse_info(val: bytes, st: list[str], date_gran: int) -> dict:
+    info = {"version": None, "ts": None, "changeset": None, "uid": None,
+            "user": None, "visible": True}
+    for f, _, v in pw.iter_fields(val):
+        if f == 1:
+            info["version"] = v
+        elif f == 2:
+            info["ts"] = v * date_gran // 1000
+        elif f == 3:
+            info["changeset"] = v
+        elif f == 4:
+            info["uid"] = v
+        elif f == 5:
+            info["user"] = st[v]
+        elif f == 6:
+            info["visible"] = bool(v)
+    return info
+
+
+def _parse_plain_node(val: bytes, st, fix, date_gran) -> tuple:
+    nid = lat = lon = 0
+    keys: list[int] = []
+    vals: list[int] = []
+    info: dict = {}
+    for f, _, v in pw.iter_fields(val):
+        if f == 1:
+            nid = v
+        elif f == 2:
+            keys = pw.unpack_varints(v)
+        elif f == 3:
+            vals = pw.unpack_varints(v)
+        elif f == 4:
+            info = _parse_info(v, st, date_gran)
+        elif f == 8:
+            lat = pw.unzigzag(v)
+        elif f == 9:
+            lon = pw.unzigzag(v)
+    tags = tuple(sorted((st[k], st[vv]) for k, vv in zip(keys, vals)))
+    return (
+        nid, info.get("version"), info.get("visible", True), info.get("ts"),
+        info.get("changeset"), info.get("uid"), info.get("user"),
+        fix(lat, 0), fix(lon, 0), tags,
+    )
+
+
+def _parse_dense(val: bytes, st, fix, date_gran, nodes) -> None:
+    ids = lats = lons = []
+    kvs: list[int] = []
+    versions: list[int] = []
+    tss: list[int] = []
+    css: list[int] = []
+    uids: list[int] = []
+    sids: list[int] = []
+    vis: list[int] | None = None
+    for f, _, v in pw.iter_fields(val):
+        if f == 1:
+            ids = pw.delta_decode(pw.unpack_sint64s(v))
+        elif f == 5:
+            for f2, _, v2 in pw.iter_fields(v):
+                if f2 == 1:
+                    versions = pw.unpack_varints(v2)
+                elif f2 == 2:
+                    tss = pw.delta_decode(pw.unpack_sint64s(v2))
+                elif f2 == 3:
+                    css = pw.delta_decode(pw.unpack_sint64s(v2))
+                elif f2 == 4:
+                    uids = pw.delta_decode(pw.unpack_sint64s(v2))
+                elif f2 == 5:
+                    sids = pw.delta_decode(pw.unpack_sint64s(v2))
+                elif f2 == 6:
+                    vis = pw.unpack_varints(v2)
+        elif f == 8:
+            lats = pw.delta_decode(pw.unpack_sint64s(v))
+        elif f == 9:
+            lons = pw.delta_decode(pw.unpack_sint64s(v))
+        elif f == 10:
+            kvs = pw.unpack_varints(v)
+    kv_pos = 0
+    for i, nid in enumerate(ids):
+        tags = []
+        while kv_pos < len(kvs) and kvs[kv_pos] != 0:
+            tags.append((st[kvs[kv_pos]], st[kvs[kv_pos + 1]]))
+            kv_pos += 2
+        kv_pos += 1
+        visible = bool(vis[i]) if vis is not None else True
+        uid = uids[i] if i < len(uids) else 0
+        user = st[sids[i]] if i < len(sids) and sids[i] else None
+        nodes.append(
+            (
+                nid, versions[i], visible,
+                tss[i] * date_gran // 1000 if i < len(tss) else None,
+                css[i] if i < len(css) else None,
+                uid if uid else None, user,
+                fix(lats[i], 0), fix(lons[i], 0), tuple(sorted(tags)),
+            )
+        )
+
+
+def _parse_way(val: bytes, st, date_gran) -> tuple:
+    wid = 0
+    keys: list[int] = []
+    vals: list[int] = []
+    refs: list[int] = []
+    info: dict = {}
+    for f, _, v in pw.iter_fields(val):
+        if f == 1:
+            wid = v
+        elif f == 2:
+            keys = pw.unpack_varints(v)
+        elif f == 3:
+            vals = pw.unpack_varints(v)
+        elif f == 4:
+            info = _parse_info(v, st, date_gran)
+        elif f == 8:
+            refs = pw.delta_decode(pw.unpack_sint64s(v))
+    tags = tuple(sorted((st[k], st[vv]) for k, vv in zip(keys, vals)))
+    return (
+        wid, info.get("version"), info.get("visible", True), info.get("ts"),
+        info.get("changeset"), info.get("uid"), info.get("user"),
+        tuple(refs), tags,
+    )
+
+
+_MEMBER_LABEL = {0: "Node", 1: "Way", 2: "Relation"}
+
+
+def _parse_relation(val: bytes, st, date_gran) -> tuple:
+    rid = 0
+    keys: list[int] = []
+    vals: list[int] = []
+    roles: list[int] = []
+    memids: list[int] = []
+    types: list[int] = []
+    info: dict = {}
+    for f, _, v in pw.iter_fields(val):
+        if f == 1:
+            rid = v
+        elif f == 2:
+            keys = pw.unpack_varints(v)
+        elif f == 3:
+            vals = pw.unpack_varints(v)
+        elif f == 4:
+            info = _parse_info(v, st, date_gran)
+        elif f == 8:
+            roles = pw.unpack_varints(v)
+        elif f == 9:
+            memids = pw.delta_decode(pw.unpack_sint64s(v))
+        elif f == 10:
+            types = pw.unpack_varints(v)
+    tags = tuple(sorted((st[k], st[vv]) for k, vv in zip(keys, vals)))
+    members = tuple(
+        (_MEMBER_LABEL[t], m, st[r]) for t, m, r in zip(types, memids, roles)
+    )
+    return (
+        rid, info.get("version"), info.get("visible", True), info.get("ts"),
+        info.get("changeset"), info.get("uid"), info.get("user"),
+        members, tags,
+    )

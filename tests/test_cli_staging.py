@@ -1,0 +1,93 @@
+"""CLI flag mapping + staging/resume behavior."""
+
+import os
+import shutil
+
+import pytest
+
+from planet_dump_ng_spark import staging
+from planet_dump_ng_spark.cli import build_parser, outputs_from_args
+
+REF = "/root/reference/test"
+
+
+def test_cli_output_flags_map_to_specs():
+    args = build_parser().parse_args(
+        [
+            "--dump-file", "d.sql",
+            "--xml", "p.osm.bz2",
+            "--history-pbf", "h.osm.pbf",
+            "--changesets-no-userinfo", "c.osm",
+        ]
+    )
+    outs = {(o.kind, o.anonymize): o.path for o in outputs_from_args(args)}
+    assert outs == {
+        ("planet", False): "p.osm.bz2",
+        ("pbf-history", False): "h.osm.pbf",
+        ("changesets", True): "c.osm",
+    }
+
+
+def test_cli_requires_an_output():
+    args = build_parser().parse_args(["--dump-file", "d.sql"])
+    assert outputs_from_args(args) == []
+
+
+def test_stage_roundtrip_and_resume(spark, tmp_path):
+    df = spark.range(5).withColumnRenamed("id", "x")
+    stage_dir = str(tmp_path / "stage")
+    out1 = staging.stage_table(spark, df, stage_dir, "t1")
+    assert sorted(r.x for r in out1.collect()) == [0, 1, 2, 3, 4]
+    assert staging.is_staged(stage_dir, "t1")
+
+    # resume: the stale frame is NOT recomputed when the marker exists
+    df2 = spark.range(3).withColumnRenamed("id", "x")
+    out2 = staging.stage_table(spark, df2, stage_dir, "t1", resume=True)
+    assert sorted(r.x for r in out2.collect()) == [0, 1, 2, 3, 4]
+
+    # without resume: rebuilt
+    out3 = staging.stage_table(spark, df2, stage_dir, "t1", resume=False)
+    assert sorted(r.x for r in out3.collect()) == [0, 1, 2]
+
+
+@pytest.mark.skipif(
+    shutil.which("pg_restore") is None or not os.path.isdir(REF),
+    reason="needs pg_restore + reference fixtures",
+)
+def test_cli_end_to_end(spark, tmp_path):
+    import subprocess
+
+    from planet_dump_ng_spark.cli import main
+
+    sql = tmp_path / "bad.sql"
+    subprocess.run(
+        ["pg_restore", "-f", str(sql), "-a", f"{REF}/bad-character.dmp"], check=True
+    )
+    out = tmp_path / "cs.osm"
+    rc = main(
+        [
+            "--dump-file", str(sql),
+            "--changesets", str(out),
+            "--generator", "planet-dump-ng test X.Y.Z",
+            "--work-dir", str(tmp_path / "w"),
+        ]
+    )
+    assert rc == 0
+    import bz2
+
+    with open(f"{REF}/changesets-badchar.xml.case/changesets.osm.bz2", "rb") as fh:
+        golden = bz2.decompress(fh.read())
+    assert out.read_bytes() == golden
+
+    # resume run hits the staged tables and produces identical output
+    out2 = tmp_path / "cs2.osm"
+    rc = main(
+        [
+            "--dump-file", str(sql),
+            "--changesets", str(out2),
+            "--generator", "planet-dump-ng test X.Y.Z",
+            "--work-dir", str(tmp_path / "w"),
+            "--resume",
+        ]
+    )
+    assert rc == 0 and out2.read_bytes() == golden
