@@ -1,0 +1,110 @@
+"""Temporal joins the built-in operator set lacks: as-of join and
+banded range join.
+
+Both are implemented as compositions of existing DataFrame ops (the
+preferred strategy for custom operators): no UDFs, no mapPartitions —
+single-shuffle plans that survive 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: dict[str, str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts within the same ``on`` key.
+
+    Implementation: union both sides tagged, sort per key by (ts, side),
+    carry the last-seen right payload forward with last(ignorenulls) over
+    an unbounded-preceding window, keep left rows.  ONE shuffle on the
+    key — no join explosion, no range duplication; this is the canonical
+    scalable as-of (vs a naive join+filter+max which shuffles the cross
+    product).  Right rows sort BEFORE left rows at equal timestamps, so a
+    tie counts as "at or before".
+
+    right_payload: {right_col: out_col} columns to carry.
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        *[F.lit(None).cast(right.schema[rc].dataType).alias(oc)
+          for rc, oc in right_payload.items()],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields
+            ) + ">"
+        ).alias("_l"),
+        *[F.col(rc).alias(oc) for rc, oc in right_payload.items()],
+    )
+    # total order: ties between right rows resolve on the payload columns
+    # (ascending, so last() picks the greatest — matching the SQL
+    # last_value over ORDER BY ts, side, id); left-row payloads are NULL
+    # and their relative order cannot change the carried value.
+    w = (
+        W.partitionBy("_k")
+        .orderBy(
+            "_ts",
+            "_side",
+            *[F.col(oc).asc_nulls_first() for oc in right_payload.values()],
+        )
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = l.unionByName(r).select(
+        "_side",
+        "_l",
+        *[F.last(oc, ignorenulls=True).over(w).alias(oc) for oc in right_payload.values()],
+    )
+    out = filled.filter(F.col("_side") == 1)
+    return out.select(
+        *[F.col("_l")[c].alias(c) for c in lcols],
+        *[F.col(oc) for oc in right_payload.values()],
+    )
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: Column,
+    right_hi: Column,
+    band_width: float,
+) -> DataFrame:
+    """Value-range join: pair left rows with right rows whose
+    [right_lo, right_hi] interval contains left_val.
+
+    Scale path: quantize values into fixed-width bands; each right row
+    explodes into the bands its interval covers (interval width / band
+    width copies — bounded by construction), then a plain EQUI-join on the
+    band id followed by the exact range filter.  Turns an O(N*M) theta
+    join into a shuffle join with bounded fan-out; Catalyst sees an
+    ordinary equi-join so AQE/broadcast still apply.
+    """
+    lo_band = F.floor(right_lo / band_width).cast("long")
+    hi_band = F.floor(right_hi / band_width).cast("long")
+    r = right.withColumn("_band", F.explode(F.sequence(lo_band, hi_band))).withColumn(
+        "_lo", right_lo
+    ).withColumn("_hi", right_hi)
+    l = left.withColumn(
+        "_band", F.floor(F.col(left_val) / band_width).cast("long")
+    )
+    return (
+        l.join(r, "_band")
+        .filter(F.col(left_val).between(F.col("_lo"), F.col("_hi")))
+        .drop("_band", "_lo", "_hi")
+    )

@@ -6,9 +6,12 @@ from planet_dump_ng_spark.plans.registry import QUERIES, QuerySpec, register  # 
 def load_all() -> None:
     """Import every plan module so its @register decorators run."""
     from planet_dump_ng_spark.plans import (  # noqa: F401
+        advanced_plans,
         dedup_plans,
+        multimodal_plans,
         relational,
         similarity_plans,
         streaming_plans,
         text_plans,
+        tpch_plans,
     )

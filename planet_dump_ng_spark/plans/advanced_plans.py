@@ -1,0 +1,330 @@
+"""Beyond-the-reference analytics operators: multi-level aggregation
+(ROLLUP/CUBE), per-group top-k, as-of join, banded range join, windowed
+moving averages, embedding centroids, and document quality scoring —
+each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from planet_dump_ng_spark.operators import temporal, text as tx
+from planet_dump_ng_spark.plans.registry import register, table
+from planet_dump_ng_spark.plans.relational import DSUM_SQL, dsum
+
+
+@register(
+    "rollup_revenue",
+    f"""
+    SELECT COALESCE(n.n_name, '<all>') AS nation,
+           COALESCE(c.c_mktsegment, '<all>') AS segment,
+           CAST(GROUPING(n.n_name) * 2 + GROUPING(c.c_mktsegment) AS INT)
+             AS grouping_id,
+           {DSUM_SQL.format(x='o.o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+    doc="Hierarchical ROLLUP totals; GROUPING() bits disambiguate NULL "
+    "group keys from subtotal rows on both engines.",
+    tags=("agg", "rollup", "bench"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping_id("n_name", "c_mktsegment").cast("int").alias("grouping_id"),
+            dsum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            "grouping_id",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "cube_event_matrix",
+    """
+    SELECT COALESCE(event_type, '<all>') AS etype,
+           COALESCE(CAST(user_id % 10 AS BIGINT), -1) AS user_bucket,
+           CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS INT)
+             AS grouping_id,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 10)
+    """,
+    doc="Full CUBE over two dimensions with bucketed keys.",
+    tags=("agg", "cube"),
+)
+def cube_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "user_bucket_raw", F.col("user_id") % 10
+    )
+    return (
+        ev.cube("event_type", "user_bucket_raw")
+        .agg(
+            F.grouping_id("event_type", "user_bucket_raw")
+            .cast("int")
+            .alias("grouping_id"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("etype"),
+            F.coalesce("user_bucket_raw", F.lit(-1)).alias("user_bucket"),
+            "grouping_id",
+            "n",
+        )
+    )
+
+
+@register(
+    "topk_lines_per_order",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber ASC)
+               AS rnk
+      FROM lineitem
+    ) WHERE rnk <= 2
+    """,
+    doc="Per-group top-k via rank window with deterministic tiebreak; at "
+    "scale this is one shuffle on the group key (no global sort).",
+    tags=("window", "topk", "bench"),
+)
+def topk_lines_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rnk")
+    )
+
+
+@register(
+    "asof_last_click",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click' THEN ts END AS c_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id, ts, last_click_id, last_click_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(c_id IGNORE NULLS) OVER w AS last_click_id,
+             last_value(c_ts IGNORE NULLS) OVER w AS last_click_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts,
+                   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ) WHERE event_type = 'purchase'
+    """,
+    doc="As-of join (purchase -> latest click at-or-before, per user) via "
+    "the union+last_value carry — one shuffle, no join explosion "
+    "(operators.temporal.asof_join_union).",
+    tags=("join", "asof", "bench"),
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id")
+    )
+    return temporal.asof_join_union(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload={"event_id": "last_click_id", "ts": "last_click_ts"},
+    )
+
+
+@register(
+    "range_join_price_band",
+    """
+    SELECT p.p_partkey, COUNT(l.l_orderkey) AS n_in_band
+    FROM part p
+    LEFT JOIN lineitem l
+      ON l.l_extendedprice BETWEEN p.p_retailprice * 0.9
+                               AND p.p_retailprice * 1.1
+    GROUP BY p.p_partkey
+    """,
+    doc="Banded range join: quantize the interval into fixed bands, "
+    "explode the bounded side, equi-join on band id, exact filter "
+    "(operators.temporal.banded_range_join) — a theta join Catalyst "
+    "would otherwise nested-loop.",
+    tags=("join", "range"),
+)
+def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    joined = temporal.banded_range_join(
+        li,
+        part,
+        left_val="l_extendedprice",
+        right_lo=F.col("p_retailprice") * 0.9,
+        right_hi=F.col("p_retailprice") * 1.1,
+        band_width=100.0,
+    )
+    counts = joined.groupBy("p_partkey").agg(
+        F.count("l_orderkey").alias("n_in_band")
+    )
+    # LEFT semantics: parts with zero matches still appear
+    return (
+        part.select("p_partkey")
+        .join(counts, "p_partkey", "left")
+        .select(
+            "p_partkey", F.coalesce("n_in_band", F.lit(0)).alias("n_in_band")
+        )
+    )
+
+
+@register(
+    "hourly_moving_average",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             {DSUM_SQL.format(x='value')} AS hour_value
+      FROM events GROUP BY hour, event_type
+    )
+    SELECT hour, event_type, hour_value,
+           CAST(SUM(CAST(hour_value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS ma4
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Sliding frame (4-hour moving average) over a pre-aggregated "
+    "rollup; decimal-exact numerator keeps engines bit-identical.",
+    tags=("window", "streaming", "bench"),
+)
+def hourly_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(dsum("value", "hour_value"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return hourly.select(
+        "hour",
+        "event_type",
+        "hour_value",
+        (
+            F.sum(F.col("hour_value").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma4"),
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(SUM(CAST(trunc(CAST(val AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+             / 1e12 / COUNT(*) AS centroid
+    FROM (
+      SELECT label, UNNEST(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    doc="Per-label centroid (elementwise mean): posexplode + exact integer "
+    "mean of 1e-12-truncated values per (label, dim) — the IVF "
+    "coarse-quantizer building block.  Truncation (not rounding) because "
+    "float32 expansions always end in digit 5, so ANY rounding scale has "
+    "tie values where engines' HALF_UP vs HALF_EVEN disagree; truncation "
+    "of the exactly-rounded double product is tie-free and "
+    "engine-identical.",
+    tags=("similarity", "agg", "bench"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        # double multiply is exact-rounded IEEE (identical both engines);
+        # cast double->long truncates toward zero = DuckDB trunc(); the
+        # long sum (< 2^53) converts back to double exactly.
+        .agg(
+            (
+                F.sum((F.col("val").cast("double") * 1e12).cast("long"))
+                .cast("double")
+                / F.lit(1e12)
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+    )
+
+
+@register(
+    "doc_quality_score",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, punct_ratio,
+           CASE WHEN n_tokens BETWEEN 5 AND 1000
+                 AND punct_ratio < 0.1 THEN 'keep'
+                WHEN n_tokens < 5 THEN 'too_short'
+                ELSE 'too_noisy' END AS verdict
+    FROM feats
+    """,
+    doc="Quality-filter verdict per document (the keep/drop decision of a "
+    "training-data pipeline), derived from map-only features.",
+    tags=("text", "filter"),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count("text").alias("n_tokens"),
+        (
+            F.size(F.regexp_extract_all("text", F.lit(tx.PUNCT_RE), 0)).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+    )
+    verdict = (
+        F.when(
+            F.col("n_tokens").between(5, 1000) & (F.col("punct_ratio") < 0.1),
+            "keep",
+        )
+        .when(F.col("n_tokens") < 5, "too_short")
+        .otherwise("too_noisy")
+    )
+    return feats.select(
+        "doc_id", "lang", "n_tokens", "punct_ratio", verdict.alias("verdict")
+    )

@@ -1,0 +1,146 @@
+"""Structured Streaming jobs sharing logic with the batch plans
+(plans/streaming_plans.py) — the stream-batch equivalence contract is
+pinned by tests/test_streaming.py.
+
+The reference is pure batch (SURVEY.md section 2.7); these jobs are the
+engine's streaming extension: the same rollup/sessionization semantics
+expressed over an unbounded source with watermarks and state.
+
+Scale notes: windowed aggregation state is bounded by the watermark
+horizon x group cardinality; sessionization state is one small tuple per
+active user, dropped after the state timeout.  Both shuffle once on the
+group key per micro-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an events parquet directory (the local
+    stand-in for Kafka; swap ``format`` + options to go there)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming form of hourly_event_rollup: tumbling window + watermark.
+    Late rows beyond the watermark are dropped; with complete/update
+    output the converged result equals the batch rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = "last_us long, session_id long"
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp, session_id long"
+)
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _make_sessionizer(state_timeout_ms: int | None):
+    def sessionize_group(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """applyInPandasWithState worker: carries (last event time, current
+        session ordinal) per user across micro-batches.  Within a batch the
+        user's rows are sorted by (ts, event_id) — identical gap semantics
+        to the batch window plan (microsecond precision)."""
+        if state.hasTimedOut:
+            state.remove()  # idle user: drop the state tuple
+            return
+        (user_id,) = key
+        if state.exists:
+            last_us, session_id = state.get
+        else:
+            last_us, session_id = None, 0
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out_sessions = []
+        for us in rows["ts"].astype("int64") // 1000:  # ns -> us truncation
+            if last_us is None or us - last_us > GAP_US:
+                session_id += 1
+            out_sessions.append(session_id)
+            last_us = us
+        state.update((int(last_us), int(session_id)))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": rows["event_id"].to_numpy(),
+                "ts": rows["ts"].to_numpy(),
+                "session_id": out_sessions,
+            }
+        )
+
+    return sessionize_group
+
+
+def sessionize_stream(
+    events: DataFrame, state_timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming gap-sessionization via applyInPandasWithState — the
+    custom stateful operator path (one small state tuple per active user).
+
+    Pass ``state_timeout_ms`` (e.g. 3600000) on a real unbounded stream so
+    idle users' state is evicted; leave None for bounded/availableNow runs
+    — a pending processing-time timeout keeps the query alive until it
+    fires, so an availableNow drain would never terminate."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionizer(state_timeout_ms),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain the stream into an in-memory table (tests / local runs)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,64 @@
+"""Stream-batch equivalence: the Structured Streaming jobs converge to the
+same results as their oracle-checked batch counterparts on the same data."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.plans.registry import table
+from planet_dump_ng_spark.plans.streaming_plans import (
+    hourly_event_rollup,
+    user_sessionization,
+)
+from planet_dump_ng_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events as a multi-file parquet dir (file-source streams need a
+    directory; several files -> several micro-batches)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_hourly_rollup_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    jobs.run_to_memory(
+        jobs.hourly_rollup_stream(stream), "rollup_mem", output_mode="complete"
+    )
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("rollup_mem").collect()
+    }
+    expected = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in hourly_event_rollup(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=64)
+    jobs.run_to_memory(
+        jobs.sessionize_stream(stream), "sess_mem", output_mode="append"
+    )
+    got = (
+        spark.table("sess_mem")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    got_rows = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in got.collect()
+    }
+    expected = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in user_sessionization(spark, sf_dir).collect()
+    }
+    assert got_rows == expected

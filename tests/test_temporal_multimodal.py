@@ -1,0 +1,108 @@
+"""Unit semantics for the as-of join, banded range join, and multimodal
+stub plumbing."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import multimodal as mm
+from planet_dump_ng_spark.operators import temporal
+
+
+def test_asof_join_union_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (1, 5, "p0"), (2, 7, "q1")],
+        "k long, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 10, 101), (1, 15, 102), (2, 9, 200)],
+        "k long, t long, rid long",
+    )
+    out = {
+        r.name: r.matched
+        for r in temporal.asof_join_union(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_payload={"rid": "matched"},
+        ).collect()
+    }
+    # p0@5: nothing at/before -> NULL; p1@10: tie counts (101); p2@20: 102
+    assert out == {"p0": None, "p1": 101, "p2": 102, "q1": None}
+
+
+def test_asof_tie_takes_greatest_payload(spark):
+    left = spark.createDataFrame([(1, 10, "p")], "k long, t long, name string")
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 10, 9), (1, 10, 8)], "k long, t long, rid long"
+    )
+    [row] = temporal.asof_join_union(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_payload={"rid": "matched"},
+    ).collect()
+    assert row.matched == 9  # deterministic: greatest id among ties
+
+
+def test_banded_range_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 95, 100, 149, 150, 151, 250])],
+        "lid long, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, 90.0, 150.0), (2, 140.0, 160.0), (3, 0.0, 5.0)],
+        "rid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in temporal.banded_range_join(
+            left, right, "v", F.col("lo"), F.col("hi"), band_width=50.0
+        ).collect()
+    )
+    naive = sorted(
+        (lr.lid, rr.rid)
+        for lr in left.collect()
+        for rr in right.collect()
+        if rr.lo <= lr.v <= rr.hi
+    )
+    assert got == naive
+
+
+def test_multimodal_decode_matches_reference(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello"), (1, "wörld"), (2, "x" * 100)], "doc_id long, text string"
+    )
+    meta = {
+        r.doc_id: r
+        for r in mm.decode_image_meta(mm.attach_binary_payload(docs)).collect()
+    }
+    for doc_id, text in [(0, "hello"), (1, "wörld"), (2, "x" * 100)]:
+        payload = text.encode("utf-8")
+        fmt = ("png", "jpeg", "mp4")[doc_id % 3]
+        d = hashlib.sha256(payload).digest()
+        r = meta[doc_id]
+        assert r.n_bytes == len(payload)
+        assert r.format == fmt
+        assert r.width == 16 + d[0] % 240
+        assert r.height == 16 + d[1] % 240
+        assert r.n_frames == (1 if fmt != "mp4" else 1 + d[2] % 120)
+
+
+def test_frame_sample_and_resize(spark):
+    docs = spark.createDataFrame(
+        [(2, "some video payload"), (5, "another clip")], "doc_id long, text string"
+    )
+    meta = mm.decode_image_meta(mm.attach_binary_payload(docs))
+    frames = mm.sample_frames(meta, every_n=10).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    metas = {r.doc_id: r for r in meta.collect()}
+    for doc_id, idxs in by_doc.items():
+        assert idxs == list(range(0, metas[doc_id].n_frames, 10))
+    resized = mm.resize_meta(meta, max_side=32).collect()
+    for r in resized:
+        assert max(r.out_width, r.out_height) <= 32
+        assert r.out_width >= 1 and r.out_height >= 1
+        # aspect ratio approximately preserved
+        if r.width >= r.height:
+            assert r.out_width >= r.out_height
+        else:
+            assert r.out_height >= r.out_width
