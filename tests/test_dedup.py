@@ -44,6 +44,44 @@ def test_shingles_short_doc_fallback(docs):
     assert row.sh == ["tiny"]
 
 
+def _py_shingles(text: str, k: int) -> list[str]:
+    toks = [t for t in text.split() if t]
+    if len(toks) < k:
+        return [" ".join(toks)]
+    seen, out = set(), []
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+@pytest.mark.parametrize("k", [2, 3, 5])
+def test_shingles_match_python_reference(spark, k):
+    """Regression for the zip_with construction: full k-gram content (not
+    just counts) must match a straightforward reference, across doc
+    lengths that straddle the window size."""
+    texts = [
+        "",
+        "one",
+        "one two",
+        "one two three",
+        "one two three four five six seven",
+        "a a a a a",  # heavy dedup
+        " spaced   out\ttokens \n newline ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r.id: list(r.sh)
+        for r in df.select("id", dd.shingles("text", k).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == sorted(_py_shingles(t, k)), (k, t)
+
+
 def test_ngram_jaccard_finds_near_dup(docs):
     pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
     by_pair = {(r.id_a, r.id_b): r.jaccard for r in pairs}
