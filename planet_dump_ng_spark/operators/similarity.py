@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -110,6 +111,42 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Col
     return bucket
 
 
+def _lsh_buckets_vectorized(
+    dim: int, n_planes: int, n_tables: int, seed: int
+):
+    """All n_tables bucket ids in ONE Arrow-batched matmul.
+
+    The expression form (lsh_bucket x n_tables) evaluates
+    n_tables*n_planes interpreted higher-order-function folds per row;
+    here a single (batch, dim) @ (dim, n_tables*n_planes) numpy product
+    computes every dot at BLAS speed, then sign bits pack into per-table
+    bucket ids.  This is the sanctioned Python path: built-ins cannot
+    express a batched matmul."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplanes(dim, n_planes, seed + 1000 * t)
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )  # (tables, planes, dim)
+    mat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        dots = m @ mat  # (batch, T*P)
+        bits = (dots >= 0).reshape(len(m), n_tables, n_planes)
+        ids = (bits * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,27 +170,17 @@ def lsh_cosine_topk(
     corpus side hash-partitions by that composite key and the exploded
     factor is n_tables, not n_tables scans."""
 
-    def bkts(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(vec, dim, n_planes, seed + 1000 * t).alias("bkt"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-
+    buckets = _lsh_buckets_vectorized(dim, n_planes, n_tables, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(bkts(F.col(vec_col))).alias("tb"),
-    ).select("query_id", "qv", "tb.tbl", "tb.bkt")
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bkt"),
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.explode(bkts(F.col(vec_col))).alias("tb"),
-    ).select("neighbor_id", "cv", "tb.tbl", "tb.bkt")
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bkt"),
+    )
     scored = (
         c.join(F.broadcast(q), ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from planet_dump_ng_spark.operators import assembly, history
 from planet_dump_ng_spark.sinks import pbf_sink, xml_sink
-from planet_dump_ng_spark.sources import read_copy_table, split_dump_file
+from planet_dump_ng_spark.sources import (
+    extract_custom_dump,
+    read_copy_table,
+    split_dump_file,
+)
 
 ELEMENT_TABLES = (
     "users",
@@ -220,6 +224,11 @@ def run_dump(
             for t in ELEMENT_TABLES
         }
     else:
+        if dump_file.endswith(".dmp"):  # custom-format archive: S1 front-end
+            os.makedirs(work_dir, exist_ok=True)
+            dump_file = extract_custom_dump(
+                dump_file, os.path.join(work_dir, "extracted.sql")
+            )
         split_dump_file(dump_file, copy_dir, list(ELEMENT_TABLES))
         tables = load_copy_tables(spark, copy_dir)
         if stage:

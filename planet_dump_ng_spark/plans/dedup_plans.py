@@ -70,6 +70,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
 
 
+_EDOT = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "list_zip({a}::DOUBLE[], {b}::DOUBLE[]), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_EDOT.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({_EDOT.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_EDOT.format(a='b.embedding', b='b.embedding')})) AS cosine
+    FROM e a JOIN e b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_EDOT.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({_EDOT.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_EDOT.format(a='b.embedding', b='b.embedding')})) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs (cosine >= 0.35), blocked by label "
+    "(the cluster id an IVF/LSH stage would assign at scale); exact "
+    "left-to-right double fold keeps both engines bit-identical.",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from planet_dump_ng_spark.operators.similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
 @register(
     "dedup_simhash",
     None,  # pandas-UDF bit votes aren't SQL-expressible; verified in tests

@@ -1,6 +1,7 @@
 """Input connectors: pg_dump COPY text decode + parquet staging."""
 
 from planet_dump_ng_spark.sources.copy_source import (  # noqa: F401
+    extract_custom_dump,
     read_copy_table,
     split_dump_file,
 )

@@ -190,6 +190,25 @@ def read_copy_table(
     return parts.select(*out_cols)
 
 
+def extract_custom_dump(dump_path: str, out_sql: str) -> str:
+    """S1: pg_dump CUSTOM-format archive -> plain COPY text, via a
+    ``pg_restore`` subprocess — exactly the reference's extraction strategy
+    (popen('pg_restore -f - -a ...'), src/dump_reader.cpp:656-663), minus
+    the per-table fan-out which :func:`split_dump_file` handles after.
+
+    Returns ``out_sql``.  Raises FileNotFoundError when pg_restore is not
+    installed."""
+    import shutil as _shutil
+    import subprocess
+
+    if _shutil.which("pg_restore") is None:
+        raise FileNotFoundError("pg_restore not found on PATH")
+    subprocess.run(
+        ["pg_restore", "-f", out_sql, "-a", dump_path], check=True
+    )
+    return out_sql
+
+
 def split_dump_file(
     dump_path: str, out_dir: str, tables: list[str] | None = None
 ) -> dict[str, str]:
