@@ -118,6 +118,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_sizes",
+    f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, source, {{shingles}} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+    ),
+    sym AS (SELECT src AS u, dst AS v FROM pairs
+            UNION SELECT dst, src FROM pairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.u, r.lab FROM reach r JOIN sym s ON s.v = r.id
+    ),
+    comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+    SELECT component, COUNT(*) AS cluster_size
+    FROM comp GROUP BY component
+    """.replace("{shingles}", _SHINGLES),
+    doc="Dup-cluster assignment: connected components over the near-dup "
+    "pair graph via iterative min-label propagation "
+    "(operators.graph.connected_components, Pregel-shaped driver loop); "
+    "oracle is a recursive CTE computing the same min-reachable label.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from planet_dump_ng_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, block_col="source")
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+@register(
     "dedup_simhash",
     None,  # pandas-UDF bit votes aren't SQL-expressible; verified in tests
     doc="SimHash64 near-dup pairs (hamming <= 12) blocked on top 8 bits.",

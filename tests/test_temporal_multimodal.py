@@ -106,3 +106,18 @@ def test_frame_sample_and_resize(spark):
             assert r.out_width >= r.out_height
         else:
             assert r.out_height >= r.out_width
+
+
+def test_connected_components(spark):
+    from planet_dump_ng_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # components: {0,1,2,3} (chain), {4,5} , {6}, {7}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
