@@ -185,3 +185,25 @@ def scalar_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("o_totalprice") - 1000.0).alias("pdist"),
         F.when(F.col("o_totalprice") > 1000, "hi").otherwise("lo").alias("bucket"),
     )
+
+
+@register(
+    "global_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+    doc="Global ORDER BY + LIMIT with total-order tiebreak: Spark plans "
+    "TakeOrderedAndProject (per-partition top-k + driver merge), never a "
+    "full sort.",
+    tags=("sort", "topk"),
+)
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(50)
+    )
