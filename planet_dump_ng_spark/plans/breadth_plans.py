@@ -207,3 +207,35 @@ def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .limit(50)
     )
+
+
+@register(
+    "event_attribution_salted",
+    """
+    SELECT e.event_id,
+           CASE WHEN c.c_custkey IS NOT NULL THEN e.user_id END AS uid,
+           c.c_name AS display_name
+    FROM events e
+    LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
+      ON e.user_id = c.c_custkey
+    """,
+    doc="The attribution join executed through operators.skew.salted_join "
+    "(hot-key sharding, dimension replicated per salt) — same oracle as "
+    "the broadcast form proves the strategy is result-identical.",
+    tags=("join", "skew"),
+)
+def event_attribution_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events")
+    pub = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name")
+    )
+    joined = salted_join(ev, pub, "user_id", "c_custkey", n_salts=8, how="left")
+    return joined.select(
+        "event_id",
+        F.when(F.col("c_custkey").isNotNull(), F.col("user_id")).alias("uid"),
+        F.col("c_name").alias("display_name"),
+    )
