@@ -63,3 +63,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return sim.lsh_cosine_topk(emb, queries, dim=64, k=5, n_planes=8)
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate by design — recall measured in tests
+    doc="IVF cosine top-5: mini k-means coarse quantizer, n_probe nearest "
+    "cells per query, exact rerank (the second ANN scale path).",
+    tags=("similarity", "iterative"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.ivf import ivf_cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_cosine_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=3)

@@ -69,3 +69,25 @@ def test_lsh_bucket_deterministic(spark, emb):
     b1 = emb.select(sim.lsh_bucket(F.col("embedding"), 64, 8).alias("b")).collect()
     b2 = emb.select(sim.lsh_bucket(F.col("embedding"), 64, 8).alias("b")).collect()
     assert [r.b for r in b1] == [r.b for r in b2]
+
+
+def test_ivf_recall(spark, emb):
+    from planet_dump_ng_spark.operators.ivf import ivf_cosine_topk
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = sim.cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_cosine_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=3).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 3/8 cells; near-random synthetic vectors put many true
+    # neighbours in unprobed cells, so the bar is recall >> cell fraction
+    assert recall >= 0.5, recall
+
+
+def test_kmeans_deterministic(spark, emb):
+    from planet_dump_ng_spark.operators.ivf import train_kmeans
+
+    c1 = train_kmeans(emb, dim=64, n_cells=4, n_rounds=2)
+    c2 = train_kmeans(emb, dim=64, n_cells=4, n_rounds=2)
+    assert c1 == c2
