@@ -239,3 +239,42 @@ def event_attribution_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_custkey").isNotNull(), F.col("user_id")).alias("uid"),
         F.col("c_name").alias("display_name"),
     )
+
+
+@register(
+    "xml_render_documents",
+    """
+    SELECT doc_id,
+           concat(' <doc id="', CAST(doc_id AS VARCHAR),
+                  '" lang="', lang, '" source="', source, '"><text>',
+                  regexp_replace(
+                    replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;'),
+                    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '?', 'g'),
+                  '</text></doc>') AS xml
+    FROM documents
+    """,
+    doc="XML fragment rendering through the REAL sink functions "
+    "(sinks.xml_sink.xml_escape: entity escape + control-char scrub, "
+    "F8/C10) proved against a SQL replica — the sink's scalar surface "
+    "enters the oracle gate, not just the golden tests.",
+    tags=("scalar", "sink"),
+)
+def xml_render_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.sinks.xml_sink import xml_escape
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit(' <doc id="'),
+            F.col("doc_id").cast("string"),
+            F.lit('" lang="'),
+            F.col("lang"),
+            F.lit('" source="'),
+            F.col("source"),
+            F.lit('"><text>'),
+            xml_escape(F.col("text"), quote=False),
+            F.lit("</text></doc>"),
+        ).alias("xml"),
+    )

@@ -62,3 +62,47 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, events_dir):
         for r in user_sessionization(spark, sf_dir).collect()
     }
     assert got_rows == expected
+
+
+def test_sessionize_state_carries_across_restarts(spark, sf_dir, tmp_path):
+    """Time-split the stream into two file drops and run the sessionizer
+    twice against the SAME checkpoint: per-user state (last event time,
+    session ordinal) must persist through the restart, so the union of
+    both runs' outputs equals the batch sessionization."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+
+    def drain():
+        # file sink (not memory): only fault-tolerant sinks support
+        # restarting from a checkpoint
+        stream = jobs.read_events_stream(spark, src, max_files_per_trigger=64)
+        q = (
+            jobs.sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        got.setdefault((r.user_id, r.session_id), []).append(r.ts)
+    got_agg = {
+        k: (len(v), min(v), max(v)) for k, v in got.items()
+    }
+    expected = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in user_sessionization(spark, sf_dir).collect()
+    }
+    assert got_agg == expected
