@@ -133,42 +133,73 @@ def write_outputs(
     versions; 'changesets'/'discussions' consume only the changesets frame
     (F7).  Frames are persisted when consumed by >1 output (multicast).
     """
-    needs_current = any(o.kind in ("planet", "pbf") for o in outputs)
-    needs_history = any(o.kind in ("history", "pbf-history") for o in outputs)
-    if needs_current and needs_history or sum(
-        o.kind in ("planet", "history", "pbf", "pbf-history") for o in outputs
-    ) > 1:
-        for df in (frames.nodes, frames.ways, frames.relations):
-            df.persist()
+    from pyspark.sql import functions as F
 
-    cur = (
-        {
-            "nodes": history.current_view(frames.nodes),
-            "ways": history.current_view(frames.ways),
-            "relations": history.current_view(frames.relations),
-        }
-        if needs_current
-        else {}
+    # -- shared arrangement: sort each needed element stream ONCE --------
+    # Every output variant consumes the same (id, version)-ordered stream;
+    # rendering/anonymization are order-preserving projections, so one
+    # range-partition + sort (persisted when >1 variant reads it) feeds
+    # every sink — the reference's single-pass multicast
+    # (copy_elements.cpp:372-415) as cached arrangements.
+    uses_current = sum(o.kind in ("planet", "pbf") for o in outputs)
+    uses_history = sum(o.kind in ("history", "pbf-history") for o in outputs)
+    uses_changesets = sum(
+        o.kind in ("planet", "history", "changesets", "discussions")
+        for o in outputs
+    )
+
+    def arrange(df, cols, n_users):
+        a = df.repartitionByRange(*[F.col(c) for c in cols]).sortWithinPartitions(
+            *[F.col(c) for c in cols]
+        )
+        return a.persist() if n_users > 1 else a
+
+    arranged = {}
+    if uses_history:
+        for t, df in (
+            ("nodes", frames.nodes),
+            ("ways", frames.ways),
+            ("relations", frames.relations),
+        ):
+            arranged[("h", t)] = arrange(df, ["id", "version"], uses_history)
+    if uses_current:
+        for t, df in (
+            ("nodes", frames.nodes),
+            ("ways", frames.ways),
+            ("relations", frames.relations),
+        ):
+            arranged[("c", t)] = arrange(
+                history.current_view(df), ["id", "version"], uses_current
+            )
+    cs_arranged = (
+        arrange(frames.changesets, ["id"], uses_changesets)
+        if uses_changesets
+        else None
     )
 
     for spec in outputs:
         if spec.kind in ("changesets", "discussions"):
             rendered = xml_sink.render_changesets(
-                frames.changesets,
+                cs_arranged,
                 frames.max_ts,
                 anonymize=spec.anonymize,
                 discussions=spec.kind == "discussions",
             )
             xml_sink.write_xml_file(
-                [(rendered, ["id"])], spec.path, generator, frames.max_ts
+                [(rendered, ["id"])],
+                spec.path,
+                generator,
+                frames.max_ts,
+                pre_arranged=True,
             )
             continue
 
         hist = spec.kind in ("history", "pbf-history")
+        v = "h" if hist else "c"
         n, w, r = (
-            (frames.nodes, frames.ways, frames.relations)
-            if hist
-            else (cur["nodes"], cur["ways"], cur["relations"])
+            arranged[(v, "nodes")],
+            arranged[(v, "ways")],
+            arranged[(v, "relations")],
         )
         if spec.kind in ("pbf", "pbf-history"):
             pbf_sink.write_pbf_file(
@@ -180,12 +211,13 @@ def write_outputs(
                 anonymize=spec.anonymize,
                 generator=generator,
                 max_ts=frames.max_ts,
+                pre_arranged=True,
             )
             continue
         parts = [
             (
                 xml_sink.render_changesets(
-                    frames.changesets, frames.max_ts, anonymize=spec.anonymize
+                    cs_arranged, frames.max_ts, anonymize=spec.anonymize
                 ),
                 ["id"],
             ),
@@ -193,7 +225,15 @@ def write_outputs(
             (xml_sink.render_ways(w, hist, spec.anonymize), ["id", "version"]),
             (xml_sink.render_relations(r, hist, spec.anonymize), ["id", "version"]),
         ]
-        xml_sink.write_xml_file(parts, spec.path, generator, frames.max_ts)
+        xml_sink.write_xml_file(
+            parts, spec.path, generator, frames.max_ts, pre_arranged=True
+        )
+
+    for df in arranged.values():
+        if df.is_cached:
+            df.unpersist()
+    if cs_arranged is not None and cs_arranged.is_cached:
+        cs_arranged.unpersist()
 
 
 def run_dump(
@@ -232,10 +272,20 @@ def run_dump(
         split_dump_file(dump_file, copy_dir, list(ELEMENT_TABLES))
         tables = load_copy_tables(spark, copy_dir)
         if stage:
-            tables = {
-                t: staging.stage_table(spark, df, stage_dir, t, resume=resume)
-                for t, df in tables.items()
-            }
+            # stage all 12 tables CONCURRENTLY: independent write jobs,
+            # submitted from threads so the scheduler overlaps them (the
+            # Spark analog of the reference's 12 parallel extraction
+            # threads, planet-dump.cpp:127-140)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=12) as pool:
+                futures = {
+                    t: pool.submit(
+                        staging.stage_table, spark, df, stage_dir, t, resume
+                    )
+                    for t, df in tables.items()
+                }
+                tables = {t: f.result() for t, f in futures.items()}
     frames = build_planet(spark, tables)
     write_outputs(frames, outputs, generator)
     return frames

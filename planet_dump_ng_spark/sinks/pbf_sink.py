@@ -262,20 +262,36 @@ def write_pbf_file(
     generator: str = "planet-dump-ng-spark",
     max_ts: datetime | None = None,
     source: str = OSM_API_ORIGIN,
+    pre_arranged: bool = False,
 ) -> None:
     """Emit one ordered .osm.pbf: header blob, then nodes, ways, relations
     in (id, version) order (Sort.Type_then_ID).  Each range partition
-    encodes its own complete blobs executor-side; the driver concatenates."""
+    encodes its own complete blobs executor-side; the driver concatenates.
+    ``pre_arranged``: inputs are already range-sorted (shared across
+    output variants) — skip the per-call shuffle."""
     out_dir = out_path + ".parts"
     os.makedirs(out_dir, exist_ok=True)
-    part_lists: list[list[str]] = []
-    for table, df in (("nodes", nodes), ("ways", ways), ("relations", relations)):
-        cols = [F.col("id"), F.col("version")]
-        arranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-        paths = arranged.rdd.mapPartitionsWithIndex(
-            _partition_encoder(table, history, anonymize, out_dir)
-        ).collect()
-        part_lists.append(sorted(paths))
+
+    def encode_one(table: str, df: DataFrame) -> list[str]:
+        if not pre_arranged:
+            cols = [F.col("id"), F.col("version")]
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        return sorted(
+            df.rdd.mapPartitionsWithIndex(
+                _partition_encoder(table, history, anonymize, out_dir)
+            ).collect()
+        )
+
+    # the three per-type encode jobs are independent — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        part_lists = list(
+            pool.map(
+                lambda args: encode_one(*args),
+                [("nodes", nodes), ("ways", ways), ("relations", relations)],
+            )
+        )
 
     with open(out_path, "wb") as out:
         out.write(encode_header_block(generator, history, max_ts, source))

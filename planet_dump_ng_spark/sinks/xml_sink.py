@@ -284,6 +284,7 @@ def write_xml_file(
     generator: str = "planet-dump-ng-spark",
     max_ts: datetime | None = None,
     tmp_dir: str | None = None,
+    pre_arranged: bool = False,
 ) -> None:
     """Assemble the single ordered .osm(.bz2) file.
 
@@ -293,23 +294,39 @@ def write_xml_file(
     per-partition bz2 part files (global order = partition-range order);
     the driver then streams header + parts + footer into one multistream
     .bz2 (or plain text when out_path lacks the .bz2 suffix).
+
+    ``pre_arranged``: the caller already range-partitioned + sorted the
+    frames (and typically persisted them so several output variants share
+    one sort) — skip the per-call shuffle.
     """
     compressed = out_path.endswith(".bz2")
     tmp_dir = tmp_dir or out_path + ".parts"
-    part_dirs: list[str] = []
-    for i, (df, sort_cols) in enumerate(rendered_in_order):
+
+    def write_one(i: int, df: DataFrame, sort_cols: list[str]) -> str:
         d = os.path.join(tmp_dir, f"t{i}")
-        cols = [F.col(c) for c in sort_cols]
-        writer = (
-            df.repartitionByRange(*cols)
-            .sortWithinPartitions(*cols)
-            .select("xml")
-            .write.mode("overwrite")
-        )
+        if not pre_arranged:
+            cols = [F.col(c) for c in sort_cols]
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        writer = df.select("xml").write.mode("overwrite")
         if compressed:
             writer = writer.option("compression", "bzip2")
         writer.text(d)
-        part_dirs.append(d)
+        return d
+
+    # the per-type fragment jobs are independent — run them concurrently
+    # (order is restored at concat time below)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(rendered_in_order) or 1) as pool:
+        part_dirs = list(
+            pool.map(
+                lambda args: write_one(*args),
+                [
+                    (i, df, sc)
+                    for i, (df, sc) in enumerate(rendered_in_order)
+                ],
+            )
+        )
 
     def comp(data: bytes) -> bytes:
         return bz2.compress(data) if compressed else data
