@@ -286,7 +286,7 @@ def ngram_jaccard_pairs(
     # few extra bytes per row)
     ex = docs.select(
         "id", *blk_cols, F.size("sh").alias("sz"), F.explode("sh").alias("s")
-    )
+    ).persist()  # both self-join sides read the index; tokenize+shingle once
     ea, eb = ex.alias("a"), ex.alias("b")
     join_cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
     if block_col:

@@ -70,3 +70,20 @@ def test_pbf_semantic_parity(pbf_outputs, name, golden):
     assert mine["header"] == ref["header"]
     for kind in ("nodes", "ways", "relations"):
         assert sorted(mine[kind]) == sorted(ref[kind]), kind
+
+
+def test_pbf_source_roundtrip(spark, pbf_outputs):
+    """The distributed PBF source reads back exactly what the sink wrote."""
+    from planet_dump_ng_spark.sources.pbf_source import read_pbf_df
+
+    path = str(pbf_outputs / "history.osm.pbf")
+    ref = read_pbf(path)
+    for kind in ("nodes", "ways", "relations"):
+        df = read_pbf_df(spark, path, kind)
+        assert df.count() == len(ref[kind])
+    nodes = read_pbf_df(spark, path, "nodes")
+    row = nodes.orderBy("id", "version").first()
+    first = sorted(ref["nodes"])[0]
+    assert (row.id, row.version, row.visible) == first[:3]
+    assert row.ts == first[3] and row.latitude == first[7]
+    assert [(t.k, t.v) for t in row.tags] == list(first[9])
