@@ -123,6 +123,28 @@ def assemble_elements(
     return out
 
 
+def check_changesets_present(assembled: DataFrame, changesets: DataFrame) -> None:
+    """The PBF writer's strictness: every element's changeset_id must
+    exist in the changesets table, else error (pbf_writer.cpp:312-318,
+    377-383 — XML instead silently omits attribution).  One anti-join
+    count; call before writing PBF when strict semantics are wanted."""
+    missing = (
+        assembled.select("changeset_id")
+        .distinct()
+        .join(
+            changesets.select(F.col("id").alias("changeset_id")),
+            "changeset_id",
+            "left_anti",
+        )
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"{missing} changeset id(s) referenced by elements are missing "
+            "from the changesets table"
+        )
+
+
 def attribute_elements(
     assembled: DataFrame, changesets: DataFrame, users: DataFrame
 ) -> DataFrame:
@@ -130,9 +152,9 @@ def attribute_elements(
 
     Left joins throughout: a missing changeset or non-public user renders
     the element anonymous (uid/user NULL), matching the XML writer's
-    silent-omission path (xml_writer.cpp:376-386).  The PBF writer's
-    "missing changeset => error" strictness (pbf_writer.cpp:312-318) is a
-    sink-side check, not a join semantic.
+    silent-omission path (xml_writer.cpp:376-386).  For the PBF writer's
+    "missing changeset => error" strictness use
+    :func:`check_changesets_present` first.
     """
     cs_uid = changesets.select(
         F.col("id").alias("_cs_id"), F.col("user_id").alias("_cs_uid")

@@ -80,11 +80,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "documents",
         "embeddings",
     ]
+    from planet_dump_ng_spark.plans.registry import table
+
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            # registry.table handles the events TIMESTAMP(NANOS) quirk
+            df = table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -106,3 +106,53 @@ def test_sessionize_state_carries_across_restarts(spark, sf_dir, tmp_path):
         for r in user_sessionization(spark, sf_dir).collect()
     }
     assert got_agg == expected
+
+
+def test_sessionization_property(spark):
+    """Hypothesis-style randomized check (fixed seeds for determinism):
+    the batch sessionizer window plan equals a naive per-user Python
+    sessionizer on arbitrary event streams."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    rnd = random.Random(1234)
+    rows = []
+    eid = 0
+    for user in range(6):
+        t_us = rnd.randrange(0, 10**6)
+        for _ in range(rnd.randrange(1, 40)):
+            t_us += rnd.choice([1, 10**6, 1799_999_999, 1800_000_000, 1800_000_001, 5 * 10**9])
+            rows.append((eid, user, t_us))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long").select(
+        "event_id", "user_id", F.timestamp_micros("us").alias("ts")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = df.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) <= 1800 * 10**6,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    got = {(r.event_id): r.session_id for r in sess.collect()}
+
+    # naive reference
+    by_user: dict = {}
+    for eid_, user, t_us in rows:
+        by_user.setdefault(user, []).append((t_us, eid_))
+    expected = {}
+    for user, evs in by_user.items():
+        evs.sort()
+        last, sid = None, 0
+        for t_us, eid_ in evs:
+            if last is None or t_us - last > 1800 * 10**6:
+                sid += 1
+            expected[eid_] = sid
+            last = t_us
+    assert got == expected

@@ -121,3 +121,19 @@ def test_connected_components(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_check_changesets_present(spark):
+    import pytest as _pytest
+
+    from planet_dump_ng_spark.operators.assembly import check_changesets_present
+
+    elements = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200)], "id long, changeset_id long"
+    )
+    cs_ok = spark.createDataFrame([(100, 1), (200, 2)], "id long, user_id int")
+    check_changesets_present(elements, cs_ok)  # no raise
+
+    cs_missing = spark.createDataFrame([(100, 1)], "id long, user_id int")
+    with _pytest.raises(ValueError, match="1 changeset"):
+        check_changesets_present(elements, cs_missing)
