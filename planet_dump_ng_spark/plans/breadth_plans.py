@@ -278,3 +278,38 @@ def xml_render_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</text></doc>"),
         ).alias("xml"),
     )
+
+
+@register(
+    "event_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           MIN(gap_us) AS min_gap_us
+    FROM gaps GROUP BY user_id
+    """,
+    doc="Inter-event gap statistics per user (lag window at microsecond "
+    "precision, exact integer aggregates).",
+    tags=("window", "agg"),
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+    )

@@ -171,3 +171,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(
         table(spark, sf_dir, "documents"), max_hamming=12, block_bits=8
     )
+
+
+@register(
+    "dedup_keep_first",
+    """
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS keep_id
+          FROM documents
+          GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) k
+      ON d.doc_id = k.keep_id
+    """,
+    doc="The dedup SURVIVOR set: smallest doc_id per canonical fingerprint "
+    "(the filter a training pipeline applies after exact dedup).",
+    tags=("dedup",),
+)
+def dedup_keep_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dd.dedup_keep_first(docs).select("doc_id", "source", "n_chars")
