@@ -1,0 +1,41 @@
+"""Reproducible sampling for training-data pipelines.
+
+``df.sample()`` seeds Spark's RNG per partition — results change under
+repartitioning and never match another engine.  These operators sample by
+CONTENT HASH instead: a row is kept iff a hash of its key falls under the
+fraction threshold, so the sample is stable across runs, partitionings,
+engines, and incremental re-runs (new rows don't reshuffle old
+membership — the property that makes train/test splits trustworthy).
+
+Portable flavor here uses md5 hex prefixes (comparable string-wise in
+any engine, used by the oracle-checked queries); a Spark-only deployment
+would swap xxhash64 for speed without changing semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: md5-hex prefix length used for thresholding (8 hex chars = 32 bits)
+_PREFIX = 8
+_SPACE = 16**_PREFIX
+
+
+def _bucket(key: Column) -> Column:
+    """Uniform [0, 1) position from the md5 of the key's string form."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, _PREFIX), 16, 10).cast(
+        "double"
+    ) / F.lit(float(_SPACE))
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep rows whose hash bucket < fraction (reproducible sample)."""
+    return df.filter(_bucket(F.col(key)) < fraction)
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_fraction: float = 0.1
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, reproducible (train, test) split on the key hash."""
+    b = _bucket(F.col(key))
+    return df.filter(b >= test_fraction), df.filter(b < test_fraction)

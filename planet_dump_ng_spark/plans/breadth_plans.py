@@ -313,3 +313,63 @@ def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.min("gap_us").alias("min_gap_us"),
     )
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT event_type, COUNT(*) AS n_sampled,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < 0.1
+    GROUP BY event_type
+    """,
+    doc="Reproducible 10% sample by content hash (operators.sampling): "
+    "stable across runs, partitionings, and engines — unlike RNG-seeded "
+    "df.sample().  Membership is per-key, so incremental re-runs keep "
+    "old rows' assignment.",
+    tags=("sampling", "agg"),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.sampling import hash_sample
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        hash_sample(ev, "event_id", 0.1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "exact_group_medians",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, value AS lower_median
+    FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    """,
+    doc="Exact lower median per group: rank under a total order and pick "
+    "the ceil(n/2)-th row — no interpolation, hence engine-exact (unlike "
+    "percentile_cont whose float interpolation can differ).",
+    tags=("window", "agg"),
+)
+def exact_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .select("event_type", F.col("value").alias("lower_median"))
+    )

@@ -137,3 +137,25 @@ def test_check_changesets_present(spark):
     cs_missing = spark.createDataFrame([(100, 1)], "id long, user_id int")
     with _pytest.raises(ValueError, match="1 changeset"):
         check_changesets_present(elements, cs_missing)
+
+
+def test_train_test_split_reproducible(spark):
+    from planet_dump_ng_spark.operators.sampling import hash_sample, train_test_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    train, test = train_test_split(df, "k", test_fraction=0.2)
+    train_ids = {r.k for r in train.collect()}
+    test_ids = {r.k for r in test.collect()}
+    assert train_ids.isdisjoint(test_ids)
+    assert train_ids | test_ids == set(range(5000))
+    assert 0.15 < len(test_ids) / 5000 < 0.25  # roughly the fraction
+
+    # stable across repartitioning (the property df.sample lacks)
+    train2, test2 = train_test_split(df.repartition(7), "k", test_fraction=0.2)
+    assert {r.k for r in test2.collect()} == test_ids
+
+    # sample of a superset preserves membership of the subset
+    big = spark.range(0, 10000).withColumnRenamed("id", "k")
+    s_small = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    s_big = {r.k for r in hash_sample(big, "k", 0.1).collect()}
+    assert s_small == {k for k in s_big if k < 5000}
