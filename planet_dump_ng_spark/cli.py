@@ -65,7 +65,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--history-pbf-no-userinfo")
     p.add_argument("--changesets-no-userinfo")
     p.add_argument("--changeset-discussions-no-userinfo")
+    # data metainfo overrides (reference: planet-dump.cpp:62-72)
+    p.add_argument("--meta-author", help="copyright attr override")
+    p.add_argument("--meta-source", help="bound origin / PBF source override")
+    p.add_argument("--meta-copyleft", help="license attr override")
+    p.add_argument("--meta-attribution", help="attribution attr override")
     return p
+
+
+def meta_from_args(args: argparse.Namespace) -> dict:
+    out = {}
+    for attr, key in [
+        ("meta_author", "copyright"),
+        ("meta_source", "source"),
+        ("meta_copyleft", "license"),
+        ("meta_attribution", "attribution"),
+    ]:
+        v = getattr(args, attr, None)
+        if v:
+            out[key] = v
+    return out
 
 
 def outputs_from_args(args: argparse.Namespace) -> list[pipeline.OutputSpec]:
@@ -92,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
         work_dir,
         generator=args.generator,
         resume=args.resume,
+        meta=meta_from_args(args),
     )
     return 0
 

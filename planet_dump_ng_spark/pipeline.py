@@ -126,6 +126,7 @@ def write_outputs(
     frames: PlanetFrames,
     outputs: list[OutputSpec],
     generator: str = "planet-dump-ng-spark",
+    meta: dict | None = None,
 ) -> None:
     """Phase 3: one ordered single-file write per output spec.
 
@@ -191,6 +192,7 @@ def write_outputs(
                 generator,
                 frames.max_ts,
                 pre_arranged=True,
+                meta=meta,
             )
             continue
 
@@ -212,6 +214,7 @@ def write_outputs(
                 generator=generator,
                 max_ts=frames.max_ts,
                 pre_arranged=True,
+                source=(meta or {}).get("source", pbf_sink.OSM_API_ORIGIN),
             )
             continue
         parts = [
@@ -226,7 +229,8 @@ def write_outputs(
             (xml_sink.render_relations(r, hist, spec.anonymize), ["id", "version"]),
         ]
         xml_sink.write_xml_file(
-            parts, spec.path, generator, frames.max_ts, pre_arranged=True
+            parts, spec.path, generator, frames.max_ts, pre_arranged=True,
+            meta=meta,
         )
 
     for df in arranged.values():
@@ -244,6 +248,7 @@ def run_dump(
     generator: str = "planet-dump-ng-spark",
     resume: bool = False,
     stage: bool = True,
+    meta: dict | None = None,
 ) -> PlanetFrames:
     """Full lifecycle from a plain-format pg_dump file.
 
@@ -287,5 +292,5 @@ def run_dump(
                 }
                 tables = {t: f.result() for t, f in futures.items()}
     frames = build_planet(spark, tables)
-    write_outputs(frames, outputs, generator)
+    write_outputs(frames, outputs, generator, meta=meta)
     return frames

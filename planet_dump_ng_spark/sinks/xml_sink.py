@@ -34,17 +34,22 @@ from datetime import datetime
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+#: default data metainfo — overridable like the reference's --meta-*
+#: options (src/planet-dump.cpp:62-72: meta-author/source/copyleft/
+#: attribution with OSM defaults)
+OSM_LICENSE = "http://opendatacommons.org/licenses/odbl/1-0/"
+OSM_COPYRIGHT = "OpenStreetMap and contributors"
+OSM_ATTRIBUTION = "http://www.openstreetmap.org/copyright"
+OSM_API_ORIGIN = "http://www.openstreetmap.org/api/0.6"
+
 OSM_HEADER_ATTRS = (
-    'license="http://opendatacommons.org/licenses/odbl/1-0/" '
-    'copyright="OpenStreetMap and contributors" version="0.6" '
+    'license="{license}" '
+    'copyright="{copyright}" version="0.6" '
     'generator="{generator}" '
-    'attribution="http://www.openstreetmap.org/copyright" '
+    'attribution="{attribution}" '
     'timestamp="{timestamp}"'
 )
-BOUND_LINE = (
-    ' <bound box="-90,-180,90,180" '
-    'origin="http://www.openstreetmap.org/api/0.6"/>'
-)
+BOUND_LINE = ' <bound box="-90,-180,90,180" origin="{origin}"/>'
 
 #: XML 1.0 invalid control chars (allowed: tab, LF, CR) -> '?'
 _BADCHAR = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
@@ -272,10 +277,22 @@ def render_changesets(
     return df.withColumn("xml", _wrap(open_tag, children, "</changeset>"))
 
 
-def format_osm_header(generator: str, max_ts: datetime | None) -> str:
+def format_osm_header(
+    generator: str, max_ts: datetime | None, meta: dict | None = None
+) -> str:
+    """``meta`` overrides {license, copyright, attribution, source}
+    (the reference's --meta-copyleft/-author/-attribution/-source)."""
+    meta = meta or {}
     ts = max_ts.strftime("%Y-%m-%dT%H:%M:%SZ") if max_ts else ""
-    attrs = OSM_HEADER_ATTRS.format(generator=generator, timestamp=ts)
-    return f'<?xml version="1.0" encoding="UTF-8"?>\n<osm {attrs}>\n{BOUND_LINE}\n'
+    attrs = OSM_HEADER_ATTRS.format(
+        generator=generator,
+        timestamp=ts,
+        license=meta.get("license", OSM_LICENSE),
+        copyright=meta.get("copyright", OSM_COPYRIGHT),
+        attribution=meta.get("attribution", OSM_ATTRIBUTION),
+    )
+    bound = BOUND_LINE.format(origin=meta.get("source", OSM_API_ORIGIN))
+    return f'<?xml version="1.0" encoding="UTF-8"?>\n<osm {attrs}>\n{bound}\n'
 
 
 def write_xml_file(
@@ -285,6 +302,7 @@ def write_xml_file(
     max_ts: datetime | None = None,
     tmp_dir: str | None = None,
     pre_arranged: bool = False,
+    meta: dict | None = None,
 ) -> None:
     """Assemble the single ordered .osm(.bz2) file.
 
@@ -332,7 +350,7 @@ def write_xml_file(
         return bz2.compress(data) if compressed else data
 
     with open(out_path, "wb") as out:
-        out.write(comp(format_osm_header(generator, max_ts).encode()))
+        out.write(comp(format_osm_header(generator, max_ts, meta).encode()))
         for d in part_dirs:
             suffix = ".bz2" if compressed else ""
             names = sorted(

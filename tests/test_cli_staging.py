@@ -91,3 +91,39 @@ def test_cli_end_to_end(spark, tmp_path):
         ]
     )
     assert rc == 0 and out2.read_bytes() == golden
+
+
+def test_meta_overrides_change_header():
+    from datetime import datetime
+
+    from planet_dump_ng_spark.sinks.xml_sink import format_osm_header
+
+    default = format_osm_header("gen", datetime(2020, 1, 2, 3, 4, 5))
+    assert 'license="http://opendatacommons.org/licenses/odbl/1-0/"' in default
+    assert 'origin="http://www.openstreetmap.org/api/0.6"' in default
+    assert 'timestamp="2020-01-02T03:04:05Z"' in default
+
+    over = format_osm_header(
+        "gen",
+        None,
+        meta={
+            "license": "CC0",
+            "copyright": "me",
+            "attribution": "none",
+            "source": "http://example.org/api",
+        },
+    )
+    assert 'license="CC0"' in over and 'copyright="me"' in over
+    assert 'attribution="none"' in over
+    assert 'origin="http://example.org/api"' in over
+    assert 'timestamp=""' in over
+
+
+def test_cli_meta_flags_parse():
+    from planet_dump_ng_spark.cli import build_parser, meta_from_args
+
+    args = build_parser().parse_args(
+        ["--dump-file", "d.sql", "--xml", "p.osm",
+         "--meta-copyleft", "CC0", "--meta-source", "http://example.org"]
+    )
+    assert meta_from_args(args) == {"license": "CC0", "source": "http://example.org"}
