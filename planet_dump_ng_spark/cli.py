@@ -49,6 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
         description="Convert an OpenStreetMap database dump to planet files.",
     )
     p.add_argument("--dump-file", "-f", required=True, help="plain-format pg dump")
+    p.add_argument(
+        "--dense-nodes",
+        "-d",
+        type=_parse_bool,
+        default=True,
+        metavar="BOOL",
+        help="use dense nodes for PBF output (default true)",
+    )
     p.add_argument("--work-dir", default=None, help="staging dir (default: <dump>.work)")
     p.add_argument("--generator", default="planet-dump-ng-spark")
     p.add_argument("--resume", action="store_true", help="reuse staged tables")
@@ -70,11 +78,62 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--meta-source", help="bound origin / PBF source override")
     p.add_argument("--meta-copyleft", help="license attr override")
     p.add_argument("--meta-attribution", help="attribution attr override")
+    p.add_argument(
+        "--meta-file", "-M", help="data metainfo configuration file (key=value)"
+    )
     return p
 
 
+def _parse_bool(s: str) -> bool:
+    """boost::program_options bool_switch value grammar
+    (accepts the same spellings the reference's -d flag does)."""
+    v = s.strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"invalid bool: {s!r}")
+
+
+#: meta-file key -> meta dict key (same mapping as the CLI flags)
+_META_KEYS = {
+    "meta-author": "copyright",
+    "meta-source": "source",
+    "meta-copyleft": "license",
+    "meta-attribution": "attribution",
+}
+
+
+def parse_meta_file(path: str) -> dict:
+    """Parse the --meta-file config (reference planet-dump.cpp:105-114:
+    boost parse_config_file — ``key = value`` lines, ``#`` comments).
+
+    Returns a meta dict with the same keys meta_from_args produces.
+    Unknown keys error, matching boost's strict option registry."""
+    out: dict[str, str] = {}
+    with open(path, encoding="utf-8") as fh:
+        for lineno, raw in enumerate(fh, 1):
+            line = raw.split("#", 1)[0].strip()
+            if not line or (line.startswith("[") and line.endswith("]")):
+                continue  # section headers don't apply to our flat keys
+            if "=" not in line:
+                raise ValueError(f"{path}:{lineno}: expected key=value, got {raw!r}")
+            k, v = (s.strip() for s in line.split("=", 1))
+            if k not in _META_KEYS:
+                raise ValueError(f"{path}:{lineno}: unknown metainfo key {k!r}")
+            out[_META_KEYS[k]] = v
+    return out
+
+
 def meta_from_args(args: argparse.Namespace) -> dict:
-    out = {}
+    # boost po::store keeps the first-stored value, so explicit CLI flags
+    # beat --meta-file entries (planet-dump.cpp:105-114): start from the
+    # file and let flags overwrite.
+    out = (
+        parse_meta_file(args.meta_file)
+        if getattr(args, "meta_file", None)
+        else {}
+    )
     for attr, key in [
         ("meta_author", "copyright"),
         ("meta_source", "source"),
@@ -112,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         generator=args.generator,
         resume=args.resume,
         meta=meta_from_args(args),
+        dense_nodes=args.dense_nodes,
     )
     return 0
 

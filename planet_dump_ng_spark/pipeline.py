@@ -127,6 +127,7 @@ def write_outputs(
     outputs: list[OutputSpec],
     generator: str = "planet-dump-ng-spark",
     meta: dict | None = None,
+    dense_nodes: bool = True,
 ) -> None:
     """Phase 3: one ordered single-file write per output spec.
 
@@ -142,6 +143,17 @@ def write_outputs(
     # range-partition + sort (persisted when >1 variant reads it) feeds
     # every sink — the reference's single-pass multicast
     # (copy_elements.cpp:372-415) as cached arrangements.
+    # PBF strictness (pbf_writer.cpp:312-318): with full user info, an
+    # element referencing a missing changeset must error, not silently go
+    # anonymous (only XML is silent).  One union-ed anti-join up front.
+    if any(o.kind in ("pbf", "pbf-history") and not o.anonymize for o in outputs):
+        refs = (
+            frames.nodes.select("changeset_id")
+            .unionByName(frames.ways.select("changeset_id"))
+            .unionByName(frames.relations.select("changeset_id"))
+        )
+        assembly.check_changesets_present(refs, frames.changesets)
+
     uses_current = sum(o.kind in ("planet", "pbf") for o in outputs)
     uses_history = sum(o.kind in ("history", "pbf-history") for o in outputs)
     uses_changesets = sum(
@@ -215,6 +227,7 @@ def write_outputs(
                 max_ts=frames.max_ts,
                 pre_arranged=True,
                 source=(meta or {}).get("source", pbf_sink.OSM_API_ORIGIN),
+                dense_nodes=dense_nodes,
             )
             continue
         parts = [
@@ -249,6 +262,7 @@ def run_dump(
     resume: bool = False,
     stage: bool = True,
     meta: dict | None = None,
+    dense_nodes: bool = True,
 ) -> PlanetFrames:
     """Full lifecycle from a plain-format pg_dump file.
 
@@ -292,5 +306,5 @@ def run_dump(
                 }
                 tables = {t: f.result() for t, f in futures.items()}
     frames = build_planet(spark, tables)
-    write_outputs(frames, outputs, generator, meta=meta)
+    write_outputs(frames, outputs, generator, meta=meta, dense_nodes=dense_nodes)
     return frames

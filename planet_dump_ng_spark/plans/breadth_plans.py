@@ -151,9 +151,9 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(day(o_orderdate) AS INT) AS d,
            CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
                 AS INT) AS days_since,
-           round(o_totalprice, 2) AS price2,
-           floor(o_totalprice) AS pfloor,
-           ceil(o_totalprice) AS pceil,
+           CAST(round(CAST(o_totalprice AS DECIMAL(38,6)), 2) AS DOUBLE) AS price2,
+           CAST(floor(o_totalprice) AS BIGINT) AS pfloor,
+           CAST(ceil(o_totalprice) AS BIGINT) AS pceil,
            abs(o_totalprice - 1000.0) AS pdist,
            CASE WHEN o_totalprice > 1000 THEN 'hi' ELSE 'lo' END AS bucket
     FROM orders
@@ -179,7 +179,12 @@ def scalar_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
         ).alias("days_since"),
-        F.round("o_totalprice", 2).alias("price2"),
+        # round() over DOUBLE is not bit-identical across engines (Spark
+        # HALF_UP vs DuckDB's double rounding); quantize to exact decimal
+        # first so the tie-break arithmetic is identical on both sides.
+        F.round(F.col("o_totalprice").cast("decimal(38,6)"), 2)
+        .cast("double")
+        .alias("price2"),
         F.floor("o_totalprice").alias("pfloor"),
         F.ceil("o_totalprice").alias("pceil"),
         F.abs(F.col("o_totalprice") - 1000.0).alias("pdist"),

@@ -43,7 +43,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN doc_id % 3 = 1 THEN 'jpeg'
                 ELSE 'mp4' END AS format,
            COUNT(*) AS n_docs,
-           SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           -- DuckDB SUM(BIGINT) yields HUGEINT (int128); cast back so the
+           -- column type matches Spark's bigint.
+           CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT)
+             AS total_bytes,
            CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
     FROM documents GROUP BY format
     """,

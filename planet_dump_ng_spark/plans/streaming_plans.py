@@ -42,18 +42,24 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "user_sessionization",
     """
-    WITH gaps AS (
+    WITH us AS (
+      -- events.ts is TIMESTAMP_NS in the parquet; the Spark side truncates
+      -- to microseconds on read, so truncate here too before ordering or
+      -- aggregating (ns-precision min/max would hash-mismatch).
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ),
+    gaps AS (
       SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000
                   THEN 0 ELSE 1 END AS new_session
-      FROM events
+      FROM us
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (
+             CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id,

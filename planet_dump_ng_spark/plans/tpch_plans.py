@@ -177,10 +177,16 @@ def q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    # Top-k first (TakeOrderedAndProject: per-partition top-k + driver merge),
+    # NOT a partition-less row_number over the full aggregate — that plans a
+    # single-task global WindowExec, which dies at 100x the per-customer
+    # aggregate.  The rank window then runs over only the <=20 survivors;
+    # partitionBy(lit) keeps it a declared single tiny partition.
+    order = [F.col("revenue").desc(), F.col("c_custkey").asc()]
+    top = rev.orderBy(*order).limit(20)
+    w = W.partitionBy(F.lit(0)).orderBy(*order)
     return (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("c_custkey", "c_name", "n_name", "revenue", "rnk")
     )
 

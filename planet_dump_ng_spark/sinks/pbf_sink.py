@@ -69,6 +69,7 @@ def encode_header_block(
     history: bool,
     max_ts: datetime | None,
     source: str = OSM_API_ORIGIN,
+    dense_nodes: bool = True,
 ) -> bytes:
     bbox = (
         pw.field_varint(1, pw.zigzag(-180 * LONLAT_RESOLUTION))
@@ -80,7 +81,8 @@ def encode_header_block(
     msg += pw.field_string(4, "OsmSchema-V0.6")
     if history:
         msg += pw.field_string(4, "HistoricalInformation")
-    msg += pw.field_string(4, "DenseNodes")
+    if dense_nodes:  # required feature only when dense (pbf_writer.cpp:163-165)
+        msg += pw.field_string(4, "DenseNodes")
     msg += pw.field_string(5, "Has_Metadata")
     msg += pw.field_string(5, "Sort.Type_then_ID")
     msg += pw.field_string(16, generator)
@@ -174,6 +176,26 @@ def _encode_dense_nodes(rows: list, history: bool, anonymize: bool) -> bytes:
     return _primitive_block(st, pw.field_bytes(2, dense))
 
 
+def _encode_plain_nodes(rows: list, history: bool, anonymize: bool) -> bytes:
+    """--dense-nodes=false branch: one ``Node`` message per node
+    (pbf_writer.cpp:334-353).  Node.id/lat/lon are sint64 (zigzag), unlike
+    Way/Relation ids; invisible nodes write lat=lon=0 and no tags; Info
+    omits uid/user_sid for hidden users, exactly like ways."""
+    st = _StringTable()
+    group = b""
+    for r in rows:
+        visible = r["visible"]
+        msg = pw.field_varint(1, pw.zigzag(r["id"]))
+        if visible:
+            msg += pw.packed_varints(2, [st(t["k"]) for t in r["tags"]])
+            msg += pw.packed_varints(3, [st(t["v"]) for t in r["tags"]])
+        msg += pw.field_bytes(4, _info(st, r, history, anonymize))
+        msg += pw.field_varint(8, pw.zigzag(r["latitude"] if visible else 0))
+        msg += pw.field_varint(9, pw.zigzag(r["longitude"] if visible else 0))
+        group += pw.field_bytes(1, msg)
+    return _primitive_block(st, group)
+
+
 def _encode_ways(rows: list, history: bool, anonymize: bool) -> bytes:
     st = _StringTable()
     ways = b""
@@ -223,9 +245,13 @@ _ENCODERS = {
 }
 
 
-def _partition_encoder(table: str, history: bool, anonymize: bool, out_dir: str):
+def _partition_encoder(
+    table: str, history: bool, anonymize: bool, out_dir: str, dense_nodes: bool = True
+):
     limit = BLOCK_LIMITS[table]
     encode = _ENCODERS[table]
+    if table == "nodes" and not dense_nodes:
+        encode = _encode_plain_nodes
 
     def run(idx: int, rows_iter):
         path = os.path.join(out_dir, f"{table}-{idx:05d}.pbfpart")
@@ -263,6 +289,7 @@ def write_pbf_file(
     max_ts: datetime | None = None,
     source: str = OSM_API_ORIGIN,
     pre_arranged: bool = False,
+    dense_nodes: bool = True,
 ) -> None:
     """Emit one ordered .osm.pbf: header blob, then nodes, ways, relations
     in (id, version) order (Sort.Type_then_ID).  Each range partition
@@ -278,7 +305,7 @@ def write_pbf_file(
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         return sorted(
             df.rdd.mapPartitionsWithIndex(
-                _partition_encoder(table, history, anonymize, out_dir)
+                _partition_encoder(table, history, anonymize, out_dir, dense_nodes)
             ).collect()
         )
 
@@ -294,7 +321,9 @@ def write_pbf_file(
         )
 
     with open(out_path, "wb") as out:
-        out.write(encode_header_block(generator, history, max_ts, source))
+        out.write(
+            encode_header_block(generator, history, max_ts, source, dense_nodes)
+        )
         for paths in part_lists:
             for p in paths:
                 with open(p, "rb") as part:
@@ -429,7 +458,7 @@ def _parse_plain_node(val: bytes, st, fix, date_gran) -> tuple:
     info: dict = {}
     for f, _, v in pw.iter_fields(val):
         if f == 1:
-            nid = v
+            nid = pw.unzigzag(v)  # Node.id is sint64, unlike Way/Relation ids
         elif f == 2:
             keys = pw.unpack_varints(v)
         elif f == 3:

@@ -251,20 +251,26 @@ def render_changesets(
                 ),
             ),
             F.lit(""),
-            lambda acc, c: F.concat(
-                acc,
-                F.lit("\n   <comment"),
-                (F.lit("") if anonymize else _opt(
-                    c["author_name"].isNotNull(),
-                    F.concat(
-                        _attr("uid", c["author_id"].cast("string")),
-                        _attr("user", xml_escape(c["author_name"])),
+            # a comment whose author is not a public user is skipped
+            # entirely ("Ignoring", xml_writer.cpp:513-519) — in both
+            # userinfo modes; it still counts in comments_count.
+            lambda acc, c: F.when(c["author_name"].isNull(), acc).otherwise(
+                F.concat(
+                    acc,
+                    F.lit("\n   <comment"),
+                    (
+                        F.lit("")
+                        if anonymize
+                        else F.concat(
+                            _attr("uid", c["author_id"].cast("string")),
+                            _attr("user", xml_escape(c["author_name"])),
+                        )
                     ),
-                )),
-                _attr("date", iso_ts(c["created_at"])),
-                F.lit(">\n    <text>"),
-                xml_escape(c["body"], quote=False),
-                F.lit("</text>\n   </comment>"),
+                    _attr("date", iso_ts(c["created_at"])),
+                    F.lit(">\n    <text>"),
+                    xml_escape(c["body"], quote=False),
+                    F.lit("</text>\n   </comment>"),
+                )
             ),
         )
         discussion = _opt(

@@ -13,9 +13,10 @@ Spark-first restatement:
   per-table pg_restore passes — after which everything is distributed:
   ``spark.read.text`` splits each per-table file by HDFS block, so a
   100 TB dump parses with full scan parallelism.
-- COPY framing lines (``COPY ... FROM stdin;``, ``\\.``, SQL noise) are
-  identified by shape, not position, so the filter is order-free and
-  safe under Spark's split-anywhere reads.
+- COPY framing lines (``COPY ... FROM stdin;``, ``\\.``, empty) are
+  identified by EXACT shape, so the filter is order-free and safe under
+  Spark's split-anywhere reads; any other non-data line fails a per-row
+  field-count assert instead of being silently dropped.
 - column reorder happens by parsing the COPY header's column list
   (driver-side peek at the file head) and ``select``-ing fields by name —
   Catalyst prunes unparsed columns.  A ``*`` canonical name means
@@ -64,11 +65,16 @@ COPY_HEADER_RE = re.compile(
     r'^COPY\s+(?:"?[\w$]+"?\.)?"?(?P<table>[\w$]+)"?\s*\((?P<cols>[^)]*)\)\s+FROM\s+stdin;'
 )
 
-#: lines that are COPY framing / SQL noise, never data rows (data rows are
-#: tab-separated values; escaped tabs appear as the 2-char sequence ``\t``).
-_NOISE_RE = (
-    r"^(COPY\s.*FROM stdin;|\\\.|SET\s.*|SELECT\s.*|--.*|ALTER\s.*|"
-    r"CREATE\s.*|GRANT\s.*|REVOKE\s.*|COMMENT\s.*|\s*)$"
+#: EXACT COPY framing lines only — the section header, the ``\\.``
+#: terminator, and empty lines.  Deliberately NOT SQL-keyword shapes: the
+#: per-table streams read_copy_table consumes contain no SQL noise (it is
+#: stripped by split_dump_file), and a shape filter would silently drop a
+#: data row whose first field happens to look like SQL (e.g. an email or a
+#: tag value starting with 'SET ').  Any non-framing line that is not a
+#: valid data row fails the arity assert below instead of vanishing.
+_FRAMING_RE = (
+    r'^(COPY\s+(?:"?[\w$]+"?\.)?"?[\w$]+"?\s*\([^)]*\)\s+FROM\s+stdin;[ \r]*'
+    r"|\\\.|\r?)$"
 )
 
 _ESCAPE_RE = re.compile(r"\\(x[0-9A-Fa-f]{1,2}|[0-7]{1,3}|.)", re.DOTALL)
@@ -169,9 +175,28 @@ def read_copy_table(
     schema, _ = TABLES[table]
     actual = columns or _peek_header(path, table)
 
-    lines = spark.read.text(path).filter(~F.col("value").rlike(_NOISE_RE))
+    lines = spark.read.text(path).filter(~F.col("value").rlike(_FRAMING_RE))
     # split on real tabs only: escaped tabs ride as the 2-char '\t' sequence
-    parts = lines.select(F.split("value", "\t", -1).alias("p"))
+    # -- and fail LOUDLY on arity mismatch (a row with the wrong field
+    # count means corrupt framing, not something to drop silently).
+    n_fields = len(actual)
+    parts = lines.select(
+        F.split("value", "\t", -1).alias("p"), F.col("value")
+    ).select(
+        F.when(F.size("p") == n_fields, F.col("p"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"malformed COPY row for table {table!r} "
+                        f"(expected {n_fields} fields): "
+                    ),
+                    F.col("value"),
+                )
+            )
+        )
+        .alias("p")
+    )
 
     out_cols: list[Column] = []
     for i, field in enumerate(schema.fields):

@@ -122,7 +122,10 @@ def test_sessionization_property(spark):
     for user in range(6):
         t_us = rnd.randrange(0, 10**6)
         for _ in range(rnd.randrange(1, 40)):
-            t_us += rnd.choice([1, 10**6, 1799_999_999, 1800_000_000, 1800_000_001, 5 * 10**9])
+            # 0 = same-us timestamp collision: the (ts, event_id) tie-break
+            # contract shared by the batch window and the streaming
+            # sessionizer must hold through duplicate timestamps
+            t_us += rnd.choice([0, 0, 1, 10**6, 1799_999_999, 1800_000_000, 1800_000_001, 5 * 10**9])
             rows.append((eid, user, t_us))
             eid += 1
     df = spark.createDataFrame(rows, "event_id long, user_id long, us long").select(

@@ -36,12 +36,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_class(dt) -> str:
+    s = str(dt)
+    if s.startswith("datetime64"):
+        # Spark toPandas always yields [ns] even for us-precision values;
+        # resolution is canonicalized before value compare, so not a signal.
+        return "datetime"
+    k = getattr(dt, "kind", "O")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "object")
+
+
 def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     if sorted(a.columns) != sorted(b.columns):
         return [f"columns differ: spark={sorted(a.columns)} oracle={sorted(b.columns)}"]
     if len(a) != len(b):
         return [f"row count differs: spark={len(a)} oracle={len(b)}"]
+    # The driver hashes raw values, so representation differences (HUGEINT ->
+    # object/float, TIMESTAMP_NS vs us) fail there even when values match.
+    for c in sorted(a.columns):
+        ca, cb = dtype_class(a[c].dtype), dtype_class(b[c].dtype)
+        if ca != cb:
+            errs.append(f"col {c}: dtype class differs: spark={a[c].dtype} oracle={b[c].dtype}")
+    if errs:
+        return errs
     a, b = canon(a), canon(b)
     for c in a.columns:
         av, bv = a[c], b[c]
