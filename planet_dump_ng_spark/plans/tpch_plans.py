@@ -180,11 +180,14 @@ def q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Top-k first (TakeOrderedAndProject: per-partition top-k + driver merge),
     # NOT a partition-less row_number over the full aggregate — that plans a
     # single-task global WindowExec, which dies at 100x the per-customer
-    # aggregate.  The rank window then runs over only the <=20 survivors;
-    # partitionBy(lit) keeps it a declared single tiny partition.
+    # aggregate.  The rank window then runs over only the <=20 survivors.
+    # limit() yields a single physical partition, so partitioning the window
+    # by spark_partition_id() is a global rank there — and unlike
+    # partitionBy(lit(0)) it is not constant-folded away, so Spark does not
+    # plan (or warn about) a partition-less WindowExec.
     order = [F.col("revenue").desc(), F.col("c_custkey").asc()]
     top = rev.orderBy(*order).limit(20)
-    w = W.partitionBy(F.lit(0)).orderBy(*order)
+    w = W.partitionBy(F.spark_partition_id()).orderBy(*order)
     return (
         top.withColumn("rnk", F.row_number().over(w))
         .select("c_custkey", "c_name", "n_name", "revenue", "rnk")
