@@ -58,10 +58,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
+    """Full DuckDB replica of the MinHash+LSH candidate pipeline.
+
+    The banding internals ARE SQL-expressible once DuckDB can reproduce
+    Spark's xxhash64 (plans/duck_xxh64.py, byte-exact): shingle hashes are
+    pmod(xxhash64(shingle), P); signatures are 64 min-aggregates with the
+    same deterministic (a, b) permutation constants; bands compare the raw
+    4-value signature slices (Spark equi-joins on xxhash64 of the same
+    comma-joined slice, so equality of keys is identical up to 64-bit hash
+    collisions); candidates are then verified with exact Jaccard >= 0.1,
+    matching operators.dedup.ngram_jaccard_pairs(candidates=...) exactly.
+    """
+    from planet_dump_ng_spark.operators.dedup import _MERSENNE_31, _hash_params
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_pmod_inline
+
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE_31})"
+        for a, b in _hash_params(num_hashes, seed)
+    )
+    hash_expr = xxh64_pmod_inline("s", _MERSENNE_31)
+    return f"""
+    WITH sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    hh AS (SELECT doc_id, {hash_expr} AS h FROM ex),
+    sig AS MATERIALIZED (SELECT doc_id, [{mins}] AS sig FROM hh GROUP BY doc_id),
+    bnd AS (SELECT doc_id, bn,
+                   array_to_string(sig[{rows} * bn + 1 : {rows} * bn + {rows}], ',') AS bk
+            FROM sig, (SELECT unnest(range(0, {bands})) AS bn)),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bnd x JOIN bnd y
+               ON x.bn = y.bn AND x.bk = y.bk AND x.doc_id < y.doc_id)
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.1
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    None,  # banding internals aren't SQL-expressible; verified in tests
-    doc="MinHash(64)+LSH(16 bands) candidates verified with exact Jaccard >= 0.1.",
+    _minhash_lsh_oracle(),
+    doc="MinHash(64)+LSH(16 bands) candidates verified with exact Jaccard >= 0.1; "
+    "oracle replays the banding bit-exactly via a DuckDB xxhash64 replica.",
     tags=("dedup",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,10 +205,51 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle(max_hamming: int = 12, block_bits: int = 8) -> str:
+    """DuckDB replica of the SimHash pipeline (operators.dedup.simhash64).
+
+    The pandas UDF's bit votes ARE SQL-expressible: the token hash is the
+    first 8 md5 bytes big-endian — identical to DuckDB's hex md5 prefix —
+    and the per-bit +/-1 votes become 64 SUM(CASE) aggregates per doc.
+    Tokens carry multiplicity (Python ``str.split``), docs with no tokens
+    hash to 0 via the LEFT JOIN, and blocking/popcount reuse DuckDB's
+    integer ``xor``/``bit_count`` on the unsigned form.
+    """
+    hexv = "strpos('0123456789ABCDEF', substr(m, {j}, 1)) - 1"
+    h_expr = " + ".join(
+        f"({hexv.format(j=j + 1)})::HUGEINT * {16 ** (15 - j)}::HUGEINT"
+        for j in range(16)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {1 << b}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    out = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    ham = "bit_count(xor(CAST(x.u AS UBIGINT), CAST(y.u AS UBIGINT)))"
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    th AS (SELECT doc_id, ({h_expr}) AS h
+           FROM (SELECT doc_id, upper(substr(md5(t), 1, 16)) AS m FROM tok)),
+    votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+    sh0 AS (SELECT doc_id, ({out}) AS u FROM votes),
+    shx AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE(s.u, 0::HUGEINT) AS u,
+             COALESCE(s.u, 0::HUGEINT) // {1 << (64 - block_bits)}::HUGEINT AS blk
+      FROM documents d LEFT JOIN sh0 s USING (doc_id))
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST({ham} AS INT) AS hamming
+    FROM shx x JOIN shx y ON x.blk = y.blk AND x.doc_id < y.doc_id
+    WHERE {ham} <= {max_hamming}
+    """
+
+
 @register(
     "dedup_simhash",
-    None,  # pandas-UDF bit votes aren't SQL-expressible; verified in tests
-    doc="SimHash64 near-dup pairs (hamming <= 12) blocked on top 8 bits.",
+    _simhash_oracle(),
+    doc="SimHash64 near-dup pairs (hamming <= 12) blocked on top 8 bits; "
+    "oracle replays the md5 bit votes as 64 SUM(CASE) aggregates.",
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,10 +53,66 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, queries, k=5)
 
 
+def _lsh_oracle(dim: int = 64, k: int = 5, n_planes: int = 8, n_tables: int = 8,
+                seed: int = 42) -> str:
+    """DuckDB replica of the multi-table hyperplane-LSH ANN.
+
+    The hyperplanes are deterministic (sha256 Box-Muller,
+    operators.similarity._hyperplanes), so they embed as float literals.
+    Only the SIGN of each (vector, plane) dot matters for bucketing: the
+    BLAS matmul in the pandas UDF and DuckDB's left-to-right fold round
+    differently in the last ulp, but a sign flip needs |dot| below the
+    rounding difference (~1e-15 of operand scale) — not observed at any
+    test SF, and the exact-cosine rerank after the bucket join uses the
+    strict fold that is bit-identical across engines.
+    """
+    from planet_dump_ng_spark.operators.similarity import _hyperplanes
+
+    def dot(vec: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"list_zip({vec}, [{lits}]), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+        )
+
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        terms = " + ".join(
+            f"(CASE WHEN {dot('v', planes[b])} >= 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(n_planes)
+        )
+        buckets.append(f"({terms})")
+    bks = "[" + ", ".join(buckets) + "]"
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS MATERIALIZED (SELECT vec_id, v, {bks} AS bks FROM emb),
+    tb AS (SELECT vec_id, v, t.tb AS tbl, bks[t.tb + 1] AS bkt
+           FROM bk, (SELECT unnest(range(0, {n_tables})) AS tb) t),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM tb q JOIN tb c ON q.tbl = c.tbl AND q.bkt = c.bkt
+             WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_DOT.format(a='q.v', b='c.v')}
+               / (sqrt({_DOT.format(a='q.v', b='q.v')})
+                  * sqrt({_DOT.format(a='c.v', b='c.v')})) AS cosine
+      FROM cand
+      JOIN bk q ON q.vec_id = cand.query_id
+      JOIN bk c ON c.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    None,  # approximate by design — recall measured in tests
-    doc="Hyperplane-LSH bucketed cosine top-5 (the 100 TB scale path).",
+    _lsh_oracle(),
+    doc="Hyperplane-LSH bucketed cosine top-5 (the 100 TB scale path); "
+    "oracle replays the deterministic hyperplane buckets as SQL literals.",
     tags=("similarity",),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,11 +121,80 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_cosine_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def _ivf_oracle(dim: int = 64, k: int = 5, n_cells: int = 8, n_probe: int = 3,
+                n_rounds: int = 3) -> str:
+    """DuckDB replica of the IVF pipeline (operators.ivf), Lloyd rounds
+    unrolled as CTEs.
+
+    Every stage is engine-deterministic by construction: the k-means init
+    orders by Spark's xxhash64(vec_id) (hashLong replica), assignments
+    break distance ties on the lower cell id, and the per-cell means use
+    the 1e-12-truncated integer-sum quantization — so three unrolled
+    rounds land on bit-identical centroids and the probe/rerank matches
+    the exact-cosine fold."""
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    dist = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "list_zip({v}, {c}), p -> (p[1] - p[2]) * (p[1] - p[2]))),"
+        " (acc, x) -> acc + x)"
+    )
+    rounds = []
+    for r in range(n_rounds):
+        prev, cur = f"c{r}", f"c{r + 1}"
+        rounds.append(f"""
+    a{r} AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
+        FROM emb e, {prev} c) WHERE rn = 1),
+    m{r} AS (SELECT cell, pos,
+                    CAST(SUM(CAST(trunc(v[pos] * 1e12) AS BIGINT)) AS DOUBLE)
+                      / 1e12 / COUNT(*) AS m
+             FROM a{r}, (SELECT unnest(range(1, {dim + 1})) AS pos)
+             GROUP BY cell, pos),
+    g{r} AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m{r} GROUP BY cell),
+    {cur} AS (SELECT p.cell, COALESCE(g.centroid, p.centroid) AS centroid
+              FROM {prev} p LEFT JOIN g{r} g USING (cell))""")
+    final = f"c{n_rounds}"
+    return f"""
+    WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id, v, ROW_NUMBER() OVER (
+                ORDER BY {xxh64_long_inline('vec_id')}, vec_id) AS rn FROM emb),
+    c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, v AS centroid
+           FROM seeds WHERE rn <= {n_cells}),
+    {','.join(rounds)},
+    corpus AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
+        FROM emb e, {final} c) WHERE rn = 1),
+    probes AS (SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
+        FROM emb e, {final} c WHERE e.vec_id % 100 = 0) WHERE rn <= {n_probe}),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             {_DOT.format(a='p.qv', b='c.cv')}
+               / (sqrt({_DOT.format(a='p.qv', b='p.qv')})
+                  * sqrt({_DOT.format(a='c.cv', b='c.cv')})) AS cosine
+      FROM corpus c JOIN probes p USING (cell)
+      WHERE c.neighbor_id <> p.query_id)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 @register(
     "ann_ivf_topk",
-    None,  # approximate by design — recall measured in tests
+    _ivf_oracle(),
     doc="IVF cosine top-5: mini k-means coarse quantizer, n_probe nearest "
-    "cells per query, exact rerank (the second ANN scale path).",
+    "cells per query, exact rerank (the second ANN scale path); oracle "
+    "unrolls the deterministic Lloyd rounds as CTEs.",
     tags=("similarity", "iterative"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
