@@ -3,20 +3,83 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "pipeline": {"total": N, "phases": {...}}, "sf": ...}
 
 Each query is fully executed with the ``noop`` sink (whole plan runs on
 executors, nothing is collected to the driver), which is the closest local
-analog of a cluster write action.  Only the JSON line goes to stdout; Spark
-chatter stays on stderr.
+analog of a cluster write action.  The ``pipeline`` section times the
+end-to-end OSM dump -> 5 planet outputs run on the reference's
+Liechtenstein fixture, so sink/assembly throughput regressions are visible
+per round, not just query latency.  Only the JSON line goes to stdout;
+Spark chatter stays on stderr.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
+
+_LIECHTENSTEIN = "/root/reference/test/liechtenstein-2013-08-03.dmp"
+
+
+def pipeline_bench(spark, dump: str = _LIECHTENSTEIN,
+                   work: str = "/tmp/pdng-bench") -> dict:
+    """Run the full dump -> planet/history XML + PBF + changesets pipeline,
+    timed per phase.  Returns {"total": sec, "phases": {...}, "input_mb": N};
+    {} if the fixture dump is unavailable."""
+    if not os.path.exists(dump):
+        return {}
+    from planet_dump_ng_spark import pipeline, staging
+    from planet_dump_ng_spark.sources import extract_custom_dump, split_dump_file
+
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    phases: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    src = dump
+    if src.endswith(".dmp"):
+        src = extract_custom_dump(src, os.path.join(work, "extracted.sql"))
+    copy_dir = os.path.join(work, "copy")
+    split_dump_file(src, copy_dir, list(pipeline.ELEMENT_TABLES))
+    phases["extract_split"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    tables = pipeline.load_copy_tables(spark, copy_dir)
+    stage_dir = os.path.join(work, "stage")
+    tables = {
+        t: staging.stage_table(spark, df, stage_dir, t) for t, df in tables.items()
+    }
+    phases["decode_stage"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    frames = pipeline.build_planet(spark, tables)
+    phases["assemble_plan"] = round(time.perf_counter() - t0, 2)
+
+    # one multicast call: the assembled frames persist once and feed all
+    # five sinks (the reference's multi-writer barrier, as .persist())
+    t0 = time.perf_counter()
+    pipeline.write_outputs(
+        frames,
+        [
+            pipeline.OutputSpec(os.path.join(work, "planet.osm.bz2"), "planet"),
+            pipeline.OutputSpec(os.path.join(work, "history.osm.bz2"), "history"),
+            pipeline.OutputSpec(os.path.join(work, "changesets.osm.bz2"), "changesets"),
+            pipeline.OutputSpec(os.path.join(work, "planet.osm.pbf"), "pbf"),
+            pipeline.OutputSpec(os.path.join(work, "history.osm.pbf"), "pbf-history"),
+        ],
+    )
+    phases["emit_5_outputs"] = round(time.perf_counter() - t0, 2)
+
+    return {
+        "total": round(sum(phases.values()), 2),
+        "phases": phases,
+        "input_mb": round(os.path.getsize(src) / 1e6, 1),
+    }
 
 
 def main() -> int:
@@ -44,6 +107,8 @@ def main() -> int:
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    pipe = pipeline_bench(spark)
+
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
     except ValueError:
@@ -55,6 +120,7 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "pipeline": pipe,
                 "sf": sf,
             }
         )

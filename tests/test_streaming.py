@@ -159,3 +159,63 @@ def test_sessionization_property(spark):
             expected[eid_] = sid
             last = t_us
     assert got == expected
+
+
+def test_sessionize_stream_ties_match_batch(spark, tmp_path):
+    """Stream-batch equivalence THROUGH same-microsecond collisions, with a
+    duplicate timestamp straddling a micro-batch boundary.
+
+    The batch plan orders by (ts, event_id); the streaming sessionizer
+    sorts each micro-batch the same way and carries (last_us, session_id)
+    state across batches.  A tie at the boundary must not open a new
+    session (gap 0 <= GAP), and ties inside a batch must assign ids in
+    event_id order — pinned per event, not just per session aggregate."""
+    from pyspark.sql import Window as W
+
+    base = 1_700_000_000_000_000  # us
+    gap = jobs.GAP_US
+    rows = []  # (event_id, user_id, us)
+    for user in range(3):
+        t = base + user  # stagger users off each other
+        evs = [
+            t, t, t,                      # triple collision opens session 1
+            t + gap, t + gap,             # exactly-gap pair: same session
+            t + gap + gap + 1,            # gap exceeded: session 2
+            t + 3 * gap + 2,              # session 3, last event of batch 1
+            t + 3 * gap + 2,              # SAME us, lands in batch 2: still session 3
+            t + 3 * gap + 3,
+            t + 5 * gap,                  # session 4
+        ]
+        rows += [(None, user, us) for us in evs]
+    # event ids in timeline order (ties get consecutive ids)
+    rows = [(i, u, us) for i, (_, u, us) in enumerate(rows)]
+    split = 8  # per-user index where batch 2 begins (the tie twin)
+
+    def write(part, path):
+        df = spark.createDataFrame(
+            part, "event_id long, user_id long, us long"
+        ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    src = str(tmp_path / "src")
+    write([r for r in rows if r[0] % 10 < split], src)
+    write([r for r in rows if r[0] % 10 >= split], src)
+
+    stream = jobs.read_events_stream(spark, src, max_files_per_trigger=1)
+    jobs.run_to_memory(jobs.sessionize_stream(stream), "sess_ties", "append")
+    got = {
+        r.event_id: r.session_id for r in spark.table("sess_ties").collect()
+    }
+
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    batch = df.withColumn(
+        "new_session",
+        F.when(F.col("us") - F.lag("us").over(w) <= gap, F.lit(0)).otherwise(1),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    expected = {r.event_id: r.session_id for r in batch.collect()}
+    assert got == expected
+    assert sorted(set(expected.values())) == [1, 2, 3, 4]
