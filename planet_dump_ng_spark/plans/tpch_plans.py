@@ -435,3 +435,336 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# -- the remaining TPC-H shapes (Q8/Q9/Q11/Q15/Q16/Q20/Q21), adapted to the
+# testdata schema: there is no partsupp table and lineitem carries no
+# receipt/commit dates, so supply-cost terms use p_retailprice, availqty
+# comparisons use the (supplier, part) shipped-quantity history, and
+# "late" means shipped more than 90 days after the order date.
+
+
+@register(
+    "q08_market_share",
+    f"""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS v,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN region r   ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           {DSUM_SQL.format(x="CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END")}
+             / {DSUM_SQL.format(x='v')} AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    doc="National market share (TPC-H Q8 shape): ratio of two decimal-exact "
+    "sums over an 8-table join; every dimension side broadcasts.",
+    tags=("join", "agg", "bench"),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), "n_regionkey")
+    sn = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    v = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            v.alias("v"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(F.lit(0))
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(nat.cast("decimal(38,6)")).cast("double")
+            / F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q09_product_profit",
+    f"""
+    SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {DSUM_SQL.format(
+               x='l.l_extendedprice * (1 - l.l_discount)'
+               ' - p.p_retailprice * l.l_quantity * 0.8')} AS sum_profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%anvil%'
+    GROUP BY nation, o_year
+    """,
+    doc="Product-line profit by nation and year (TPC-H Q9 shape; supply "
+    "cost adapted to p_retailprice — no partsupp table in the testdata).",
+    tags=("join", "agg"),
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").contains("anvil"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.8)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, "sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    WITH pv AS (
+      SELECT l.l_partkey,
+             {DSUM_SQL.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_5'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT {DSUM_SQL.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS t,
+                   COUNT(DISTINCT l.l_partkey) AS np
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_5')
+    SELECT pv.l_partkey AS p_partkey, pv.value
+    FROM pv, tot WHERE pv.value > 2.0 * tot.t / tot.np
+    """,
+    doc="HAVING over a scalar subquery (TPC-H Q11 shape, partsupp value "
+    "adapted to shipped revenue): per-part aggregate filtered against a "
+    "broadcast 1-row global total; the 2x-average threshold is "
+    "scale-invariant, so the query selects rows at every SF.",
+    tags=("join", "agg", "subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    v = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(F.col("l_partkey"), v.alias("v"))
+    )
+    pv = base.groupBy("l_partkey").agg(dsum("v", "value"))
+    tot = base.agg(
+        dsum("v", "t"), F.count_distinct("l_partkey").alias("np")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.lit(2.0) * F.col("t") / F.col("np"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {DSUM_SQL.format(x='l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="Revenue view + scalar-max filter (TPC-H Q15 shape): the max rides "
+    "a broadcast 1-row aggregate; decimal-exact sums make the double "
+    "equality engine-safe.",
+    tags=("join", "agg", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_part_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="Distinct-supplier counts by part attributes (TPC-H Q16 shape, "
+    "supplier-part pairs from lineitem — no partsupp in the testdata).",
+    tags=("join", "agg", "distinct"),
+)
+def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    """
+    WITH pq AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                      THEN l.l_quantity ELSE 0 END) AS q_year,
+             sum(l.l_quantity) AS q_all
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'blue%'
+      GROUP BY l.l_suppkey, l.l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM pq
+                  WHERE pq.l_suppkey = s.s_suppkey AND pq.q_year > 0.5 * pq.q_all)
+    """,
+    doc="Nested semi-join over a correlated quantity aggregate (TPC-H Q20 "
+    "shape; availqty adapted to the (supplier, part) shipment history).",
+    tags=("join", "semi", "subquery"),
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").startswith("blue"))
+    supp = table(spark, sf_dir, "supplier")
+    in_year = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    pq = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_year, F.col("l_quantity")).otherwise(F.lit(0))).alias(
+                "q_year"
+            ),
+            F.sum("l_quantity").alias("q_all"),
+        )
+    )
+    excess = pq.filter(F.col("q_year") > F.lit(0.5) * F.col("q_all"))
+    return supp.join(
+        excess, supp.s_suppkey == excess.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    all_l AS (SELECT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM all_l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+    doc="The only-late-supplier count (TPC-H Q21 shape): semi + anti join "
+    "against the same derived table ('late' = shipped >90 days after the "
+    "order date; the testdata has no receipt/commit dates).",
+    tags=("join", "semi", "anti", "bench"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    others = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    only_late = others.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        only_late.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
