@@ -39,3 +39,33 @@ def train_test_split(
     """Disjoint, reproducible (train, test) split on the key hash."""
     b = _bucket(F.col(key))
     return df.filter(b >= test_fraction), df.filter(b < test_fraction)
+
+
+def xxhash_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment on the JVM-side xxhash64.
+
+    The md5 path above is the portable flavor; this is the fast path — one
+    codegen'd hash per row, no string conversion.  The key hashes into
+    ``buckets`` equal slots and consecutive fraction ranges map to split
+    labels, so membership is content-stable: re-running, repartitioning,
+    or appending rows never reassigns an existing key, and enlarging a
+    fraction only ever MOVES the boundary (a grown train split absorbs
+    rows from val, never swaps members) — the superset-stability property
+    training pipelines rely on.  Adds columns (bucket, split).
+    """
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(buckets))
+    edge = 0.0
+    expr = None
+    for name, frac in fractions.items():
+        edge += frac
+        cond = bucket < int(round(edge * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert abs(edge - 1.0) < 1e-9, "fractions must sum to 1"
+    return df.withColumn("bucket", bucket).withColumn(
+        "split", expr.otherwise(list(fractions)[-1])
+    )

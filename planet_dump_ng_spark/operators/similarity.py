@@ -199,3 +199,25 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def quantize_int8(
+    vec: Column, scale_out: str = "scale", q_out: str = "q"
+) -> list[Column]:
+    """Symmetric int8 quantization of a float vector (the storage-side
+    operator a 100 TB embedding store runs before indexing: 4x smaller,
+    SIMD-dottable).  scale = max |x|; q_i = trunc(x_i / scale * 127).
+
+    Truncation (not rounding) keeps both engines bit-identical — double
+    HALF_UP vs HALF_EVEN rounding diverges on exact .5 products, which
+    float32-expanded doubles routinely produce.  All-zero vectors keep
+    scale 0 and quantize to zeros (no 0/0 NaN).
+    """
+    x = F.transform(vec, lambda v: F.abs(v.cast("double")))
+    scale = F.array_max(x)
+    q = F.when(scale == 0, F.transform(vec, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            vec, lambda v: (v.cast("double") / scale * 127).cast("int")
+        )
+    )
+    return [scale.alias(scale_out), q.alias(q_out)]

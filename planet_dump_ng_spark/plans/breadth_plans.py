@@ -378,3 +378,34 @@ def exact_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
         .select("event_type", F.col("value").alias("lower_median"))
     )
+
+
+def _dataset_split_oracle() -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    h = xxh64_long_inline("doc_id")
+    return f"""
+    SELECT doc_id, source, bucket,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source, (({h}) % 10000 + 10000) % 10000 AS bucket
+          FROM documents)
+    """
+
+
+@register(
+    "dataset_split",
+    _dataset_split_oracle(),
+    doc="Deterministic 80/10/10 train/val/test assignment on the JVM-side "
+    "xxhash64 (operators.sampling.xxhash_split): content-stable buckets, "
+    "superset-stable boundaries; oracle replays Spark's hashLong in SQL.",
+    tags=("sampling",),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.sampling import xxhash_split
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return xxhash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "source", "bucket", "split")

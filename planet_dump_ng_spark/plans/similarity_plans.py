@@ -203,3 +203,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_cosine_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=3)
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding::DOUBLE[], x -> 0)
+                ELSE list_transform(embedding::DOUBLE[],
+                                    x -> CAST(trunc(x / scale * 127) AS INT))
+           END AS q
+    FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+          FROM embeddings)
+    """,
+    doc="Symmetric int8 embedding quantization (trunc keeps engines "
+    "bit-identical; see operators.similarity.quantize_int8): the "
+    "storage-side compaction step before ANN indexing at scale.",
+    tags=("similarity",),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.similarity import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", *quantize_int8(F.col("embedding")))

@@ -144,3 +144,39 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, source string, lang string, text string, n_chars bigint"
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a documents parquet directory (the local
+    stand-in for an ingest bus feeding the training-data pipeline)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST document seen per
+    canonical fingerprint (operators.text.fingerprint — same whitespace
+    normalization as the batch dedup, so the survivor-set semantics line
+    up when arrival order follows doc_id).
+
+    State is one row per distinct fingerprint.  On a real unbounded run,
+    add ``.withWatermark`` on an event-time column so Spark can expire
+    state; for the training-ingest shape (bounded backfills, daily
+    drops), the unbounded-state form is exactly the semantics wanted:
+    a document that arrived months ago must still suppress today's copy.
+    At cluster scale the state store shuffles on the fingerprint — the
+    same single-shuffle layout as the batch groupBy.
+    """
+    from planet_dump_ng_spark.operators.text import fingerprint
+
+    return docs.withColumn("fp", fingerprint("text")).dropDuplicates(["fp"])

@@ -219,3 +219,30 @@ def test_sessionize_stream_ties_match_batch(spark, tmp_path):
     expected = {r.event_id: r.session_id for r in batch.collect()}
     assert got == expected
     assert sorted(set(expected.values())) == [1, 2, 3, 4]
+
+
+def test_dedup_stream_matches_batch_survivors(spark, sf_dir, tmp_path):
+    """Streaming exact dedup (dropDuplicates state) equals the batch
+    survivor set when arrival order follows doc_id — the ingest-backfill
+    contract: first arrival per canonical fingerprint survives, every
+    later copy (also across micro-batches) is suppressed."""
+    from planet_dump_ng_spark.operators.dedup import dedup_keep_first
+
+    docs = table(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "docs")
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+    # two time-ordered file drops: dups whose survivor landed in drop 1
+    # must still be suppressed when their copy arrives in drop 2
+    docs.select(cols).filter(F.col("doc_id") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.select(cols).filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = jobs.read_documents_stream(spark, src, max_files_per_trigger=1)
+    jobs.run_to_memory(jobs.dedup_stream(stream), "dedup_mem", "append")
+    got = {r.doc_id for r in spark.table("dedup_mem").collect()}
+    expected = {r.doc_id for r in dedup_keep_first(docs).collect()}
+    assert got == expected
