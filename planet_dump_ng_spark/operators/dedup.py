@@ -367,3 +367,44 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -- benchmark contamination ---------------------------------------------------
+
+
+def containment_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination scan: (train doc, benchmark doc) pairs where
+    the train doc contains >= ``threshold`` of the benchmark doc's distinct
+    k-token shingles (the standard eval-leakage containment metric —
+    asymmetric, unlike Jaccard: a long train doc fully swallowing a short
+    eval item scores 1.0 either way).
+
+    Plan: inverted-index equi-join on the shingle value with the benchmark
+    side broadcast (eval suites are small by contract — thousands of items
+    vs a 100 TB corpus), so the corpus is scanned once, map-side, with no
+    corpus shuffle at all; only the per-pair count aggregation shuffles,
+    and its key space is bounded by |matches|, not |corpus|.
+    """
+    c = corpus.select(F.col(id_col).alias("train_id"), shingles(text_col, k).alias("sh"))
+    b = bench.select(F.col(id_col).alias("bench_id"), shingles(text_col, k).alias("bsh"))
+    cex = c.select("train_id", F.explode("sh").alias("s"))
+    bex = b.select("bench_id", F.size("bsh").alias("bsz"), F.explode("bsh").alias("s"))
+    return (
+        cex.join(F.broadcast(bex), "s")
+        .filter(F.col("train_id") != F.col("bench_id"))
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("common"), F.first("bsz").alias("bsz"))
+        .select(
+            "train_id",
+            "bench_id",
+            (F.col("common").cast("double") / F.col("bsz")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -10,6 +10,13 @@ from planet_dump_ng_spark.plans.registry import register, table
 
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
+# distinct 3-token shingles (same fallback semantics as operators.dedup.shingles)
+_SHINGLES = (
+    "list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS}) - 2, 1) + 1), "
+    f"i -> array_to_string(({_TOKS})[i:i+2], ' ')))"
+)
+
 
 def _hits_sql(words: tuple[str, ...]) -> str:
     wl = ", ".join(f"'{w}'" for w in words)
@@ -99,3 +106,27 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents").select(
         "doc_id", tx.fingerprint("text").alias("fp")
     )
+
+
+@register(
+    "contamination_check",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    bench AS (SELECT doc_id AS bench_id, sh AS bsh FROM sh WHERE doc_id % 20 = 0)
+    SELECT s.doc_id AS train_id, b.bench_id,
+           len(list_intersect(s.sh, b.bsh))::DOUBLE / len(b.bsh) AS containment
+    FROM sh s, bench b
+    WHERE s.doc_id <> b.bench_id
+      AND len(list_intersect(s.sh, b.bsh))::DOUBLE / len(b.bsh) >= 0.1
+    """,
+    doc="Eval-leakage scan (operators.dedup.containment_pairs): train docs "
+    "containing >= 10% of a benchmark doc's distinct 3-token shingles, via "
+    "a broadcast inverted-index join — no corpus shuffle.",
+    tags=("text", "dedup"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.dedup import containment_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return containment_pairs(docs, bench, k=3, threshold=0.1)
