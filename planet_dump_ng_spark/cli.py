@@ -9,8 +9,11 @@ Differences from the reference, by design:
 - ``--dump-file`` takes a PLAIN-format dump (``pg_restore -f -`` output);
   pg_restore against the custom format is one subprocess away and kept
   outside the engine.
-- ``--compress-command`` is unnecessary: .bz2 outputs are compressed
-  cluster-parallel by the XML sink; plain paths skip compression.
+- ``--compress-command`` is accepted for drop-in compatibility but only
+  its default (bzip2) semantics are honored: .bz2 outputs are compressed
+  cluster-parallel by the XML sink — no executor shells out, so an
+  arbitrary compressor command cannot run and is rejected loudly rather
+  than silently producing differently-encoded files.
 - ``--max-concurrency`` maps to shuffle partitions (the Spark analog of
   per-table sort threads).
 - ``--resume`` reuses the staged per-table parquet (operator S9) instead
@@ -81,7 +84,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--meta-file", "-M", help="data metainfo configuration file (key=value)"
     )
+    p.add_argument(
+        "--compress-command",
+        "-c",
+        default="bzip2 -c",
+        help="compression filter (reference planet-dump.cpp:34-35); only "
+        "bzip2 is honored — compression runs cluster-parallel in the sink, "
+        "not through a shell",
+    )
     return p
+
+
+def check_compress_command(cmd: str) -> None:
+    """Reject non-bzip2 compressors instead of silently mis-encoding.
+
+    The reference pipes every XML writer through an arbitrary shell
+    command; this engine compresses inside the executors (parallel
+    multistream bz2), so only the reference's default semantics exist."""
+    prog = (cmd or "").strip().split()
+    if not prog or prog[0].rsplit("/", 1)[-1] not in ("bzip2", "pbzip2", "lbzip2"):
+        raise SystemExit(
+            f"--compress-command {cmd!r} is not supported: compression is "
+            "cluster-parallel bzip2 inside the sink (no shell); use bzip2 "
+            "or emit an uncompressed path and recompress downstream"
+        )
 
 
 def _parse_bool(s: str) -> bool:
@@ -157,6 +183,7 @@ def outputs_from_args(args: argparse.Namespace) -> list[pipeline.OutputSpec]:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    check_compress_command(args.compress_command)
     outputs = outputs_from_args(args)
     if not outputs:
         print("at least one output flag is required", file=sys.stderr)

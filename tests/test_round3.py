@@ -224,3 +224,21 @@ def test_pbf_strict_changeset_check(spark, node_frames, tmp_path):
     got = pbf_sink.read_pbf(str(tmp_path / "a.pbf"))
     # current view: node 1's latest version is a delete -> only node 2 remains
     assert [n[0] for n in got["nodes"]] == [2]
+
+
+def test_compress_command_accepts_bzip2_rejects_others():
+    """--compress-command drop-in surface: the reference's default (and
+    bzip2 variants) pass; arbitrary shell compressors are rejected loudly
+    (compression is cluster-parallel in the sink, no shell exists)."""
+    import pytest
+
+    from planet_dump_ng_spark.cli import build_parser, check_compress_command
+
+    assert build_parser().parse_args(
+        ["--dump-file", "x.sql", "--xml", "o.bz2"]
+    ).compress_command == "bzip2 -c"
+    for ok in ("bzip2 -c", "pbzip2", "/usr/bin/lbzip2 -9 -c"):
+        check_compress_command(ok)
+    for bad in ("gzip -c", "xz", "", "zstd -T0"):
+        with pytest.raises(SystemExit):
+            check_compress_command(bad)
