@@ -409,3 +409,164 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xxhash_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "source", "bucket", "split")
+
+
+@register(
+    "window_frame_matrix",
+    """
+    SELECT event_id, event_type, value,
+           lag(value, 1, -1.0) OVER w AS prev_v,
+           lead(value, 2, -2.0) OVER w AS next2_v,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER (PARTITION BY event_type ORDER BY value, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+           nth_value(value, 3) OVER (PARTITION BY event_type ORDER BY value, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_v,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3_sum,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS run_sum
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    doc="Frame-clause window matrix: lag/lead with defaults, "
+    "first/last/nth_value over explicit full frames, rows-frame rolling "
+    "sum and range-frame running sum (decimal-exact, engine-stable).",
+    tags=("window",),
+)
+def window_frame_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    dec = F.col("value").cast("decimal(38,6)")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("value", 1, -1.0).over(w).alias("prev_v"),
+        F.lead("value", 2, -2.0).over(w).alias("next2_v"),
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(full).alias("last_v"),
+        F.nth_value("value", 3).over(full).alias("third_v"),
+        F.sum(dec).over(w.rowsBetween(-2, 0)).cast("double").alias("roll3_sum"),
+        F.sum(dec)
+        .over(w.rangeBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("run_sum"),
+    )
+
+
+@register(
+    "string_function_matrix",
+    """
+    SELECT doc_id,
+           length(source) AS src_len,
+           upper(source) AS src_up,
+           substr(source, 2, 3) AS src_mid,
+           concat_ws('|', source, lang) AS joined,
+           lpad(lang, 6, '_') AS lang_pad,
+           replace(source, 'a', '@') AS src_repl,
+           translate(source, 'aeiou', '12345') AS src_tr,
+           split_part(concat_ws('-', source, lang), '-', 2) AS part2,
+           reverse(lang) AS lang_rev,
+           strpos(source, 'b') AS b_at,
+           CAST(levenshtein(source, lang) AS INT) AS lev,
+           left(source, 2) AS src_l2,
+           right(source, 2) AS src_r2,
+           repeat(lang, 2) AS lang2,
+           ascii(source) AS src_ascii
+    FROM documents
+    """,
+    doc="Scalar string surface: pad/translate/split_part/levenshtein/... — "
+    "the Spark builtins against DuckDB's same-named functions.",
+    tags=("scalar",),
+)
+def string_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    src, lang = F.col("source"), F.col("lang")
+    return d.select(
+        "doc_id",
+        F.length(src).alias("src_len"),
+        F.upper(src).alias("src_up"),
+        F.substring(src, 2, 3).alias("src_mid"),
+        F.concat_ws("|", src, lang).alias("joined"),
+        F.lpad(lang, 6, "_").alias("lang_pad"),
+        F.replace(src, F.lit("a"), F.lit("@")).alias("src_repl"),
+        F.translate(src, "aeiou", "12345").alias("src_tr"),
+        F.split_part(F.concat_ws("-", src, lang), F.lit("-"), F.lit(2)).alias(
+            "part2"
+        ),
+        F.reverse(lang).alias("lang_rev"),
+        F.instr(src, "b").alias("b_at"),
+        F.levenshtein(src, lang).cast("int").alias("lev"),
+        F.substring(src, 1, 2).alias("src_l2"),
+        src.substr(F.length(src) - 1, F.lit(2)).alias("src_r2"),
+        F.repeat(lang, 2).alias("lang2"),
+        F.ascii(src).alias("src_ascii"),
+    )
+
+
+@register(
+    "stat_moments",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(event_id % 1000 AS DOUBLE) AS DECIMAL(38,6)))
+               AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value * CAST(event_id % 1000 AS DOUBLE)
+               AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(CAST(event_id % 1000 AS DOUBLE)
+               * CAST(event_id % 1000 AS DOUBLE) AS DECIMAL(38,6)))
+               AS DOUBLE) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           sx / n AS mean_v,
+           (sxx - sx * sx / n) / (n - 1) AS var_v,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS std_v,
+           (sxy - sx * sy / n) / (n - 1) AS covar_vy,
+           ((sxy - sx * sy / n) / (n - 1))
+             / (sqrt((sxx - sx * sx / n) / (n - 1))
+                * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_vy
+    FROM s
+    """,
+    doc="Statistical aggregates the scale-safe way: var/std/covar/corr "
+    "derived from decimal-exact moment sums in a fixed double expression "
+    "tree — order-independent where the builtin float aggregates are not.",
+    tags=("agg", "scalar"),
+)
+def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    x = F.col("value")
+    y = (F.col("event_id") % 1000).cast("double")
+
+    def dsumd(c, a):
+        return F.sum(c.cast("decimal(38,6)")).cast("double").alias(a)
+
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsumd(x, "sx"),
+        dsumd(x * x, "sxx"),
+        dsumd(y, "sy"),
+        dsumd(x * y, "sxy"),
+        dsumd(y * y, "syy"),
+    )
+    n, sx, sxx, sy, sxy, syy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "sxy", "syy"])
+    var_v = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return s.select(
+        "event_type",
+        "n",
+        (sx / n).alias("mean_v"),
+        var_v.alias("var_v"),
+        F.sqrt(var_v).alias("std_v"),
+        cov.alias("covar_vy"),
+        (cov / (F.sqrt(var_v) * F.sqrt(var_y))).alias("corr_vy"),
+    )
