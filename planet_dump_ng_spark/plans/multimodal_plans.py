@@ -1,8 +1,10 @@
 """Multimodal pipeline entries.  The decode step is a deterministic stub
-(operators.multimodal) whose outputs depend on sha256 of the payload —
-not SQL-expressible, so these register rows-only (the driver's weaker
-check); tests/test_multimodal.py pins exact values against a pure-Python
-reference."""
+(operators.multimodal) whose outputs derive from sha256 of the payload;
+DuckDB has sha256 too, so even the stub path is fully oracle-checked —
+the hash-match proves the mapInPandas plumbing (batch shape, schema,
+frame explode) end-to-end, while the decoder body stays an honestly
+marked fake.  tests/test_multimodal.py additionally pins exact values
+against a pure-Python reference."""
 
 from __future__ import annotations
 
@@ -11,12 +13,39 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from planet_dump_ng_spark.operators import multimodal as mm
 from planet_dump_ng_spark.plans.registry import register, table
 
+_FMT = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'png' "
+    "WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'mp4' END"
+)
+
+
+def _hex_byte(i: int) -> str:
+    """Value of byte ``i`` (0-based) of the hex digest column ``h``."""
+    return (
+        f"(strpos('0123456789ABCDEF', substr(h, {2 * i + 1}, 1)) * 16"
+        f" + strpos('0123456789ABCDEF', substr(h, {2 * i + 2}, 1)) - 17)"
+    )
+
+
+#: replica of operators.multimodal._fake_decode over DuckDB's sha256
+_META_SQL = f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           {_FMT} AS format,
+           CAST(16 + {_hex_byte(0)} % 240 AS INT) AS width,
+           CAST(16 + {_hex_byte(1)} % 240 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1
+                     ELSE 1 + {_hex_byte(2)} % 120 END AS INT) AS n_frames
+    FROM (SELECT doc_id, text, upper(sha256(text)) AS h FROM documents)
+"""
+
 
 @register(
     "multimodal_image_meta",
-    None,  # sha256-derived stub decode is not SQL-expressible
+    _META_SQL,
     doc="Binary payload -> mapInPandas decode -> typed metadata (stubbed "
-    "decoder, real Arrow plumbing).",
+    "decoder, real Arrow plumbing); the oracle replays the sha256-derived "
+    "stub, hash-checking the whole decode path.",
     tags=("multimodal",),
 )
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,8 +55,15 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    None,
-    doc="Frame sampling explode over decoded video metadata.",
+    f"""
+    WITH meta AS ({_META_SQL})
+    SELECT doc_id, format,
+           unnest(list_transform(range(0, n_frames, 30), x -> CAST(x AS INT)))
+             AS frame_idx
+    FROM meta WHERE n_frames > 1
+    """,
+    doc="Frame sampling explode over decoded video metadata (one row per "
+    "sampled frame index).",
     tags=("multimodal",),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
