@@ -1,6 +1,7 @@
-"""Deduplication queries over ``documents`` (oracle-checked where the
-semantics are SQL-expressible; LSH/SimHash internals get rows-only checks
-plus property tests in tests/test_dedup.py)."""
+"""Deduplication queries over ``documents`` — every entry is fully
+oracle-checked: the LSH banding replays through the DuckDB xxhash64
+replica (plans/duck_xxh64.py), SimHash through md5 bit-vote aggregates;
+property tests in tests/test_dedup.py pin the operators besides."""
 
 from __future__ import annotations
 

@@ -3,7 +3,8 @@
 Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
 equivalent ANSI-SQL string a DuckDB oracle can run over the same parquet
 tables.  Ops whose semantics are not SQL-expressible (stateful streaming,
-LSH banding internals) register ``oracle=None`` and get a rows-only check.
+no SQL equivalent) may register ``oracle=None`` for a rows-only check;
+as of round 3 every registered query carries a full oracle.
 
 Determinism rules (the driver hash-compares values):
 - every computed column is aliased identically on both sides;

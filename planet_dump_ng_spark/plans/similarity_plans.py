@@ -1,8 +1,9 @@
 """Similarity-search queries over ``embeddings`` (array<float>).
 
-The exact brute-force top-k is oracle-checked against DuckDB computing the
-identical decimal-exact cosine; the LSH variant is approximate by design
-(rows-only check + recall test in tests/test_similarity.py)."""
+All fully oracle-checked: the brute-force top-k against the identical
+decimal-exact cosine, the LSH variant against its deterministic
+hyperplanes embedded as SQL literals, IVF against unrolled Lloyd-round
+CTEs; recall vs the exact baseline is pinned in tests/test_similarity.py."""
 
 from __future__ import annotations
 
