@@ -101,3 +101,28 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.length("payload")).cast("bigint").alias("max_bytes"),
         )
     )
+
+
+@register(
+    "multimodal_resize_meta",
+    f"""
+    WITH meta AS ({_META_SQL})
+    SELECT doc_id, format, width, height,
+           CAST(greatest(1, floor(width * least(1.0, 64.0 / greatest(width, height))))
+             AS INT) AS out_width,
+           CAST(greatest(1, floor(height * least(1.0, 64.0 / greatest(width, height))))
+             AS INT) AS out_height
+    FROM meta
+    """,
+    doc="Aspect-preserving resize at the metadata level "
+    "(operators.multimodal.resize_meta): the scaled dimensions the real "
+    "resizer would produce; the double scale factor and floor are "
+    "engine-exact.",
+    tags=("multimodal",),
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    meta = mm.decode_image_meta(mm.attach_binary_payload(docs))
+    return mm.resize_meta(meta, max_side=64).select(
+        "doc_id", "format", "width", "height", "out_width", "out_height"
+    )

@@ -246,3 +246,63 @@ def test_dedup_stream_matches_batch_survivors(spark, sf_dir, tmp_path):
     got = {r.doc_id for r in spark.table("dedup_mem").collect()}
     expected = {r.doc_id for r in dedup_keep_first(docs).collect()}
     assert got == expected
+
+
+def test_hourly_rollup_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics pinned: a row arriving in a later run, after the
+    committed watermark passed its window, is DROPPED — the closed hour-0
+    window emits exactly its on-time aggregate and the late value=100 row
+    never reaches it.  (Two availableNow runs against one checkpoint: the
+    second starts from the committed watermark, the shape production
+    incremental jobs use; within a single run Spark's late filter lags one
+    micro-batch by design.)"""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, value=1.0):
+        return Row(
+            event_id=eid,
+            ts=base + dt.timedelta(minutes=minutes),
+            user_id=1,
+            event_type="click",
+            value=value,
+            props="{}",
+        )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = jobs.read_events_stream(spark, src, max_files_per_trigger=64)
+        q = (
+            jobs.hourly_rollup_stream(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two on-time rows in hour 0 + one in hour 3 -> committed
+    # watermark 01:30, past hour-0's end
+    spark.createDataFrame(
+        [ev(1, 10), ev(2, 20, value=2.0), ev(3, 210)], jobs.EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # run 2: a LATE hour-0 row, beyond the watermark -> dropped
+    spark.createDataFrame([ev(4, 30, value=100.0)], jobs.EVENTS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+
+    rows = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {(base, "click"): (2, 3.0)}
