@@ -1,0 +1,102 @@
+"""Plan-quality regression gate over EVERY registry query.
+
+Correctness says what a query returns; these invariants say whether the
+plan would survive 100x the data.  Each new query automatically inherits
+the audit, so a scale anti-pattern (the round-2 partition-less rank
+window, a filter that stops pushing, an accidental cartesian join) fails
+CI instead of surfacing as a bench regression three rounds later."""
+
+import re
+
+import pytest
+
+from planet_dump_ng_spark import plans
+
+plans.load_all()
+
+#: queries whose contract documents a deliberate broadcast nested-loop
+#: (small-side-broadcast crossJoin of a 1-row aggregate or query set) —
+#: broadcast NLJ is fine; what the audit forbids is CartesianProduct,
+#: the non-broadcast physical fallback.
+_QUERIES = sorted(plans.QUERIES)
+
+
+@pytest.fixture(scope="module")
+def plans_text(spark, sf_dir):
+    """(optimized logical, executed physical) tree strings per query."""
+    out = {}
+    for name in _QUERIES:
+        df = plans.QUERIES[name].spark(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        out[name] = (qe.optimizedPlan().toString(), qe.executedPlan().toString())
+    return out
+
+
+def _split_top_level(args: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in args:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _window_partition_specs(logical: str) -> list[str]:
+    """Partition-expression section of every windowspecdefinition: the
+    top-level args before the ordering args (which carry ASC/DESC) and
+    the frame arg.  Parsed with balanced parens — the spec nests
+    specifiedwindowframe(...), so a greedy-to-first-paren regex would
+    truncate and mistake frame internals for partition exprs."""
+    specs = []
+    for m in re.finditer(r"windowspecdefinition\(", logical):
+        start = m.end()
+        depth, i = 1, start
+        while depth and i < len(logical):
+            if logical[i] == "(":
+                depth += 1
+            elif logical[i] == ")":
+                depth -= 1
+            i += 1
+        args = _split_top_level(logical[start : i - 1])
+        part = [
+            a
+            for a in args
+            if " ASC" not in a
+            and " DESC" not in a
+            and not a.startswith("specifiedwindowframe")
+        ]
+        specs.append(", ".join(part))
+    return specs
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_no_cartesian_product(name, plans_text):
+    """A CartesianProduct node is the non-broadcast O(n*m) fallback — at
+    scale it means a full shuffle-nested-loop.  Broadcast nested loop
+    (small side by contract) is allowed; true cartesian is not."""
+    _, physical = plans_text[name]
+    assert "CartesianProduct" not in physical, (
+        f"{name} plans a CartesianProduct; broadcast the small side or "
+        "add an equi-join key"
+    )
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_no_global_window(name, plans_text):
+    """Every window function must declare a partition spec: a partition-
+    less window moves ALL rows to one task (the round-2 q10 anti-pattern).
+    spark_partition_id() over a post-limit single partition counts — the
+    point is that the spec is non-empty and non-constant-folded."""
+    logical, _ = plans_text[name]
+    for spec in _window_partition_specs(logical):
+        assert spec.strip(), (
+            f"{name} plans a partition-less window (single-task at scale)"
+        )
