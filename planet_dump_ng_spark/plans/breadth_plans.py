@@ -570,3 +570,98 @@ def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov.alias("covar_vy"),
         (cov / (F.sqrt(var_v) * F.sqrt(var_y))).alias("corr_vy"),
     )
+
+
+@register(
+    "array_function_matrix",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                        AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           list_sort(list_distinct(toks)) AS uniq_sorted,
+           toks[2:4] AS mid3,
+           list_contains(toks, 'the') AS has_the,
+           CAST(list_position(toks, 'table') AS INT) AS table_at,
+           list_sort(list_filter(toks, x -> length(x) > 4)) AS long_toks,
+           list_transform(toks[1:2], x -> upper(x)) AS head_up,
+           list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                       (a, b) -> a + b) AS char_sum,
+           len(list_filter(toks, x -> x = 'spark')) > 0 AS any_spark,
+           flatten([toks[1:1], toks[1:1]]) AS first_twice
+    FROM t
+    """,
+    doc="Array/higher-order surface: sort/distinct/slice/contains/position/"
+    "filter/transform/aggregate/exists/flatten over token arrays — Spark "
+    "builtins vs DuckDB list_* (string payloads keep every comparison "
+    "byte-exact; distinct is order-canonicalized by the sort).",
+    tags=("array", "scalar"),
+)
+def array_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = d.select("doc_id", toks.alias("toks"))
+    tk = F.col("toks")
+    return t.select(
+        "doc_id",
+        F.size(tk).alias("n_toks"),
+        F.array_sort(F.array_distinct(tk)).alias("uniq_sorted"),
+        F.slice(tk, 2, 3).alias("mid3"),
+        F.array_contains(tk, "the").alias("has_the"),
+        F.array_position(tk, "table").cast("int").alias("table_at"),
+        F.array_sort(F.filter(tk, lambda x: F.length(x) > 4)).alias("long_toks"),
+        F.transform(F.slice(tk, 1, 2), lambda x: F.upper(x)).alias("head_up"),
+        F.aggregate(
+            tk, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("char_sum"),
+        F.exists(tk, lambda x: x == "spark").alias("any_spark"),
+        F.flatten(F.array(F.slice(tk, 1, 1), F.slice(tk, 1, 1))).alias(
+            "first_twice"
+        ),
+    )
+
+
+@register(
+    "date_function_matrix",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           o_orderdate + INTERVAL 3 MONTH AS plus3m,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+             AS INT) AS days_since_95,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           -- Spark dayofweek is 1-based from Sunday; DuckDB 0-based
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+    doc="Temporal scalar surface: trunc granularities, month-clamped "
+    "interval arithmetic, day diffs, last_day, dow/quarter/doy, epoch "
+    "seconds — with the documented engine skews (dayofweek base, "
+    "DATE-vs-TIMESTAMP trunc, rounding epoch) normalized in the oracle.",
+    tags=("temporal", "scalar"),
+)
+def date_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_trunc("week", d).alias("week_start"),
+        (d + F.expr("INTERVAL 3 MONTHS")).alias("plus3m"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.unix_timestamp(d).alias("epoch_s"),
+    )
