@@ -29,6 +29,20 @@ from planet_dump_ng_spark.operators.text import fingerprint, tokens
 _MERSENNE_31 = (1 << 31) - 1
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Decouple CPU-dense derivation parallelism from input file layout.
+
+    Tokenize+shingle+hash is compute-bound: a corpus that arrives as a
+    few small files plans a few scan partitions and strands the rest of
+    the cluster.  When the scan has fewer partitions than the default
+    parallelism, round-robin the (tiny) raw rows across it; when the
+    input is already wide — the 100 TB case, ~one partition per 128 MB
+    split — this is a no-op, so the big corpus never pays a shuffle.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 # -- exact dedup --------------------------------------------------------------
 
 
@@ -146,7 +160,7 @@ def minhash_signatures_df(
     agg, one shuffle on id).  ~60x faster at num_hashes=64 and the only
     shape that survives planet-scale corpora.
     """
-    ex = df.select(
+    ex = spread_small_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes(text_col, k)).alias("h"),
     )
@@ -256,7 +270,7 @@ def ngram_jaccard_pairs(
       plan that survives 100 TB.  Requires threshold > 0.  Ubiquitous
       shingles are the skew risk: AQE skew-join splits those groups.
     """
-    docs = df.select(
+    docs = spread_small_input(df).select(
         F.col(id_col).alias("id"),
         shingles(text_col, k).alias("sh"),
         *([F.col(block_col).alias("blk")] if block_col else []),
@@ -353,7 +367,9 @@ def simhash_pairs(
     always agree there), equi-join within blocks, then exact popcount
     filter — the same band-then-verify shape as MinHash LSH.
     """
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sh = spread_small_input(df).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
     blocked = sh.withColumn("blk", F.shiftrightunsigned("sh", 64 - block_bits))
     a, b = blocked.alias("a"), blocked.alias("b")
     xor = F.expr("a.sh ^ b.sh")
@@ -392,7 +408,9 @@ def containment_pairs(
     corpus shuffle at all; only the per-pair count aggregation shuffles,
     and its key space is bounded by |matches|, not |corpus|.
     """
-    c = corpus.select(F.col(id_col).alias("train_id"), shingles(text_col, k).alias("sh"))
+    c = spread_small_input(corpus).select(
+        F.col(id_col).alias("train_id"), shingles(text_col, k).alias("sh")
+    )
     b = bench.select(F.col(id_col).alias("bench_id"), shingles(text_col, k).alias("bsh"))
     cex = c.select("train_id", F.explode("sh").alias("s"))
     bex = b.select("bench_id", F.size("bsh").alias("bsz"), F.explode("bsh").alias("s"))
