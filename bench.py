@@ -51,9 +51,17 @@ def pipeline_bench(spark, dump: str = _LIECHTENSTEIN,
     t0 = time.perf_counter()
     tables = pipeline.load_copy_tables(spark, copy_dir)
     stage_dir = os.path.join(work, "stage")
-    tables = {
-        t: staging.stage_table(spark, df, stage_dir, t) for t, df in tables.items()
-    }
+    # stage concurrently, as run_dump does — the per-table decode jobs are
+    # independent and local tables are small, so job-launch overhead
+    # dominates a sequential loop
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        futs = {
+            t: pool.submit(staging.stage_table, spark, df, stage_dir, t)
+            for t, df in tables.items()
+        }
+        tables = {t: f.result() for t, f in futs.items()}
     phases["decode_stage"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
