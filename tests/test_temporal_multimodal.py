@@ -187,10 +187,14 @@ def test_materialize_splits_roundtrip(spark, sf_dir, tmp_path):
 
     val = read_split(spark, out, "val")
     assert val.count() == manifest["val"][0]
-    # partition pruning: the val read plans ONLY split=val files — the
-    # train split's data is never listed, let alone read
-    files = val.inputFiles()
-    assert files and all("split=val" in f for f in files)
+    # partition pruning: the split predicate reaches the scan's
+    # PartitionFilters, so only split=val directories are read
+    # (inputFiles() would list the whole unfiltered relation)
+    import re
+
+    plan = val._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf and "= val)" in pf.group(0), pf
     # determinism: a second write produces identical per-split row sets
     out2 = str(tmp_path / "ds2")
     materialize_splits(docs, out2, "doc_id").collect()
