@@ -665,3 +665,62 @@ def date_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear(d).cast("int").alias("doy"),
         F.unix_timestamp(d).alias("epoch_s"),
     )
+
+
+def _split_manifest_oracle() -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    h = xxh64_long_inline("doc_id")
+    return f"""
+    SELECT split, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_ids
+    FROM (SELECT doc_id,
+                 CASE WHEN bucket < 8000 THEN 'train'
+                      WHEN bucket < 9000 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, (({h}) % 10000 + 10000) % 10000 AS bucket
+                FROM documents))
+    GROUP BY split
+    """
+
+
+@register(
+    "dataset_split_manifest",
+    _split_manifest_oracle(),
+    doc="Per-split manifest of the materialized training dataset "
+    "(operators.dataset.materialize_splits returns exactly this): row and "
+    "distinct-key counts per xxhash-assigned split.",
+    tags=("sampling", "agg"),
+)
+def dataset_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.sampling import xxhash_split
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    assigned = xxhash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    )
+
+
+@register(
+    "unpivot_order_amounts",
+    """
+    SELECT o_orderkey, metric, amount
+    FROM (SELECT o_orderkey, o_totalprice AS total,
+                 CAST(o_totalprice AS DECIMAL(38,2))::DOUBLE * 0.07 AS tax
+          FROM orders)
+    UNPIVOT (amount FOR metric IN (total, tax))
+    """,
+    doc="Wide-to-long unpivot (Spark unpivot/melt vs DuckDB UNPIVOT); the "
+    "derived column routes through the engine-shared decimal quantization.",
+    tags=("relational",),
+)
+def unpivot_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        (F.col("o_totalprice").cast("decimal(38,2)").cast("double") * 0.07).alias(
+            "tax"
+        ),
+    )
+    return o.unpivot("o_orderkey", ["total", "tax"], "metric", "amount")
