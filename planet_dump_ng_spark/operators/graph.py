@@ -61,3 +61,60 @@ def connected_components(
         if changed == 0:
             return labels.select("id", F.col("lab").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_rounds: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-round PageRank over a directed edge list -> (id, rank).
+
+    The second Pregel-shaped iterative operator next to
+    :func:`connected_components`, built engine-deterministic: each
+    ``rank/degree`` contribution TRUNCATES to integer micro-units before
+    the (exact, associative) integer aggregation — truncation, not a
+    decimal cast, because rank/degree hits exact .5 ties at the 6th
+    decimal whenever the degree is a power of two, where Spark rounds
+    HALF_UP and DuckDB HALF_EVEN.  Ranks are therefore bit-identical
+    regardless of partitioning or aggregation order — reproducible
+    between runs AND replayable by a SQL oracle with unrolled rounds.  Each round is one shuffle (contributions keyed by
+    destination) plus the broadcast-sized degree join.
+
+    Nodes are everything appearing as a source (for sink-free semantics
+    symmetrize the edges first, as the registered query does): dangling
+    nodes contribute nothing and keep the 1-damping base.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("src", F.lit(1.0).alias("rank"))
+    for _ in range(n_rounds):
+        contrib = (
+            e.join(ranks, "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("src"),
+                ((F.col("rank") / F.col("deg")) * F.lit(1e6))
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("src").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            deg.select("src")
+            .join(inflow, "src", "left")
+            .select(
+                "src",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0)).cast("double")
+                        / F.lit(1e6)
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("src").alias("id"), "rank")

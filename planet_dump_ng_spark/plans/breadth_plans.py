@@ -724,3 +724,60 @@ def unpivot_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return o.unpivot("o_orderkey", ["total", "tax"], "metric", "amount")
+
+
+def _pagerank_oracle(n_rounds: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PageRank rounds (the operators.graph.pagerank replica).
+
+    The base/damping literals are emitted with repr() because Spark
+    computes ``1.0 - 0.85`` in IEEE double (0.15000000000000002) — a
+    hand-written 0.15 would differ in the last ulp every round.
+    Contributions truncate to micro-units (see operators.graph.pagerank):
+    power-of-two degrees make rank/degree land exactly on .5 decimal
+    ties, where the engines' decimal-cast rounding modes disagree."""
+    base, damp = repr(1.0 - damping), repr(damping)
+    rounds = []
+    for r in range(n_rounds):
+        rounds.append(f"""
+    c{r} AS (SELECT e.dst AS src,
+                    CAST(trunc(r.rank / d.deg * 1e6) AS BIGINT) AS c
+             FROM e JOIN r{r} r ON e.src = r.src JOIN deg d ON e.src = d.src),
+    r{r + 1} AS (SELECT deg.src,
+                        {base} + {damp}
+                          * (CAST(COALESCE(SUM(c{r}.c), 0) AS DOUBLE) / 1e6)
+                          AS rank
+                 FROM deg LEFT JOIN c{r} ON deg.src = c{r}.src
+                 GROUP BY deg.src)""")
+    return f"""
+    WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    e AS (SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM pairs
+          UNION ALL
+          SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT src, 1.0 AS rank FROM deg),
+    {','.join(rounds)}
+    SELECT src AS id, rank FROM r{n_rounds}
+    """
+
+
+@register(
+    "supplier_part_pagerank",
+    _pagerank_oracle(),
+    doc="PageRank over the symmetrized supplier-part shipment graph "
+    "(operators.graph.pagerank): 3 fixed Lloyd-style rounds with "
+    "decimal-quantized contribution sums, so ranks are bit-identical "
+    "across partitionings and engines — the third fully-oracled "
+    "iterative algorithm next to connected components and IVF k-means.",
+    tags=("graph", "iterative"),
+)
+def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    fwd = pairs.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, n_rounds=3, damping=0.85)

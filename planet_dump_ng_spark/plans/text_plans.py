@@ -130,3 +130,43 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     return containment_pairs(docs, bench, k=3, threshold=0.1)
+
+
+@register(
+    "doc_term_weights",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS weight
+    FROM tf JOIN df USING (term), n
+    WHERE df.df <= CAST(0.9 * n.n_docs AS BIGINT)
+    """,
+    doc="TF with linear inverse-document-frequency (tf * N/df): the "
+    "engine-exact variant of TF-IDF — ln() is libm-dependent in the last "
+    "ulp, a ratio of counts is not; ubiquitous terms (df > 0.9N) drop. "
+    "Two count shuffles + a term join, all map-side combinable.",
+    tags=("text", "agg"),
+)
+def doc_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= (F.lit(0.9) * F.col("n_docs")).cast("bigint"))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias(
+                "weight"
+            ),
+        )
+    )
