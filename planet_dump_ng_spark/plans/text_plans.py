@@ -170,3 +170,86 @@ def doc_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "build_vocab",
+    f"""
+    WITH counts AS (
+      SELECT term, COUNT(*) AS n
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+      GROUP BY term
+    ),
+    top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 1000)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1 AS INT)
+             AS token_id,
+           term, n
+    FROM top
+    """,
+    doc="Tokenizer-vocabulary construction: corpus term counts, top-V by "
+    "(count desc, term) total order, contiguous ids. The count aggregate "
+    "is map-side combinable; the top-V runs as TakeOrderedAndProject and "
+    "ids are assigned on the <=V survivors (same single-partition rank "
+    "pattern as q10 — never a global window over the full vocabulary).",
+    tags=("text", "topk"),
+)
+def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tx.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("term").asc()]
+    top = counts.orderBy(*order).limit(1000)
+    w = W.partitionBy(F.spark_partition_id()).orderBy(*order)
+    return top.select(
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"), "term", "n"
+    )
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           array_to_string(toks[50 * i + 1 : 50 * (i + 1)], ' ') AS chunk_text,
+           CAST(least(50, len(toks) - 50 * i) AS INT) AS n_tokens
+    FROM t, unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS u(i)
+    """,
+    doc="Fixed-size token chunking (50-token windows, last chunk ragged): "
+    "the context-window splitter every training/RAG pipeline runs. "
+    "Map-only explode — no shuffle; chunk count derives from the token "
+    "count so empty docs yield no chunks.",
+    tags=("text",),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    t = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    return (
+        # tokenless docs yield no chunks (the oracle's range(0, 0) = []);
+        # without the guard sequence(0, -1) would COUNT DOWN to [0, -1]
+        t.filter(n > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(n / F.lit(50.0)).cast("int") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_idx") * 50 + 1, 50), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(50), F.size("toks") - F.col("chunk_idx") * 50)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
