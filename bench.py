@@ -100,17 +100,22 @@ def main() -> int:
     plans.load_all()
     spark = get_spark("planet_dump_ng_spark_bench")
 
-    # JVM/codegen warm-up on the smallest SF so measured timings reflect the
-    # plan, not first-query JIT + class-load cost.
-    warm = plans.QUERIES["q01_pricing_summary"]
-    warm.spark(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Per-query JVM/codegen warm-up at the smallest SF so measured timings
+    # reflect the plan's execution at the bench SF, not first-run
+    # whole-stage-codegen compilation and class loading (which dominate
+    # sub-second queries and don't exist in a long-lived cluster session).
+    bench_specs = {
+        name: spec
+        for name, spec in plans.QUERIES.items()
+        if "bench" in spec.tags
+    }
+    for spec in bench_specs.values():
+        spec.spark(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
-    for name, spec in plans.QUERIES.items():
-        if "bench" not in spec.tags:
-            continue
+    for name, spec in bench_specs.items():
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
