@@ -781,3 +781,71 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank(edges, n_rounds=3, damping=0.85)
+
+
+@register(
+    "regexp_function_matrix",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_extract(text, '[0-9]+') AS first_num,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS INT)
+             AS vowel_pairs,
+           regexp_matches(text, '^[a-z]') AS starts_lower,
+           substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS devowel40
+    FROM documents
+    """,
+    doc="Regexp surface: group extraction, counts, anchors, global "
+    "replace — restricted to character-class/quantifier patterns where "
+    "Java regex (Spark) and RE2 (DuckDB) agree by construction.",
+    tags=("scalar", "text"),
+)
+def regexp_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_extract(t, r"[0-9]+", 0).alias("first_num"),
+        F.size(F.expr(r"regexp_extract_all(text, '[aeiou]{2}', 0)"))
+        .cast("int")
+        .alias("vowel_pairs"),
+        t.rlike(r"^[a-z]").alias("starts_lower"),
+        F.substring(F.regexp_replace(t, r"[aeiou]", "_"), 1, 40).alias(
+            "devowel40"
+        ),
+    )
+
+
+@register(
+    "map_function_matrix",
+    """
+    SELECT doc_id,
+           list_transform(list_sort(map_entries(m)),
+                          e -> e['key'] || ':' || e['value']) AS entries,
+           CAST(cardinality(m) AS INT) AS n_keys,
+           m['src'][1] AS src_val,
+           list_sort(map_keys(m)) AS keys_sorted
+    FROM (SELECT doc_id, map(['src', 'lang'], [source, lang]) AS m
+          FROM documents)
+    """,
+    doc="Map-typed column surface: construction, entries (canonicalized to "
+    "sorted k:v strings — engine map representations differ), lookup, "
+    "cardinality, sorted keys.",
+    tags=("scalar",),
+)
+def map_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("src"), F.col("source"), F.lit("lang"), F.col("lang")
+    )
+    return d.select(
+        "doc_id",
+        F.transform(
+            F.array_sort(F.map_entries(m)),
+            lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+        ).alias("entries"),
+        F.size(m).cast("int").alias("n_keys"),
+        m["src"].alias("src_val"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+    )
