@@ -1,0 +1,117 @@
+"""Unit tests for the round-3 operators: int8 quantization edges, xxhash
+split stability, PageRank against hand-computed ranks, chunk coverage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_quantize_int8_edges(spark):
+    from planet_dump_ng_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [0.0, 0.0]),          # all-zero: scale 0, no NaN
+            (3, [-3.0]),              # negative max-abs
+        ],
+        "id long, v array<float>",
+    )
+    rows = {r.id: r for r in df.select("id", *quantize_int8(F.col("v"))).collect()}
+    assert rows[1].scale == 2.0 and rows[1].q == [63, -127, 31]
+    assert rows[2].scale == 0.0 and rows[2].q == [0, 0]
+    assert rows[3].scale == 3.0 and rows[3].q == [-127]
+    # round-trip error bound: |x - q*scale/127| <= scale/127
+    for r in df.collect():
+        q = rows[r.id]
+        for x, qi in zip(r.v, q.q):
+            assert abs(x - qi * q.scale / 127) <= q.scale / 127 + 1e-9
+
+
+def test_xxhash_split_superset_stability(spark):
+    """Growing a fraction only absorbs members from the next split — no
+    key ever swaps between surviving splits (the training-split contract)."""
+    from planet_dump_ng_spark.operators.sampling import xxhash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {
+        r.k: r.split
+        for r in xxhash_split(df, "k", {"train": 0.8, "val": 0.2}).collect()
+    }
+    b = {
+        r.k: r.split
+        for r in xxhash_split(df, "k", {"train": 0.9, "val": 0.1}).collect()
+    }
+    for k, sa in a.items():
+        if sa == "train":
+            assert b[k] == "train"  # train only grows
+    assert sum(1 for s in b.values() if s == "train") > sum(
+        1 for s in a.values() if s == "train"
+    )
+
+
+def test_pagerank_matches_hand_computation(spark):
+    """3 rounds on a 3-node path graph a-b-c (symmetrized), checked against
+    the same truncated-micro-unit recurrence computed in Python."""
+    from planet_dump_ng_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {r.id: r.rank for r in pagerank(edges, n_rounds=3).collect()}
+
+    deg = {0: 1, 1: 2, 2: 1}
+    ranks = {0: 1.0, 1: 1.0, 2: 1.0}
+    for _ in range(3):
+        inflow = {0: 0, 1: 0, 2: 0}
+        for s, d in [(0, 1), (1, 0), (1, 2), (2, 1)]:
+            inflow[d] += int(ranks[s] / deg[s] * 1e6)  # trunc to micro-units
+        ranks = {
+            n: (1.0 - 0.85) + 0.85 * (float(inflow[n]) / 1e6) for n in deg
+        }
+    assert got == pytest.approx(ranks, abs=0.0)  # bit-identical
+    # center of the path outranks the leaves
+    assert got[1] > got[0] == got[2]
+
+
+def test_doc_chunking_covers_all_tokens(spark, sf_dir):
+    """Chunk token counts per doc must sum to the doc's token count, chunk
+    indexes are contiguous from 0, and only the last chunk is ragged."""
+    from planet_dump_ng_spark import plans
+
+    plans.load_all()
+    chunks = plans.QUERIES["doc_chunking"].spark(spark, sf_dir)
+    agg = {
+        r.doc_id: (r.total, r.n_chunks, r.max_idx)
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+        )
+        .collect()
+    }
+    from planet_dump_ng_spark.operators.text import tokens
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    }
+    for doc_id, n in docs.items():
+        if n == 0:
+            assert doc_id not in agg
+            continue
+        total, n_chunks, max_idx = agg[doc_id]
+        assert total == n
+        assert max_idx == n_chunks - 1
+        assert n_chunks == (n + 49) // 50
+    # short chunks only in last position
+    last = chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("mx"))
+    bad = (
+        chunks.join(last, "doc_id")
+        .filter((F.col("n_tokens") < 50) & (F.col("chunk_idx") != F.col("mx")))
+        .count()
+    )
+    assert bad == 0
