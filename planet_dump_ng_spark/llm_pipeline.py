@@ -1,0 +1,140 @@
+"""End-to-end training-data curation: the composed pipeline a user runs
+over a raw document corpus, chaining the engine's operators into the
+standard curation sequence:
+
+    raw docs
+      -> exact dedup (first-occurrence survivors)
+      -> near-dup removal (MinHash-LSH candidates, exact-Jaccard verify,
+         keep the smallest doc id per dup pair)
+      -> benchmark-contamination filter (containment vs an eval set)
+      -> quality filter (token count / stopword / punctuation bands)
+      -> deterministic xxhash split + partitioned parquet materialization
+
+Every stage is the already-oracle-checked operator; this module only
+wires them.  Scale shape: stages communicate through DataFrames (no
+driver materialization); the only collect is the final per-split
+manifest.  Each stage logs its row attrition so a curation run is
+auditable — silent data loss is the cardinal sin of training pipelines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from planet_dump_ng_spark.operators import dedup as dd
+from planet_dump_ng_spark.operators import text as tx
+from planet_dump_ng_spark.operators.dataset import materialize_splits
+
+
+@dataclass
+class CurationReport:
+    """Row counts entering each stage, in order — the attrition audit."""
+
+    stages: list[tuple[str, int]] = field(default_factory=list)
+
+    def log(self, stage: str, n: int) -> None:
+        self.stages.append((stage, n))
+
+
+def curate(
+    docs: DataFrame,
+    out_dir: str,
+    bench: DataFrame | None = None,
+    jaccard_threshold: float = 0.8,
+    containment_threshold: float = 0.5,
+    min_tokens: int = 20,
+    max_stopword_ratio: float = 0.7,
+    fractions: dict[str, float] | None = None,
+) -> tuple[DataFrame, CurationReport]:
+    """Run the full curation sequence; returns (split manifest, report).
+
+    ``bench`` is the eval set to decontaminate against (defaults to none).
+    Thresholds follow common curation practice: near-dups at Jaccard 0.8,
+    contamination at 50% containment of an eval item's shingles.
+    """
+    report = CurationReport()
+    report.log("raw", docs.count())
+
+    # 1. exact dedup: keep the first occurrence per canonical fingerprint
+    docs = dd.dedup_keep_first(docs)
+    report.log("exact_dedup", docs.count())
+
+    # 2. near-dup removal: LSH candidates -> exact-Jaccard verify; the
+    # larger doc id of every verified pair drops (min-id survivor rule,
+    # consistent with exact dedup)
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, k=3, threshold=jaccard_threshold, candidates=cands
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    docs = docs.join(losers, "doc_id", "left_anti")
+    report.log("near_dedup", docs.count())
+
+    # 3. decontamination: drop any training doc containing too much of an
+    # eval item (asymmetric containment, eval side broadcast)
+    if bench is not None:
+        dirty = dd.containment_pairs(
+            docs, bench, k=3, threshold=containment_threshold
+        ).select(F.col("train_id").alias("doc_id")).distinct()
+        docs = docs.join(dirty, "doc_id", "left_anti")
+        report.log("decontaminated", docs.count())
+
+    # 4. quality filter: the doc_token_stats feature bands
+    feats = tx.quality_features(docs)
+    keep = feats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    ).select("doc_id")
+    docs = docs.join(keep, "doc_id", "left_semi")
+    report.log("quality", docs.count())
+
+    # 5. split + materialize (partitioned parquet, per-split manifest)
+    manifest = materialize_splits(docs, out_dir, "doc_id", fractions)
+    return manifest, report
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: ``python -m planet_dump_ng_spark.llm_pipeline --input docs.parquet
+    --output ./curated [--bench eval.parquet]``"""
+    import argparse
+
+    from planet_dump_ng_spark.session import get_spark
+
+    p = argparse.ArgumentParser(
+        prog="planet-dump-ng-spark-curate",
+        description="Curate a raw document corpus into a training dataset.",
+    )
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="dataset output dir")
+    p.add_argument("--bench", help="eval-set parquet to decontaminate against")
+    p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p.add_argument("--containment-threshold", type=float, default=0.5)
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--max-stopword-ratio", type=float, default=0.7)
+    args = p.parse_args(argv)
+
+    spark = get_spark("planet-dump-ng-spark-curate")
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    manifest, report = curate(
+        docs,
+        args.output,
+        bench=bench,
+        jaccard_threshold=args.jaccard_threshold,
+        containment_threshold=args.containment_threshold,
+        min_tokens=args.min_tokens,
+        max_stopword_ratio=args.max_stopword_ratio,
+    )
+    for stage, n in report.stages:
+        print(f"{stage:16s} {n}")
+    for r in manifest.collect():
+        print(f"split={r.split:6s} rows={r.n_rows} ids={r.n_ids}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
