@@ -74,8 +74,11 @@ def dedup_keep_first(
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles (space-joined).  Documents shorter than k
-    tokens fall back to their full token string so they still carry one
-    shingle.
+    tokens (but not empty) fall back to their full token string so they
+    still carry one shingle; TOKENLESS documents carry NO shingles — they
+    are exact-dup territory, and a near-dup metric over an empty set is
+    meaningless (tests/test_xxh64_property.py pins this contract against
+    the DuckDB oracle expression).
 
     Built by k-1 zip_with passes (each joining the array against itself
     shifted one position) instead of a slice-per-window transform —
@@ -92,8 +95,10 @@ def shingles(col: Column | str, k: int = 3) -> Column:
         # so tail entries become short joins — cut below by the slice to
         # n-(k-1) windows.
         acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
-    windows = F.when(n >= k, F.slice(acc, 1, n - (k - 1))).otherwise(
-        F.array(F.array_join(toks, " "))
+    windows = (
+        F.when(n >= k, F.slice(acc, 1, n - (k - 1)))
+        .when(n > 0, F.array(F.array_join(toks, " ")))
+        .otherwise(F.slice(toks, 1, 0))  # typed empty array<string>
     )
     return F.array_distinct(windows)
 

@@ -46,6 +46,8 @@ def test_shingles_short_doc_fallback(docs):
 
 def _py_shingles(text: str, k: int) -> list[str]:
     toks = [t for t in text.split() if t]
+    if not toks:
+        return []  # tokenless docs carry no shingles (near-dup is undefined)
     if len(toks) < k:
         return [" ".join(toks)]
     seen, out = set(), []
