@@ -87,8 +87,13 @@ def pagerank(
     symmetrize the edges first, as the registered query does): dangling
     nodes contribute nothing and keep the 1-damping base.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # persist the arrangement: every round joins against e and deg, and
+    # without a cut the lazy lineage re-derives the (distinct-heavy) edge
+    # list from the source scan once per round per reference
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = deg.select("src", F.lit(1.0).alias("rank"))
     for _ in range(n_rounds):
         contrib = (

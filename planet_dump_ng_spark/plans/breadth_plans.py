@@ -768,7 +768,7 @@ def _pagerank_oracle(n_rounds: int = 3, damping: float = 0.85) -> str:
     "decimal-quantized contribution sums, so ranks are bit-identical "
     "across partitionings and engines — the third fully-oracled "
     "iterative algorithm next to connected components and IVF k-means.",
-    tags=("graph", "iterative"),
+    tags=("graph", "iterative", "bench"),
 )
 def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from planet_dump_ng_spark.operators.graph import pagerank

@@ -107,7 +107,7 @@ def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, seed: int = 42) -
     _minhash_lsh_oracle(),
     doc="MinHash(64)+LSH(16 bands) candidates verified with exact Jaccard >= 0.1; "
     "oracle replays the banding bit-exactly via a DuckDB xxhash64 replica.",
-    tags=("dedup",),
+    tags=("dedup", "bench"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
