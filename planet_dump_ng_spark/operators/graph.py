@@ -87,31 +87,31 @@ def pagerank(
     symmetrize the edges first, as the registered query does): dangling
     nodes contribute nothing and keep the 1-damping base.
     """
-    # persist the arrangement: every round joins against e and deg, and
-    # without a cut the lazy lineage re-derives the (distinct-heavy) edge
-    # list from the source scan once per round per reference
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    # hash-partition the edge arrangement by src ONCE and persist it:
+    # every round's e-side join then satisfies the join's required
+    # distribution from cache, so the only per-round exchange of
+    # edge-sized data is the contribution aggregation itself (keyed by
+    # dst — unavoidable, it IS the algorithm).  deg shares the same
+    # partitioning, and rank state is carried WITH deg so each round is
+    # one join + one agg + one small left join, not three joins.
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    ranks = deg.select("src", F.lit(1.0).alias("rank"))
+    state = deg.withColumn("rank", F.lit(1.0))
     for _ in range(n_rounds):
-        contrib = (
-            e.join(ranks, "src")
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("src"),
-                ((F.col("rank") / F.col("deg")) * F.lit(1e6))
-                .cast("long")
-                .alias("c"),
-            )
+        contrib = e.join(state, "src").select(
+            F.col("dst").alias("src"),
+            ((F.col("rank") / F.col("deg")) * F.lit(1e6)).cast("long").alias("c"),
         )
         inflow = contrib.groupBy("src").agg(F.sum("c").alias("inflow"))
-        ranks = (
-            deg.select("src")
-            .join(inflow, "src", "left")
+        state = (
+            deg.join(inflow, "src", "left")
             .select(
                 "src",
+                "deg",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
@@ -122,4 +122,4 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return ranks.select(F.col("src").alias("id"), "rank")
+    return state.select(F.col("src").alias("id"), "rank")
