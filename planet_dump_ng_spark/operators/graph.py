@@ -29,10 +29,17 @@ def connected_components(
     (undirected — symmetrized internally).  Converges in O(diameter)
     rounds; raises if ``max_iter`` rounds don't reach a fixpoint.
     """
+    # symmetrize ONCE, hash-partitioned on the join key, and persist:
+    # every round runs a counting action, so an unpersisted sym would
+    # re-derive the distinct union from the source per round; the
+    # v-partitioning also lets each round's join consume it exchange-free
+    # (labels is already id-partitioned by its groupBy).
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
+        .repartition("v")
+        .persist()
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
     persisted_prev: DataFrame | None = None
@@ -59,7 +66,11 @@ def connected_components(
         persisted_prev = new_labels
         labels = new_labels
         if changed == 0:
+            # labels is persisted and already materialized by the count
+            # above; sym is no longer needed by its lineage
+            sym.unpersist()
             return labels.select("id", F.col("lab").alias("component"))
+    sym.unpersist()
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 
