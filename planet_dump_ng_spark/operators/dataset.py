@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from planet_dump_ng_spark.operators.sampling import xxhash_split
 
@@ -51,6 +51,78 @@ def materialize_splits(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct(key).alias("n_ids"),
         )
+    )
+
+
+def pack_contiguous(
+    df: DataFrame,
+    key: str,
+    ntok_col: str,
+    capacity: int,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing: global token offsets.
+
+    GPT-style packing lays every document end-to-end in a deterministic
+    pseudo-random order (xxhash64 of the key) and cuts the stream into
+    fixed ``capacity``-token bins; a document's placement is its global
+    token offset.  The global prefix sum is computed scale-correctly as
+    a DISTRIBUTED two-level scan, never a single-partition window:
+
+    1. rows hash into ``num_buckets`` ordered buckets; a per-bucket
+       window (partitioned — every executor scans only its bucket)
+       computes the within-bucket running sum;
+    2. the ``num_buckets`` bucket totals — a scalar per bucket, the only
+       data that ever reaches the driver — are cumulated driver-side
+       into bucket base offsets (same contract as the IVF centroid
+       collect: bounded by a config constant, not by data size);
+    3. a literal CASE maps each row's bucket to its base offset.
+
+    Global order is (bucket, hash, key) — fully deterministic and
+    replayable by a SQL oracle.  Emits start_off / first_bin / last_bin
+    (a document may straddle a bin boundary: that's the semantics of
+    contiguous packing, the trainer's loader splits it).
+    """
+    from pyspark.sql import Window as W
+
+    h = F.xxhash64(F.col(key))
+    t = df.select(
+        key,
+        F.col(ntok_col).alias("n_tok"),
+        h.alias("h"),
+        F.pmod(h, F.lit(num_buckets)).alias("bkt"),
+    ).persist()
+    w = (
+        W.partitionBy("bkt")
+        .orderBy("h", key)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = t.withColumn("cum_in_bkt", F.sum("n_tok").over(w))
+    totals = {
+        r["bkt"]: r["tot"]
+        for r in t.groupBy("bkt").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    base: dict[int, int] = {}
+    acc = 0
+    for b in range(num_buckets):
+        base[b] = acc
+        acc += int(totals.get(b, 0))
+    off: Column | None = None
+    for b in range(num_buckets):
+        off = (
+            F.when(F.col("bkt") == b, F.lit(base[b]))
+            if off is None
+            else off.when(F.col("bkt") == b, F.lit(base[b]))
+        )
+    start = (F.col("cum_in_bkt") - F.col("n_tok") + off).alias("start_off")
+    out = cum.select(key, "n_tok", "bkt", start)
+    first = F.expr(f"start_off div {capacity}")
+    last = F.when(
+        F.col("n_tok") > 0,
+        F.expr(f"(start_off + n_tok - 1) div {capacity}"),
+    ).otherwise(first)
+    return out.withColumn("first_bin", first.cast("long")).withColumn(
+        "last_bin", last.cast("long")
     )
 
 

@@ -41,6 +41,33 @@ def train_test_split(
     return df.filter(b >= test_fraction), df.filter(b < test_fraction)
 
 
+def weighted_mix(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    weights: dict[str, float],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-source downsampling (dataset mixing).
+
+    Training mixes are specified as "keep fraction w_s of source s"; this
+    keeps a row iff its content-hash bucket falls under its source's
+    threshold, so the mix is reproducible, superset-stable per source
+    (raising a weight only ADDS documents), and needs no shuffle — the
+    weight lookup is a codegen'd CASE chain, the membership test a
+    map-only filter.  Sources absent from ``weights`` are dropped
+    (weight 0).  Adds the ``bucket`` column for auditability.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(buckets))
+    thr: Column | None = None
+    for src, w in weights.items():
+        t = F.lit(int(round(w * buckets)))
+        cond = F.col(source_col) == src
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    assert thr is not None, "weights must be non-empty"
+    return df.withColumn("bucket", bucket).filter(bucket < thr.otherwise(F.lit(0)))
+
+
 def xxhash_split(
     df: DataFrame,
     key: str,

@@ -101,6 +101,117 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     )
 
 
+#: PII scrub patterns, applied in order (emails first so their digit runs
+#: can't half-match the later numeric patterns).  Restricted to the
+#: regex subset where Java (Spark) and RE2 (DuckDB) agree by
+#: construction: character classes, bounded quantifiers, non-capturing
+#: groups, ASCII word boundaries — no lookaround, no backreferences.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
+    ("longnum", r"\d{9,}", "<NUM>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_hits(col: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (before scrubbing).
+
+    Counts overlap-free occurrences of each raw pattern independently on
+    the ORIGINAL text — a reporting signal (how much PII a source
+    carries), deliberately not derived from the sequential scrub below.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Mask emails / IPv4s / long digit runs / phone-ish runs.
+
+    Map-only codegen'd expression chain — the shape of every
+    privacy-scrub pass a corpus pipeline runs before training.  The
+    pattern list is ordered: each replacement sees the previous one's
+    output, so the masks themselves can never be re-matched (mask tokens
+    contain no digits or '@').
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, mask in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, mask)
+    return c
+
+
+def _longest_equal_run(arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in sorted arr.
+
+    Sorting groups equal tokens, so the longest run IS the top token's
+    frequency — computed as one linear higher-order fold (no explode, no
+    shuffle), which keeps the repetition features map-only.
+    """
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition ratios, entirely map-only (zero shuffle).
+
+    - ``dup_word_ratio``: fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total);
+    - ``top_word_ratio``: frequency share of the most common token;
+    - ``dup_bigram_ratio``: same as dup_word_ratio over adjacent pairs;
+    - ``repetition_keep``: the filter verdict at the classic thresholds
+      (docs under 10 tokens pass trivially — ratio gates are
+      meaningless at that length and would reject all short text).
+
+    Distinct counts use ``array_distinct`` and the top frequency is a
+    sorted-array fold (:func:`_longest_equal_run`) — per-document array
+    expressions instead of explode+groupBy, so a 100 TB scan stays one
+    map stage with no aggregation exchange at all.  Ratios are single
+    IEEE divisions of integer counts (engine-exact).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    d = F.greatest(n, F.lit(1)).cast("double")
+    db = F.greatest(nb, F.lit(1)).cast("double")
+    dup_w = (n - F.size(F.array_distinct(toks))).cast("double") / d
+    top_w = _longest_equal_run(toks).cast("double") / d
+    dup_b = (nb - F.size(F.array_distinct(bigrams))).cast("double") / db
+    return df.withColumns(
+        {
+            "n_words": n,
+            "dup_word_ratio": dup_w,
+            "top_word_ratio": top_w,
+            "dup_bigram_ratio": dup_b,
+            "repetition_keep": (n < 10)
+            | ((dup_w <= 0.5) & (top_w <= 0.2) & (dup_b <= 0.3)),
+        }
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of casefolded, whitespace-collapsed text.
 

@@ -849,3 +849,96 @@ def map_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["src"].alias("src_val"),
         F.array_sort(F.map_keys(m)).alias("keys_sorted"),
     )
+
+
+#: per-source keep fractions for the mixing query (cycle of 4 weights
+#: over the corpus's 20 sources — exercises full-keep, halving, and
+#: near-drop tiers)
+_MIX_WEIGHTS = {f"src{i}": [1.0, 0.5, 0.25, 0.1][i % 4] for i in range(20)}
+
+
+def _mix_oracle() -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    h = xxh64_long_inline("doc_id")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(w * 10000))}" for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+    WITH b AS (SELECT doc_id, source,
+                 (({h}) % 10000 + 10000) % 10000 AS bucket
+               FROM documents)
+    SELECT doc_id, source, bucket FROM b
+    WHERE bucket < CASE source {cases} ELSE 0 END
+    """
+
+
+@register(
+    "dataset_mix_weighted",
+    _mix_oracle(),
+    doc="Deterministic per-source downsampling "
+    "(operators.sampling.weighted_mix): keep fraction w_s of each "
+    "source by content-hash bucket — the dataset-mixing step of a "
+    "training pipeline.  Map-only filter (codegen'd CASE for the "
+    "threshold), superset-stable per source; oracle replays Spark's "
+    "xxhash64 hashLong in SQL.",
+    tags=("sampling", "curation"),
+)
+def dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.sampling import weighted_mix
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return weighted_mix(docs, "doc_id", "source", _MIX_WEIGHTS)
+
+
+def _pack_oracle(capacity: int = 2048, num_buckets: int = 32) -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    h = xxh64_long_inline("doc_id")
+    return f"""
+    WITH t AS (SELECT doc_id,
+                 len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok,
+                 {h} AS h
+               FROM documents),
+    o AS (SELECT doc_id, n_tok,
+            ((h % {num_buckets}) + {num_buckets}) % {num_buckets} AS bkt, h
+          FROM t),
+    c AS (SELECT doc_id, n_tok, bkt,
+            SUM(n_tok) OVER (ORDER BY bkt, h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM o)
+    SELECT doc_id, n_tok, bkt,
+      CAST(cum - n_tok AS BIGINT) AS start_off,
+      CAST((cum - n_tok) // {capacity} AS BIGINT) AS first_bin,
+      CAST(CASE WHEN n_tok > 0 THEN (cum - 1) // {capacity}
+                ELSE (cum - n_tok) // {capacity} END AS BIGINT) AS last_bin
+    FROM c
+    """
+
+
+@register(
+    "training_order_pack",
+    _pack_oracle(),
+    doc="Concatenate-then-chunk sequence packing "
+    "(operators.dataset.pack_contiguous): documents laid end-to-end in "
+    "deterministic xxhash64 order and cut into 2048-token bins.  The "
+    "global prefix sum is a DISTRIBUTED two-level scan — per-bucket "
+    "partitioned windows plus a driver-side cumulation of the 32 bucket "
+    "totals (the only data reaching the driver) — never a "
+    "single-partition global window; the oracle computes the same "
+    "offsets with one SQL running-sum window.",
+    tags=("curation",),
+)
+def training_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.dataset import pack_contiguous
+    from planet_dump_ng_spark.operators.text import bpe_ish_token_count
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_contiguous(
+        docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe")),
+        "doc_id",
+        "n_bpe",
+        capacity=2048,
+        num_buckets=32,
+    )

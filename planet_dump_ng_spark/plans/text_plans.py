@@ -253,3 +253,120 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+_PII_MK_SPARK = (
+    " contact u",
+    "@ex",
+    ".org from 10.",
+    ".0.",
+    " card ",
+    " tel +1 555 ",
+)
+
+#: deterministic PII suffix appended to each document so the scrub
+#: operator is exercised on text that actually CONTAINS pii (the
+#: synthetic corpus has none); the oracle replays the construction
+_PII_MK_SQL = (
+    "text || ' contact u' || doc_id || '@ex' || (doc_id%7) || "
+    "'.org from 10.' || (doc_id%256) || '.0.' || ((doc_id*7)%256) || "
+    "' card ' || (doc_id+4000000000000000) || "
+    "' tel +1 555 ' || lpad((doc_id%10000)::VARCHAR, 4, '0')"
+)
+
+
+def _pii_oracle() -> str:
+    scrub = "wp"
+    for _, pat, mask in tx.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{mask}', 'g')"
+    hits = ",\n  ".join(
+        f"len(regexp_extract_all(wp, '{pat}')) AS n_{name}"
+        for name, pat, _ in tx.PII_PATTERNS
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_PII_MK_SQL} AS wp FROM documents)
+    SELECT doc_id, {scrub} AS scrubbed,
+      {hits}
+    FROM w
+    """
+
+
+@register(
+    "pii_scrub",
+    _pii_oracle(),
+    doc="PII scrubbing (operators.text.scrub_pii): mask emails, IPv4s, "
+    "long digit runs, phone-ish runs via an ordered codegen'd "
+    "regexp_replace chain, plus per-category hit counts — map-only, the "
+    "privacy pass a corpus runs before training.  Patterns restricted "
+    "to the Java-regex/RE2 common subset so the oracle replays exactly.",
+    tags=("text", "curation"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    wp = F.concat(
+        F.col("text"),
+        F.lit(_PII_MK_SPARK[0]),
+        d.cast("string"),
+        F.lit(_PII_MK_SPARK[1]),
+        (d % 7).cast("string"),
+        F.lit(_PII_MK_SPARK[2]),
+        (d % 256).cast("string"),
+        F.lit(_PII_MK_SPARK[3]),
+        ((d * 7) % 256).cast("string"),
+        F.lit(_PII_MK_SPARK[4]),
+        (d + 4000000000000000).cast("string"),
+        F.lit(_PII_MK_SPARK[5]),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    hits = tx.pii_hits(F.col("wp"))
+    return docs.withColumn("wp", wp).select(
+        "doc_id",
+        tx.scrub_pii("wp").alias("scrubbed"),
+        *[v.alias(k) for k, v in hits.items()],
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    b AS (SELECT doc_id, t,
+            CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS bg
+          FROM t)
+    SELECT doc_id,
+      len(t) AS n_words,
+      (len(t) - len(list_distinct(t)))::DOUBLE / greatest(len(t),1)
+        AS dup_word_ratio,
+      len(list_filter(t, x -> x = list_aggregate(t,'mode')))::DOUBLE
+        / greatest(len(t),1) AS top_word_ratio,
+      (len(bg) - len(list_distinct(bg)))::DOUBLE / greatest(len(bg),1)
+        AS dup_bigram_ratio,
+      (len(t) < 10 OR
+       ((len(t) - len(list_distinct(t)))::DOUBLE / greatest(len(t),1) <= 0.5
+        AND len(list_filter(t, x -> x = list_aggregate(t,'mode')))::DOUBLE
+              / greatest(len(t),1) <= 0.2
+        AND (len(bg) - len(list_distinct(bg)))::DOUBLE
+              / greatest(len(bg),1) <= 0.3)) AS repetition_keep
+    FROM b
+    """,
+    doc="Gopher-style repetition quality gates "
+    "(operators.text.repetition_features): duplicate-word, top-word and "
+    "duplicate-bigram fractions — per-document array expressions with a "
+    "sorted-array fold for the mode count, so a 100 TB scan is one map "
+    "stage with NO aggregation shuffle; the oracle recomputes the mode "
+    "count via DuckDB's list_aggregate.",
+    tags=("text", "curation"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return tx.repetition_features(docs).select(
+        "doc_id",
+        "n_words",
+        "dup_word_ratio",
+        "top_word_ratio",
+        "dup_bigram_ratio",
+        "repetition_keep",
+    )

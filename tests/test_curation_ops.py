@@ -1,0 +1,137 @@
+"""Unit tests for the curation operators added in round 3: PII
+scrubbing, repetition quality gates, weighted dataset mixing, and
+contiguous sequence packing."""
+
+from pyspark.sql import functions as F
+
+
+def test_scrub_pii_masks_each_category(spark):
+    from planet_dump_ng_spark.operators.text import pii_hits, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org now"),
+            (2, "host 192.168.0.1 down"),
+            (3, "acct 1234567890123456 closed"),
+            (4, "call +1 555 0182 9 today"),
+            (5, "clean text only"),
+        ],
+        "id long, t string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            scrub_pii("t").alias("s"),
+            *[v.alias(k) for k, v in pii_hits("t").items()],
+        ).collect()
+    }
+    assert out[1].s == "mail <EMAIL> now" and out[1].n_email == 1
+    assert out[2].s == "host <IP> down" and out[2].n_ipv4 == 1
+    assert out[3].s == "acct <NUM> closed" and out[3].n_longnum == 1
+    assert out[4].s == "call <PHONE> today" and out[4].n_phone == 1
+    assert out[5].s == "clean text only"
+    assert (
+        out[5].n_email == out[5].n_ipv4 == out[5].n_longnum == out[5].n_phone == 0
+    )
+
+
+def test_scrub_pii_order_email_digits_not_double_masked(spark):
+    """The email mask runs first, so its digits never leak into the
+    numeric patterns; masks themselves are never re-matched."""
+    from planet_dump_ng_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "u123456789012@ex.org and 987654321 and 10.0.0.255")],
+        "id long, t string",
+    )
+    s = df.select(scrub_pii("t").alias("s")).head().s
+    assert s == "<EMAIL> and <NUM> and <IP>"
+
+
+def test_repetition_features_hand_computed(spark):
+    from planet_dump_ng_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a a b"),  # 10 words: 9x'a' + 'b'
+            (2, "x y z"),  # all distinct, short: passes trivially
+            (3, ""),  # tokenless
+            (4, "solo"),  # single token: no bigrams
+            (5, " ".join(f"w{i}" for i in range(12))),  # long, all distinct
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert out[1].n_words == 10
+    assert out[1].dup_word_ratio == 8 / 10  # 10 words, 2 distinct
+    assert out[1].top_word_ratio == 9 / 10
+    assert out[1].dup_bigram_ratio == 7 / 9  # 9 bigrams: 8x'a a' + 'a b'
+    assert not out[1].repetition_keep
+    assert out[2].dup_word_ratio == 0.0 and out[2].top_word_ratio == 1 / 3
+    assert out[2].repetition_keep  # under the 10-token floor
+    assert out[3].n_words == 0 and out[3].top_word_ratio == 0.0
+    assert out[4].dup_bigram_ratio == 0.0 and out[4].repetition_keep
+    assert out[5].repetition_keep  # long and distinct: passes the gates
+
+
+def test_weighted_mix_superset_and_determinism(spark):
+    """Raising a source's weight only ADDS documents (never swaps), and
+    membership is stable across repartitionings."""
+    from planet_dump_ng_spark.operators.sampling import weighted_mix
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+    )
+    lo = {r.k for r in weighted_mix(df, "k", "src", {"s0": 0.3, "s1": 0.6}).collect()}
+    hi = {
+        r.k
+        for r in weighted_mix(
+            df.repartition(7), "k", "src", {"s0": 0.7, "s1": 0.6}
+        ).collect()
+    }
+    assert lo <= hi  # superset-stable under a raised weight
+    assert len(hi) > len(lo)
+    # unknown source s2 always dropped
+    assert not {r.k for r in weighted_mix(df, "k", "src", {"s0": 1.0}).collect()} & {
+        k for (k,) in df.filter("src <> 's0'").select("k").collect()
+    }
+
+
+def test_pack_contiguous_stream_is_gapless(spark):
+    """Offsets laid end-to-end cover [0, total) exactly once, bins are
+    consistent with offsets, and zero-token docs stay point-sized."""
+    from planet_dump_ng_spark.operators.dataset import pack_contiguous
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("n")
+    )
+    rows = sorted(
+        pack_contiguous(df, "k", "n", capacity=10, num_buckets=4).collect(),
+        # zero-token docs share their successor's offset; order them first
+        key=lambda r: (r.start_off, r.n_tok),
+    )
+    total = sum(r.n_tok for r in rows)
+    # gapless: consecutive start offsets differ by exactly the doc length
+    off = 0
+    for r in rows:
+        assert r.start_off >= off  # zero-length docs share an offset
+        if r.n_tok > 0:
+            assert r.start_off == off
+            off = r.start_off + r.n_tok
+        assert r.first_bin == r.start_off // 10
+        end = r.start_off + max(r.n_tok - 1, 0)
+        assert r.last_bin == end // 10
+    assert off == total
+
+
+def test_pack_contiguous_deterministic_across_partitionings(spark):
+    from planet_dump_ng_spark.operators.dataset import pack_contiguous
+
+    df = spark.range(300).select(F.col("id").alias("k"), F.lit(5).alias("n"))
+    a = sorted(pack_contiguous(df, "k", "n", 16, num_buckets=4).collect())
+    b = sorted(
+        pack_contiguous(df.repartition(11), "k", "n", 16, num_buckets=4).collect()
+    )
+    assert a == b
