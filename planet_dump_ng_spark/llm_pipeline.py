@@ -7,8 +7,14 @@ standard curation sequence:
       -> near-dup removal (MinHash-LSH candidates, exact-Jaccard verify,
          keep the smallest doc id per dup pair)
       -> benchmark-contamination filter (containment vs an eval set)
-      -> quality filter (token count / stopword / punctuation bands)
+      -> PII scrub (mask emails/IPs/long digit runs/phones — a
+         transform, not a filter)
+      -> quality filter (token count / stopword / punctuation bands
+         + Gopher-style repetition gates)
+      -> optional weighted source mixing (per-source keep fractions)
       -> deterministic xxhash split + partitioned parquet materialization
+      -> optional sequence-packing manifest for the train split
+         (global token offsets in deterministic order)
 
 Every stage is the already-oracle-checked operator; this module only
 wires them.  Scale shape: stages communicate through DataFrames (no
@@ -25,7 +31,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from planet_dump_ng_spark.operators import dedup as dd
 from planet_dump_ng_spark.operators import text as tx
-from planet_dump_ng_spark.operators.dataset import materialize_splits
+from planet_dump_ng_spark.operators.dataset import (
+    materialize_splits,
+    pack_contiguous,
+    read_split,
+)
+from planet_dump_ng_spark.operators.sampling import weighted_mix
 
 
 @dataclass
@@ -47,6 +58,9 @@ def curate(
     min_tokens: int = 20,
     max_stopword_ratio: float = 0.7,
     fractions: dict[str, float] | None = None,
+    scrub_pii: bool = True,
+    mix_weights: dict[str, float] | None = None,
+    pack_capacity: int | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -81,17 +95,42 @@ def curate(
         docs = docs.join(dirty, "doc_id", "left_anti")
         report.log("decontaminated", docs.count())
 
-    # 4. quality filter: the doc_token_stats feature bands
-    feats = tx.quality_features(docs)
+    # 4. PII scrub: a text TRANSFORM (no rows drop) — masks applied
+    # before any text leaves the pipeline
+    if scrub_pii:
+        docs = docs.withColumn("text", tx.scrub_pii("text"))
+
+    # 5. quality filter: token-stat bands + repetition gates, one
+    # combined map stage feeding a single semi join
+    feats = tx.repetition_features(tx.quality_features(docs))
     keep = feats.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & F.col("repetition_keep")
     ).select("doc_id")
     docs = docs.join(keep, "doc_id", "left_semi")
     report.log("quality", docs.count())
 
-    # 5. split + materialize (partitioned parquet, per-split manifest)
+    # 6. optional dataset mixing: per-source keep fractions
+    if mix_weights:
+        docs = weighted_mix(docs, "doc_id", "source", mix_weights).drop("bucket")
+        report.log("mixed", docs.count())
+
+    # 7. split + materialize (partitioned parquet, per-split manifest)
     manifest = materialize_splits(docs, out_dir, "doc_id", fractions)
+
+    # 8. optional packing manifest over the materialized train split:
+    # global token offsets in deterministic order, written beside the
+    # dataset (NOT inside it — out_dir stays a clean partitioned layout)
+    if pack_capacity:
+        train = read_split(docs.sparkSession, out_dir, "train")
+        packed = pack_contiguous(
+            train.select("doc_id", tx.bpe_ish_token_count("text").alias("n_tok")),
+            "doc_id",
+            "n_tok",
+            capacity=pack_capacity,
+        )
+        packed.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}_pack")
     return manifest, report
 
 
@@ -113,7 +152,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--containment-threshold", type=float, default=0.5)
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--max-stopword-ratio", type=float, default=0.7)
+    p.add_argument(
+        "--no-pii-scrub",
+        action="store_true",
+        help="skip the PII masking transform (on by default)",
+    )
+    p.add_argument(
+        "--mix-weights",
+        help="per-source keep fractions, e.g. 'src0=1.0,src1=0.5' "
+        "(sources not listed are dropped)",
+    )
+    p.add_argument(
+        "--pack-capacity",
+        type=int,
+        help="also write a <output>_pack manifest of global token "
+        "offsets at this bin capacity (e.g. 2048)",
+    )
     args = p.parse_args(argv)
+    mix = None
+    if args.mix_weights:
+        mix = {
+            k: float(v)
+            for k, v in (kv.split("=", 1) for kv in args.mix_weights.split(","))
+        }
 
     spark = get_spark("planet-dump-ng-spark-curate")
     docs = spark.read.parquet(args.input)
@@ -126,6 +187,9 @@ def main(argv: list[str] | None = None) -> int:
         containment_threshold=args.containment_threshold,
         min_tokens=args.min_tokens,
         max_stopword_ratio=args.max_stopword_ratio,
+        scrub_pii=not args.no_pii_scrub,
+        mix_weights=mix,
+        pack_capacity=args.pack_capacity,
     )
     for stage, n in report.stages:
         print(f"{stage:16s} {n}")

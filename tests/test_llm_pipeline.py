@@ -39,3 +39,50 @@ def test_curate_end_to_end(spark, sf_dir, tmp_path):
     survivors = written.select("doc_id", "text")
     dirty = dd.containment_pairs(survivors, bench, k=3, threshold=0.5).count()
     assert dirty == 0
+
+
+def test_curate_mix_pack_and_scrub(spark, sf_dir, tmp_path):
+    from planet_dump_ng_spark.operators.sampling import weighted_mix
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        # inject PII so the scrub stage has something to mask
+        "text",
+        F.concat(F.col("text"), F.lit(" mail me at a@b.io or 10.0.0.1")),
+    )
+    out = str(tmp_path / "curated")
+    weights = {f"src{i}": 1.0 if i % 2 == 0 else 0.5 for i in range(20)}
+
+    manifest, report = curate(
+        docs,
+        out,
+        mix_weights=weights,
+        pack_capacity=64,
+        min_tokens=1,
+        max_stopword_ratio=1.0,
+    )
+    stages = dict(report.stages)
+    assert stages["mixed"] <= stages["quality"]
+    # the mix stage kept exactly the weighted_mix membership
+    expect = weighted_mix(
+        docs.select("doc_id", "source"), "doc_id", "source", weights
+    ).count()
+    # quality/dedup ran first, so mixed <= expect; but every mixed doc
+    # must be in the weighted membership
+    assert stages["mixed"] <= expect
+
+    written = spark.read.parquet(out)
+    # all text was scrubbed: the injected address and IP are masked
+    assert written.filter(F.col("text").contains("a@b.io")).count() == 0
+    assert written.filter(F.col("text").contains("10.0.0.1")).count() == 0
+    assert written.filter(F.col("text").contains("<EMAIL>")).count() == written.count()
+
+    # the pack manifest covers exactly the train split, gapless
+    packed = spark.read.parquet(out + "_pack")
+    train_n = written.filter(F.col("split") == "train").count()
+    assert packed.count() == train_n
+    rows = sorted(packed.collect(), key=lambda r: (r.start_off, r.n_tok))
+    off = 0
+    for r in rows:
+        if r.n_tok > 0:
+            assert r.start_off == off
+            off += r.n_tok
