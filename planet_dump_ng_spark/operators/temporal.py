@@ -1,9 +1,9 @@
-"""Temporal joins the built-in operator set lacks: as-of join and
-banded range join.
+"""Temporal operators the built-in set lacks: as-of join, banded range
+join, forward fill, and ordered-funnel matching.
 
-Both are implemented as compositions of existing DataFrame ops (the
-preferred strategy for custom operators): no UDFs, no mapPartitions —
-single-shuffle plans that survive 100 TB.
+All are compositions of existing DataFrame ops (the preferred strategy
+for custom operators): no UDFs, no mapPartitions — key-partitioned
+plans that survive 100 TB.
 """
 
 from __future__ import annotations
@@ -108,3 +108,70 @@ def banded_range_join(
         .filter(F.col(left_val).between(F.col("_lo"), F.col("_hi")))
         .drop("_band", "_lo", "_hi")
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    cols: list[str],
+) -> DataFrame:
+    """Carry the last non-null value forward within each partition.
+
+    The gap-fill every feature pipeline needs (sparse sensor readings,
+    sessionized attributes): ``last(ignorenulls)`` over an
+    unbounded-preceding row frame.  Partitioned window — each key's
+    history fills independently, so the plan is one shuffle on the
+    partition key regardless of total size.
+    """
+    w = (
+        W.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumns(
+        {c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols}
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: earliest strictly-increasing event chain per user.
+
+    For steps [s1, s2, ...]: t1 = min ts of s1; t_i = min ts of s_i
+    AFTER t_{i-1}.  Emits one row per user who completed step 1, with
+    t1..tn (NULL once the chain breaks) and ``funnel_depth``.
+
+    Plan shape: per step one filtered aggregate joined to the previous
+    frontier — k-1 equi-joins + k map-side-combinable min-aggregates,
+    all keyed by user.  The per-step filter prunes to that step's events
+    BEFORE the shuffle, so each stage moves only its own step's rows —
+    no window over full per-user histories, no event-list collection.
+    """
+    assert len(steps) >= 1, "funnel needs at least one step"
+    prev = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    out = prev
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == s)
+            .select(user_col, F.col(ts_col).alias("_ts"))
+            .join(prev.select(user_col, f"t{i - 1}"), user_col)
+            .filter(F.col("_ts") > F.col(f"t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        prev = nxt
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = depth + F.col(f"t{i}").isNotNull().cast("int")
+    return out.withColumn("funnel_depth", depth)

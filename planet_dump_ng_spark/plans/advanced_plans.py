@@ -328,3 +328,63 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "lang", "n_tokens", "punct_ratio", verdict.alias("verdict")
     )
+
+
+@register(
+    "forward_fill_values",
+    """
+    SELECT event_id, user_id,
+      last_value(CASE WHEN event_id % 5 <> 0 THEN value END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS filled_value
+    FROM events
+    """,
+    doc="Forward fill (operators.temporal.forward_fill): every 5th "
+    "event's value is masked NULL, then carried forward per user in "
+    "(ts, event_id) order — the gap-fill primitive, one partitioned "
+    "window shuffle; values pass through bit-identically.",
+    tags=("window", "temporal"),
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("value"),
+    )
+    filled = temporal.forward_fill(
+        ev, ["user_id"], ["ts", "event_id"], ["value"]
+    )
+    return filled.select(
+        "event_id", "user_id", F.col("value").alias("filled_value")
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    v AS (SELECT user_id, min(ts) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT v.user_id, v.t1, c.t2, p.t3,
+      1 + (c.t2 IS NOT NULL)::INT + (p.t3 IS NOT NULL)::INT AS funnel_depth
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    doc="Ordered funnel view->click->purchase "
+    "(operators.temporal.funnel): earliest strictly-increasing chain "
+    "per user via per-step filtered min-aggregates joined to the "
+    "previous frontier — each stage shuffles only its own step's "
+    "events, never the full history.",
+    tags=("temporal",),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return temporal.funnel(ev, ["view", "click", "purchase"])

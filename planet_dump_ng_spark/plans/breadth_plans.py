@@ -942,3 +942,75 @@ def training_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         capacity=2048,
         num_buckets=32,
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond the rollup/cube queries): "
+    "detail, one partial, and grand-total sets with the grouping-id "
+    "bitmask — one pass, Spark's Expand keeps the aggregation "
+    "map-side-combinable; decimal-exact revenue.",
+    tags=("agg",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [
+                [F.col("o_orderpriority"), F.col("o_orderstatus")],
+                [F.col("o_orderpriority")],
+                [],
+            ],
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "gid", "n_orders", "revenue"
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT event_type,
+           CAST(least(19, floor(value / 25.0)) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS bin_sum
+    FROM events
+    GROUP BY event_type, bin
+    """,
+    doc="Fixed-width histogram (25-unit bins, clamped top bin) per event "
+    "type: the binning rollup feature stores build constantly; integer "
+    "bin arithmetic is engine-exact, sums decimal-quantized.",
+    tags=("agg",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    b = F.least(F.lit(19), F.floor(F.col("value") / 25.0)).cast("long")
+    return (
+        ev.groupBy("event_type", b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("bin_sum"),
+        )
+    )

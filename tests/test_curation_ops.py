@@ -135,3 +135,51 @@ def test_pack_contiguous_deterministic_across_partitionings(spark):
         pack_contiguous(df.repartition(11), "k", "n", 16, num_buckets=4).collect()
     )
     assert a == b
+
+
+def test_forward_fill_carries_last_non_null(spark):
+    from planet_dump_ng_spark.operators.temporal import forward_fill
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, None),
+            (1, 2, 10.0),
+            (1, 3, None),
+            (1, 4, None),
+            (1, 5, 20.0),
+            (2, 1, None),  # other key: stays null (no prior value)
+        ],
+        "k long, seq long, v double",
+    )
+    out = {
+        (r.k, r.seq): r.v
+        for r in forward_fill(df, ["k"], ["seq"], ["v"]).collect()
+    }
+    assert out[(1, 1)] is None
+    assert out[(1, 3)] == 10.0 and out[(1, 4)] == 10.0
+    assert out[(1, 5)] == 20.0
+    assert out[(2, 1)] is None
+
+
+def test_funnel_strict_ordering(spark):
+    from planet_dump_ng_spark.operators.temporal import funnel
+
+    rows = [
+        # u1 completes all three in order
+        (1, "view", 1.0), (1, "click", 2.0), (1, "purchase", 3.0),
+        # u2 clicks BEFORE viewing: click doesn't count, depth 1
+        (2, "click", 1.0), (2, "view", 2.0),
+        # u3 view+click, purchase at the SAME ts as click (not strictly
+        # after): depth 2
+        (3, "view", 1.0), (3, "click", 2.0), (3, "purchase", 2.0),
+        # u4 never views: excluded entirely
+        (4, "click", 1.0), (4, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows], "user_id long, event_type string, ts double"
+    )
+    out = {r.user_id: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].funnel_depth == 3 and out[1].t3 == 3.0
+    assert out[2].funnel_depth == 1 and out[2].t2 is None
+    assert out[3].funnel_depth == 2 and out[3].t3 is None
