@@ -180,3 +180,37 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     from planet_dump_ng_spark.operators.text import fingerprint
 
     return docs.withColumn("fp", fingerprint("text")).dropDuplicates(["fp"])
+
+
+def curate_stream(docs: DataFrame) -> DataFrame:
+    """Streaming curation transform: PII scrub + quality/repetition gates.
+
+    Every per-document curation operator is a stateless map — exactly the
+    class of transformation Structured Streaming runs unchanged — so the
+    batch operators compose directly onto a stream: scrub first, then
+    score, then gate.  No state store, no watermark, no shuffle: each
+    micro-batch flows through the same codegen'd expressions the batch
+    pipeline uses, so stream output == batch output row-for-row (pinned
+    by tests/test_streaming.py::test_curate_stream_matches_batch).
+    """
+    from planet_dump_ng_spark.operators.text import (
+        quality_features,
+        repetition_features,
+        scrub_pii,
+    )
+
+    scrubbed = docs.withColumn("text", scrub_pii("text"))
+    feats = repetition_features(quality_features(scrubbed))
+    return feats.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_tokens",
+        "stopword_ratio",
+        "repetition_keep",
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("stopword_ratio") <= 0.7)
+            & F.col("repetition_keep")
+        ).alias("quality_keep"),
+    )

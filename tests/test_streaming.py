@@ -306,3 +306,27 @@ def test_hourly_rollup_watermark_drops_late_rows(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert rows == {(base, "click"): (2, 3.0)}
+
+
+def test_curate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The per-document curation transforms (PII scrub, quality +
+    repetition gates) are stateless maps: streaming them micro-batch by
+    micro-batch yields row-for-row the batch result."""
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" ping admin@site.io"))
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+
+    stream = jobs.read_documents_stream(spark, d, max_files_per_trigger=1)
+    jobs.run_to_memory(jobs.curate_stream(stream), "curate_mem", output_mode="append")
+    got = {r.doc_id: r for r in spark.table("curate_mem").collect()}
+
+    expected = {r.doc_id: r for r in jobs.curate_stream(docs).collect()}
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        g = got[k]
+        assert (g.text, g.n_tokens, g.stopword_ratio, g.repetition_keep,
+                g.quality_keep) == (
+            e.text, e.n_tokens, e.stopword_ratio, e.repetition_keep, e.quality_keep)
+        assert "admin@site.io" not in g.text and "<EMAIL>" in g.text
