@@ -183,3 +183,46 @@ def test_funnel_strict_ordering(spark):
     assert out[1].funnel_depth == 3 and out[1].t3 == 3.0
     assert out[2].funnel_depth == 1 and out[2].t2 is None
     assert out[3].funnel_depth == 2 and out[3].t3 is None
+
+
+def test_zorder_buckets_are_2d_local(spark):
+    """Morton bucketing bounds BOTH dimensions per bucket: every z-range
+    bucket's (x, y) envelope is dramatically tighter than the full grid,
+    which is exactly why file min/max stats prune 2-D predicates.  A
+    single-key sort gives a tight envelope in one dimension only."""
+    from planet_dump_ng_spark.operators.layout import cluster_by_zorder
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128 * 512).alias("x"),  # 16-bit grid, 128 steps
+        (F.pmod(F.col("id") * 2654435761, 65536)).alias("y"),
+    )
+    out = cluster_by_zorder(df, F.col("x"), F.col("y"), n_files=64)
+    env = (
+        out.groupBy("zbucket")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert sum(r.n for r in env) == n
+    # 64 buckets tile the 2^32 z-space as an 8x8 grid of 2^13-wide tiles
+    for r in env:
+        assert r.dx < 65536 // 8, r
+        assert r.dy < 65536 // 8, r
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from planet_dump_ng_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0b1111, 0b0000), (0b0000, 0b1111), (0b101, 0b011)], "x long, y long"
+    )
+    got = [r.z for r in df.select(zorder_key(F.col("x"), F.col("y")).alias("z")).collect()]
+    assert got[0] == 0b01010101
+    assert got[1] == 0b10101010
+    # x=101, y=011 -> z bits (y1 x1 y0 x0): 0b011011? compute: pairs
+    # (x0=1,y0=1)->11, (x1=0,y1=1)->10, (x2=1,y2=0)->01 => 0b01_10_11
+    assert got[2] == 0b011011
