@@ -96,3 +96,26 @@ def xxhash_split(
     return df.withColumn("bucket", bucket).withColumn(
         "split", expr.otherwise(list(fractions)[-1])
     )
+
+
+def stratified_take(
+    df: DataFrame, key: str, group_col: str, n_per_group: int
+) -> DataFrame:
+    """Deterministic class balancing: at most ``n_per_group`` rows per
+    group, chosen by content-hash order.
+
+    The training-set balancer: capping over-represented classes without
+    RNG.  Hash order (xxhash64(key), key) is a total order independent
+    of partitioning and engine, so the selection is reproducible AND
+    stable under appends: a new row displaces at most the current
+    largest-hash member, never reshuffles the whole selection.  One
+    partitioned rank window — shuffles each group once, no global sort.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.xxhash64(F.col(key)), key)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )

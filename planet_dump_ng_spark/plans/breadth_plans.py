@@ -1057,3 +1057,33 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.withColumn("zval", z).withColumn(
         "zbucket", F.expr("zval div 67108864")
     )
+
+
+def _stratified_oracle(n: int = 40) -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    h = xxh64_long_inline("doc_id")
+    return f"""
+    WITH r AS (SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY {h}, doc_id) AS rn
+               FROM documents)
+    SELECT doc_id, lang, source FROM r WHERE rn <= {n}
+    """
+
+
+@register(
+    "stratified_take",
+    _stratified_oracle(),
+    doc="Deterministic class balancing "
+    "(operators.sampling.stratified_take): at most 40 docs per language "
+    "in content-hash order — one partitioned rank window, reproducible "
+    "across engines/partitionings, append-stable; oracle replays "
+    "Spark's xxhash64 hashLong.",
+    tags=("sampling", "curation"),
+)
+def stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.sampling import stratified_take as take
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return take(docs, "doc_id", "lang", 40)

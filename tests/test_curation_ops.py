@@ -226,3 +226,28 @@ def test_zorder_key_interleaves_bits(spark):
     # x=101, y=011 -> z bits (y1 x1 y0 x0): 0b011011? compute: pairs
     # (x0=1,y0=1)->11, (x1=0,y1=1)->10, (x2=1,y2=0)->01 => 0b01_10_11
     assert got[2] == 0b011011
+
+
+def test_stratified_take_caps_and_append_stability(spark):
+    from planet_dump_ng_spark.operators.sampling import stratified_take
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    took = stratified_take(df, "k", "g", 20)
+    per = {r.g: r.n for r in took.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 20 for n in per.values())
+    # under-capacity group: all rows kept
+    small = df.filter("k < 10")  # groups of ~3-4
+    assert stratified_take(small, "k", "g", 20).count() == 10
+    # appending rows displaces at most (never grows selections past cap,
+    # and existing picks survive unless displaced by a smaller hash)
+    a = {(r.g, r.k) for r in took.collect()}
+    bigger = spark.range(600).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    b = {(r.g, r.k) for r in stratified_take(bigger, "k", "g", 20).collect()}
+    assert len(b) == 60
+    # the selection changes only by displacement: members of b that were
+    # available to a (k < 500) must have been chosen by a too
+    assert {(g, k) for (g, k) in b if k < 500} <= a
