@@ -1087,3 +1087,41 @@ def stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return take(docs, "doc_id", "lang", 40)
+
+
+@register(
+    "profile_orders",
+    """
+    WITH s AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT 'o_custkey' AS "column", s.n AS n_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_nulls,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_distinct,
+           (SELECT CAST(MIN(o_custkey) AS VARCHAR) FROM orders) AS min_val,
+           (SELECT CAST(MAX(o_custkey) AS VARCHAR) FROM orders) AS max_val
+    FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', s.n,
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL),
+           (SELECT COUNT(DISTINCT o_orderstatus) FROM orders),
+           (SELECT MIN(o_orderstatus) FROM orders),
+           (SELECT MAX(o_orderstatus) FROM orders)
+    FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', s.n,
+           (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL),
+           (SELECT COUNT(DISTINCT o_orderpriority) FROM orders),
+           (SELECT MIN(o_orderpriority) FROM orders),
+           (SELECT MAX(o_orderpriority) FROM orders)
+    FROM s
+    """,
+    doc="Column profiler (operators.dataset.profile_columns): row/null/"
+    "exact-distinct counts and min/max per column in ONE aggregate pass "
+    "(Expand-rewritten multi-distinct), unpivoted to long format — the "
+    "data-quality sweep run before any 100 TB ingest is trusted.",
+    tags=("profile",),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.dataset import profile_columns
+
+    o = table(spark, sf_dir, "orders")
+    return profile_columns(o, ["o_custkey", "o_orderstatus", "o_orderpriority"])
