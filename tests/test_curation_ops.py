@@ -251,3 +251,53 @@ def test_stratified_take_caps_and_append_stability(spark):
     # the selection changes only by displacement: members of b that were
     # available to a (k < 500) must have been chosen by a too
     assert {(g, k) for (g, k) in b if k < 500} <= a
+
+
+def test_repetition_fold_matches_counter_reference(spark):
+    """Property: the sorted-array fold's top-frequency equals
+    collections.Counter on randomized token lists (incl. empties,
+    repeats, and unicode)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "Ω", "x1", "🠀"]
+    docs = []
+    for i in range(200):
+        n = rng.randrange(0, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    from planet_dump_ng_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks)
+        top = Counter(toks).most_common(1)[0][1] if toks else 0
+        assert got[i].n_words == n
+        assert got[i].top_word_ratio == top / max(n, 1)
+        assert got[i].dup_word_ratio == (n - len(set(toks))) / max(n, 1)
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        nb = len(bigrams)
+        assert got[i].dup_bigram_ratio == (nb - len(set(bigrams))) / max(nb, 1)
+
+
+def test_pack_contiguous_random_sizes_property(spark):
+    """Property: for random token sizes the packed stream is a
+    permutation of the docs with exact cumulative offsets."""
+    import random
+
+    rng = random.Random(7)
+    sizes = [(i, rng.randrange(0, 40)) for i in range(257)]
+    from planet_dump_ng_spark.operators.dataset import pack_contiguous
+
+    df = spark.createDataFrame(sizes, "k long, n long")
+    rows = pack_contiguous(df, "k", "n", capacity=17, num_buckets=8).collect()
+    assert {r.k for r in rows} == {k for k, _ in sizes}
+    assert sum(r.n_tok for r in rows) == sum(n for _, n in sizes)
+    seen = sorted(rows, key=lambda r: (r.start_off, r.n_tok))
+    off = 0
+    for r in seen:
+        if r.n_tok > 0:
+            assert r.start_off == off
+            off += r.n_tok
