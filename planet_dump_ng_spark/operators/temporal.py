@@ -175,3 +175,80 @@ def funnel(
     for i in range(2, len(steps) + 1):
         depth = depth + F.col(f"t{i}").isNotNull().cast("int")
     return out.withColumn("funnel_depth", depth)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval builder.
+
+    Turns a change-event stream into validity intervals: one row per
+    (key, change) with ``valid_from`` = the change's order value,
+    ``valid_to`` = the NEXT change's (NULL while current), plus
+    ``is_current``.  Consecutive events with UNCHANGED values collapse
+    into one interval (the run-suppression every SCD2 loader needs).
+
+    Plan: one partitioned window for the change detection (lag), a
+    filter, then one more window for the interval close (lead) — two
+    passes over each key's history, no self-join, no global sort.
+    """
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    changed = F.lit(False)
+    for c in value_cols:
+        prev = F.lag(F.col(c)).over(w)
+        changed = changed | ~(
+            prev.eqNullSafe(F.col(c))
+        )  # first row: lag NULL != value -> True unless value NULL too
+    # the very first event of a key always opens an interval
+    first = F.row_number().over(w) == 1
+    starts = df.withColumn("_open", first | changed).filter(F.col("_open"))
+    w2 = W.partitionBy(*key_cols).orderBy(*order_cols)
+    open_col = order_cols[0]
+    return (
+        starts.withColumn("valid_from", F.col(open_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_open")
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """MERGE-INTO semantics as a full outer join: updates win, and every
+    output row is labeled ``merge_action`` in {insert, update,
+    unchanged} (delete is expressing an absent update — callers filter).
+
+    The change-data-capture primitive: one shuffle on the key (or zero
+    with bucketed tables), conditional projection — no driver loops, no
+    row-at-a-time logic.
+    """
+    b = base.select(key, *value_cols, F.lit(True).alias("_in_b"))
+    u = updates.select(
+        key,
+        *[F.col(c).alias(f"_u_{c}") for c in value_cols],
+        F.lit(True).alias("_in_u"),
+    )
+    j = b.join(u, key, "full_outer")
+    any_diff = F.lit(False)
+    for c in value_cols:
+        any_diff = any_diff | ~F.col(f"_u_{c}").eqNullSafe(F.col(c))
+    action = (
+        F.when(F.col("_in_u").isNull(), F.lit("unchanged"))  # base only
+        .when(F.col("_in_b").isNull(), F.lit("insert"))  # brand new key
+        .when(any_diff, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_vals = [
+        F.when(F.col("_in_u").isNotNull(), F.col(f"_u_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in value_cols
+    ]
+    return j.select(key, *out_vals, action.alias("merge_action"))

@@ -388,3 +388,103 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return temporal.funnel(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "scd2_user_bands",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                      CAST(floor(value / 100) AS BIGINT) AS band
+               FROM events),
+    w1 AS (SELECT *,
+             lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_band,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+           FROM e),
+    starts AS (SELECT user_id, ts, event_id, band FROM w1
+               WHERE rn = 1 OR band IS DISTINCT FROM prev_band),
+    iv AS (SELECT user_id, band, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+           FROM starts)
+    SELECT user_id, band, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM iv
+    """,
+    doc="SCD-type-2 interval builder (operators.temporal.scd2_intervals): "
+    "a change-event stream becomes validity intervals with unchanged-run "
+    "suppression — lag for change detection, lead for interval close, "
+    "two partitioned windows and zero self-joins.",
+    tags=("temporal", "scd"),
+)
+def scd2_user_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 100).cast("bigint").alias("band"),
+    )
+    iv = temporal.scd2_intervals(ev, ["user_id"], ["ts", "event_id"], ["band"])
+    return iv.select("user_id", "band", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice
+                  ELSE o_totalprice + 1.0 END AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_totalprice, 'N'
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NULL THEN 'unchanged'
+                WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN u.o_totalprice IS DISTINCT FROM b.o_totalprice
+                     OR u.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                  THEN 'update'
+                ELSE 'unchanged' END AS merge_action
+    FROM base b FULL OUTER JOIN upd u USING (o_orderkey)
+    """,
+    doc="MERGE INTO semantics (operators.temporal.merge_upsert): "
+    "full-outer join + conditional projection labels every row insert/"
+    "update/unchanged — the CDC upsert primitive, one key shuffle (zero "
+    "with bucketed tables); the update set is derived deterministically "
+    "so the oracle replays it.",
+    tags=("join", "cdc"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 14 == 0, F.col("o_totalprice")
+            )
+            .otherwise(F.col("o_totalprice") + 1.0)
+            .alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    return temporal.merge_upsert(
+        base, upd, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )

@@ -301,3 +301,46 @@ def test_pack_contiguous_random_sizes_property(spark):
         if r.n_tok > 0:
             assert r.start_off == off
             off += r.n_tok
+
+
+def test_scd2_intervals_run_suppression(spark):
+    from planet_dump_ng_spark.operators.temporal import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "a"),  # unchanged run collapses
+            (1, 3, "b"),               # change opens interval at 3
+            (1, 4, "b"), (1, 5, "a"),  # back to 'a' opens a NEW interval
+            (2, 1, None), (2, 2, None), (2, 3, "x"),  # null-safe compare
+        ],
+        "k long, seq long, v string",
+    )
+    iv = scd2_intervals(df, ["k"], ["seq"], ["v"])
+    got = sorted(
+        (r.k, r.valid_from, r.valid_to, r.v, r.is_current)
+        for r in iv.collect()
+    )
+    assert got == [
+        (1, 1, 3, "a", False),
+        (1, 3, 5, "b", False),
+        (1, 5, None, "a", True),
+        (2, 1, 3, None, False),
+        (2, 3, None, "x", True),
+    ]
+
+
+def test_merge_upsert_actions(spark):
+    from planet_dump_ng_spark.operators.temporal import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    upd = spark.createDataFrame(
+        [(2, 21.0), (3, None), (9, 90.0), (4, None)], "k long, v double"
+    )
+    got = {r.k: (r.v, r.merge_action) for r in merge_upsert(base, upd, "k", ["v"]).collect()}
+    assert got[1] == (10.0, "unchanged")  # base only
+    assert got[2] == (21.0, "update")
+    assert got[3] == (None, "unchanged")  # update matches (null-safe)
+    assert got[9] == (90.0, "insert")
+    assert got[4] == (None, "insert")  # new key with NULL payload
