@@ -114,11 +114,16 @@ def main() -> int:
             "overwrite"
         ).save()
 
+    # Two timed passes, report the min: single-shot numbers swing 30%+
+    # with JIT tiering and run order in a fresh JVM; min-of-2 measures the
+    # plan, not the noise (cluster sessions are long-lived anyway).
     timings: dict[str, float] = {}
-    for name, spec in bench_specs.items():
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name, spec in bench_specs.items():
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     pipe = pipeline_bench(spark)
 

@@ -86,3 +86,28 @@ def test_curate_mix_pack_and_scrub(spark, sf_dir, tmp_path):
         if r.n_tok > 0:
             assert r.start_off == off
             off += r.n_tok
+
+
+def test_curate_cli_main(spark, sf_dir, tmp_path, capsys):
+    """The CLI surface end-to-end: flag parsing (incl. mix weights and
+    pack capacity), attrition printout, and on-disk outputs."""
+    from planet_dump_ng_spark.llm_pipeline import main
+
+    src = str(tmp_path / "docs_in")
+    table(spark, sf_dir, "documents").write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "cli_out")
+    rc = main(
+        [
+            "--input", src,
+            "--output", out,
+            "--min-tokens", "1",
+            "--max-stopword-ratio", "1.0",
+            "--mix-weights", ",".join(f"src{i}=1.0" for i in range(20)),
+            "--pack-capacity", "128",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "raw" in printed and "mixed" in printed and "split=" in printed
+    assert spark.read.parquet(out).count() > 0
+    assert spark.read.parquet(out + "_pack").count() > 0
