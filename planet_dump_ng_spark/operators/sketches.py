@@ -1,0 +1,268 @@
+"""Distributed sketch operators: HyperLogLog / KMV distinct-count,
+Bloom-filter join pruning, and Count-Min heavy hitters.
+
+These are the fixed-size-state summaries a 100 TB pipeline leans on when
+exact answers need a full shuffle of the raw keys: register/bucket
+updates combine map-side, so the shuffle carries at most ``m`` rows per
+group no matter how many input rows there are.  Everything is built on
+Spark's ``xxhash64`` plus integer register math — no RNG, no
+transcendental functions — so every sketch output is bit-deterministic
+and the DuckDB oracle replays it exactly through the xxhash64 replica
+(plans/duck_xxh64.py).  The one float op per estimate is a single
+division whose operands are exact integers (converted once to double),
+which both engines round identically.
+
+Why not ``approx_count_distinct``: Spark's built-in HLL++ is the right
+production choice, but its estimate depends on an opaque internal hash
+and bias tables, so it cannot be hash-verified against an independent
+oracle.  These sketches trade a few lines of register math for full
+end-to-end verifiability with the same O(m) state contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_TWO64 = float(2**64)
+
+
+def _unsigned_split(h, lo_bits: int):
+    """Split a signed 64-bit hash column into (high, low) of the unsigned
+    value: high = h >>> lo_bits, low = h & (2^lo_bits - 1).  Pure bit ops
+    on the two's-complement long — no overflow under ANSI mode."""
+    mask = (1 << lo_bits) - 1
+    return F.shiftrightunsigned(h, lo_bits), h.bitwiseAND(F.lit(mask))
+
+
+def hll_alpha(m: int) -> float:
+    """The standard HLL bias constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate next to the exact count.
+
+    Register update: j = top ``p`` hash bits, rho = 1 + leading zeros of
+    the remaining ``64-p`` bits (via ``length(bin(w))`` — both engines
+    print minimal binary).  The raw-estimate harmonic sum is kept exact
+    by summing the *integer* ``2^(62-rho)`` (rho >= 1, so each term fits
+    a long; the sum is a DECIMAL(38,0)); empty registers contribute
+    ``2^62`` each.  The estimate is the raw HLL formula
+    ``alpha * m^2 / sum(2^-rho)`` — one double division of exact
+    operands.  Linear counting needs ``ln`` (libm-dependent), so this
+    variant deliberately reports the raw estimate only; use it in the
+    n/m >> 1 regime.
+
+    Scale: two map-side-combinable aggregations; shuffle volume is
+    O(groups * m), independent of input rows.
+    """
+    m = 1 << p
+    wbits = 64 - p
+    scale = hll_alpha(m) * m * m * float(2**62)
+    j, w = _unsigned_split(F.xxhash64(F.col(value_col)), wbits)
+    regs = (
+        df.select(F.col(group_col), j.alias("j"), w.alias("w"))
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+                F.lit(wbits + 1) - F.length(F.bin(F.col("w")))
+            ),
+        )
+        .groupBy(group_col, "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+    sums = regs.groupBy(group_col).agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 62 - rho) AS DECIMAL(38,0))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("hll_registers"),
+    )
+    est = sums.select(
+        F.col(group_col),
+        F.col("hll_registers"),
+        (
+            F.lit(scale)
+            / (
+                F.col("s_present")
+                + (F.lit(m) - F.col("hll_registers")).cast("decimal(38,0)")
+                * F.lit(2**62).cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("hll_estimate"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).alias("exact_distinct")
+    )
+    return est.join(exact, group_col)
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group K-Minimum-Values distinct estimate next to the exact count.
+
+    Keeps the ``k`` smallest distinct *unsigned* hash values per group
+    (signed hashes are lifted to DECIMAL(20,0) so the order matches the
+    oracle's HUGEINT order); the unbiased estimator is
+    ``(k-1) * 2^64 / h_(k)``.  Groups with fewer than ``k`` distinct
+    hashes report the exact count (the sketch saw every value).
+
+    Scale: distinct + a per-group rank window — both partition by the
+    group key, so state per task is bounded by the group's distinct
+    hashes; the window never sees more than the post-distinct rows.
+    """
+    u = (
+        F.xxhash64(F.col(value_col)).cast("decimal(20,0)")
+        + F.when(
+            F.xxhash64(F.col(value_col)) < 0,
+            F.expr("CAST(18446744073709551616 AS DECIMAL(20,0))"),
+        ).otherwise(F.expr("CAST(0 AS DECIMAL(20,0))"))
+    ).alias("u")
+    from pyspark.sql import Window as W
+
+    hashes = df.select(F.col(group_col), u).distinct()
+    win = W.partitionBy(group_col).orderBy("u")
+    tops = hashes.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") <= k
+    )
+    summ = tops.groupBy(group_col).agg(
+        F.max("u").alias("kth"), F.count(F.lit(1)).alias("n_seen")
+    )
+    est = summ.select(
+        F.col(group_col),
+        F.col("kth").cast("double").alias("kth_hash"),
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.lit(float(k - 1) * _TWO64) / F.col("kth").cast("double"))
+        .alias("kmv_estimate"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).alias("exact_distinct")
+    )
+    return est.join(exact, group_col)
+
+
+def _km_positions(h, i: int, m_bits: int):
+    """Kirsch-Mitzenmacher double hashing: position_i = (lo + i*hi) % m
+    with lo = low 32 hash bits, hi = high 32 bits forced odd.  Operands
+    stay < 3 * 2^32 — no long overflow under ANSI mode, no per-i rehash.
+    """
+    hi, lo = _unsigned_split(h, 32)
+    hi_odd = hi.bitwiseOR(F.lit(1))
+    return F.pmod(lo + F.lit(i) * hi_odd, F.lit(m_bits))
+
+
+def bloom_prune_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    group_col: str,
+    m_bits: int = 65536,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter runtime join pruning, reported per probe group.
+
+    The build side's keys set ``k`` Kirsch-Mitzenmacher bit positions
+    each; a probe key survives iff all ``k`` of its positions are set.
+    Returns per-group counts over distinct (group, probe key) pairs:
+    ``n_bloom_pass`` / ``n_true_match`` / ``n_false_pos`` — by
+    construction there are never false negatives (every true match
+    passes), which the test suite pins.
+
+    The bit set is represented relationally (distinct positions,
+    <= k*|build| rows, broadcast) so the oracle can replay it; on a real
+    cluster the same positions would be OR-ed into Spark's native
+    runtime Bloom filter — the plan shape (tiny broadcast build, probe
+    scan never shuffled) is identical.
+    """
+    bits = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[
+                        _km_positions(F.xxhash64(F.col(build_key)), i, m_bits)
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe_keys = probe.select(F.col(group_col), F.col(probe_key).alias("pk")).distinct()
+    probe_pos = probe_keys.select(
+        F.col(group_col),
+        "pk",
+        F.posexplode(
+            F.array(
+                *[
+                    _km_positions(F.xxhash64(F.col("pk")), i, m_bits)
+                    for i in range(k)
+                ]
+            )
+        ).alias("i", "pos"),
+    )
+    passed = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy(group_col, "pk")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == k)
+    )
+    true_keys = (
+        build.select(F.col(build_key).alias("pk")).distinct().withColumn("is_true", F.lit(1))
+    )
+    verdict = passed.join(F.broadcast(true_keys), "pk", "left")
+    return verdict.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true_match"),
+        F.sum(F.when(F.col("is_true").isNull(), 1).otherwise(0)).alias(
+            "n_false_pos"
+        ),
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    weight: str | None = None,
+    w: int = 256,
+    d: int = 3,
+    topk: int = 20,
+) -> DataFrame:
+    """Count-Min heavy hitters: top-``topk`` keys by sketch estimate.
+
+    The classic hot-key detector (e.g. find skewed join keys before
+    salting).  Exact per-key counts are aggregated once (needed for the
+    report anyway), then folded into the ``d x w`` sketch — so the
+    sketch build shuffles distinct keys, not raw rows, and the sketch
+    itself (<= d*w rows) is broadcast back for the min-over-rows probe.
+    ``est_count >= exact_count`` always (Count-Min never undercounts).
+
+    Output order is deterministic: est desc, then key asc; ties at the
+    cut line cannot reorder across engines.
+    """
+    counts = df.groupBy(F.col(value_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    key_pos = counts.select(
+        "key",
+        "exact_count",
+        F.posexplode(
+            F.array(
+                *[_km_positions(F.xxhash64(F.col("key")), i, w) for i in range(d)]
+            )
+        ).alias("i", "pos"),
+    )
+    cms = key_pos.groupBy("i", "pos").agg(
+        F.sum("exact_count").alias("bucket_total")
+    )
+    est = (
+        key_pos.join(F.broadcast(cms), ["i", "pos"])
+        .groupBy("key", "exact_count")
+        .agg(F.min("bucket_total").alias("est_count"))
+    )
+    return (
+        est.orderBy(F.col("est_count").desc(), F.col("key").asc())
+        .limit(topk)
+        .select("key", "est_count", "exact_count")
+    )

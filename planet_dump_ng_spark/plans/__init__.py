@@ -12,6 +12,7 @@ def load_all() -> None:
         multimodal_plans,
         relational,
         similarity_plans,
+        sketch_plans,
         streaming_plans,
         text_plans,
         tpch_plans,

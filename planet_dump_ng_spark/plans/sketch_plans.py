@@ -1,0 +1,185 @@
+"""Sketch queries — HLL / KMV distinct, Bloom join pruning, Count-Min
+heavy hitters — each hash-exact against a DuckDB oracle that replays the
+sketch bit-for-bit through the xxhash64 replica (plans/duck_xxh64.py).
+
+The estimates themselves are deterministic integers plus exactly one
+double division per row (exact integer operands), so the driver's
+value-hash compare holds without tolerance knobs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from planet_dump_ng_spark.operators import sketches as sk
+from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+from planet_dump_ng_spark.plans.registry import register, table
+
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _unsigned(expr: str, prefix: str) -> str:
+    """Unsigned [0, 2^64) HUGEINT of Spark's signed xxhash64(bigint)."""
+    h = xxh64_long_inline(expr, prefix=prefix)
+    return f"((CAST({h} AS HUGEINT) % {_M64} + {_M64}) % {_M64})"
+
+
+def _hll_oracle(p: int = 8) -> str:
+    m = 1 << p
+    wbits = 64 - p
+    wmod = 1 << wbits
+    scale = sk.hll_alpha(m) * m * m * float(2**62)
+    return f"""
+    WITH h AS (SELECT l_returnflag, {_unsigned('l_orderkey', 'hl')} AS u
+               FROM lineitem),
+    r AS (SELECT l_returnflag,
+                 CAST(u // {wmod} AS BIGINT) AS j,
+                 CAST(u % {wmod} AS BIGINT) AS w FROM h),
+    regs AS (SELECT l_returnflag, j,
+                    MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                        ELSE {wbits + 1} - length(bin(w)) END) AS rho
+             FROM r GROUP BY l_returnflag, j),
+    agg AS (SELECT l_returnflag,
+                   SUM(CAST(1::BIGINT << (62 - rho) AS HUGEINT)) AS s_present,
+                   COUNT(*) AS hll_registers
+            FROM regs GROUP BY l_returnflag),
+    ex AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct
+           FROM lineitem GROUP BY l_returnflag)
+    SELECT a.l_returnflag, a.hll_registers,
+           {scale!r} / CAST(a.s_present
+             + ({m} - a.hll_registers) * CAST(1::BIGINT << 62 AS HUGEINT)
+             AS DOUBLE) AS hll_estimate,
+           ex.exact_distinct
+    FROM agg a JOIN ex USING (l_returnflag)
+    """
+
+
+@register(
+    "hll_distinct_orders",
+    _hll_oracle(),
+    doc="HyperLogLog(p=8) distinct orders per return flag beside the exact "
+    "count; integer register math keeps the estimate hash-exact.",
+    tags=("sketch", "agg", "bench"),
+)
+def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sk.hll_distinct(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_orderkey", p=8
+    )
+
+
+def _kmv_oracle(k: int = 64) -> str:
+    num = float(k - 1) * float(2**64)
+    return f"""
+    WITH h AS (SELECT DISTINCT l_returnflag,
+                      {_unsigned('l_partkey', 'kv')} AS u FROM lineitem),
+    r AS (SELECT l_returnflag, u,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY u) AS rn
+          FROM h),
+    t AS (SELECT l_returnflag, MAX(u) AS kth, COUNT(*) AS n_seen
+          FROM r WHERE rn <= {k} GROUP BY l_returnflag),
+    ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+           FROM lineitem GROUP BY l_returnflag)
+    SELECT t.l_returnflag,
+           CAST(t.kth AS DOUBLE) AS kth_hash,
+           CASE WHEN t.n_seen < {k} THEN CAST(t.n_seen AS DOUBLE)
+                ELSE {num!r} / CAST(t.kth AS DOUBLE) END AS kmv_estimate,
+           ex.exact_distinct
+    FROM t JOIN ex USING (l_returnflag)
+    """
+
+
+@register(
+    "kmv_distinct_parts",
+    _kmv_oracle(),
+    doc="K-Minimum-Values(k=64) distinct parts per return flag beside the "
+    "exact count; kth-smallest unsigned hash drives the estimator.",
+    tags=("sketch", "window"),
+)
+def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sk.kmv_distinct(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_partkey", k=64
+    )
+
+
+def _km_pos_sql(i: int, m_bits: int) -> str:
+    """Kirsch-Mitzenmacher position i from (lo, hi) columns."""
+    return f"(lo + {i} * hi) % {m_bits}"
+
+
+def _bloom_oracle(m_bits: int = 65536, k: int = 3, cutoff: float = 400000.0) -> str:
+    b_pos = ", ".join(_km_pos_sql(i, m_bits) for i in range(k))
+    return f"""
+    WITH bk AS (SELECT DISTINCT o_orderkey AS key FROM orders
+                WHERE o_totalprice > {cutoff}),
+    bu AS (SELECT key, {_unsigned('key', 'bb')} AS u FROM bk),
+    bs AS (SELECT key, CAST(u % 4294967296 AS BIGINT) AS lo,
+                  CAST(u // 4294967296 AS BIGINT) | 1 AS hi FROM bu),
+    bits AS (SELECT DISTINCT pos
+             FROM (SELECT unnest([{b_pos}]) AS pos FROM bs) q),
+    pk AS (SELECT DISTINCT l_returnflag, l_orderkey AS pkey FROM lineitem),
+    pu AS (SELECT l_returnflag, pkey, {_unsigned('pkey', 'bp')} AS u FROM pk),
+    ps AS (SELECT l_returnflag, pkey, CAST(u % 4294967296 AS BIGINT) AS lo,
+                  CAST(u // 4294967296 AS BIGINT) | 1 AS hi FROM pu),
+    pp AS (SELECT l_returnflag, pkey, unnest([{b_pos}]) AS pos FROM ps),
+    hits AS (SELECT l_returnflag, pkey, COUNT(*) AS n_hit
+             FROM pp JOIN bits USING (pos) GROUP BY l_returnflag, pkey),
+    passed AS (SELECT l_returnflag, pkey FROM hits WHERE n_hit = {k})
+    SELECT p.l_returnflag,
+           COUNT(*) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN b.key IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_true_match,
+           CAST(SUM(CASE WHEN b.key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos
+    FROM passed p LEFT JOIN bk b ON p.pkey = b.key
+    GROUP BY p.l_returnflag
+    """
+
+
+@register(
+    "bloom_join_prune",
+    _bloom_oracle(),
+    doc="Bloom-filter runtime join pruning (m=65536 bits, k=3): lineitem "
+    "keys probed against high-value orders; reports pass/true/false-"
+    "positive counts per return flag — never a false negative.",
+    tags=("sketch", "join", "bench"),
+)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    probe = table(spark, sf_dir, "lineitem")
+    build = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return sk.bloom_prune_join(
+        probe, build, "l_orderkey", "o_orderkey", "l_returnflag",
+        m_bits=65536, k=3,
+    )
+
+
+def _cms_oracle(w: int = 256, d: int = 3, topk: int = 20) -> str:
+    return f"""
+    WITH c AS (SELECT l_partkey AS key, COUNT(*) AS exact_count
+               FROM lineitem GROUP BY l_partkey),
+    u AS (SELECT key, exact_count, {_unsigned('key', 'cm')} AS uu FROM c),
+    kp AS (SELECT key, exact_count,
+                  CAST(uu % 4294967296 AS BIGINT) AS lo,
+                  CAST(uu // 4294967296 AS BIGINT) | 1 AS hi FROM u),
+    pos AS (SELECT key, exact_count, ii.i, (lo + ii.i * hi) % {w} AS pos
+            FROM kp, (SELECT unnest(range(0, {d})) AS i) ii),
+    cms AS (SELECT i, pos, CAST(SUM(exact_count) AS BIGINT) AS bucket_total
+            FROM pos GROUP BY i, pos),
+    est AS (SELECT p.key, p.exact_count, MIN(m.bucket_total) AS est_count
+            FROM pos p JOIN cms m USING (i, pos) GROUP BY p.key, p.exact_count)
+    SELECT key, est_count, exact_count FROM est
+    ORDER BY est_count DESC, key ASC LIMIT {topk}
+    """
+
+
+@register(
+    "cms_heavy_hitters",
+    _cms_oracle(),
+    doc="Count-Min(d=3, w=256) heavy hitters over lineitem part keys — the "
+    "hot-key detector a salting stage consumes; est >= exact always.",
+    tags=("sketch", "topk"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sk.cms_heavy_hitters(
+        table(spark, sf_dir, "lineitem"), "l_partkey", w=256, d=3, topk=20
+    )
