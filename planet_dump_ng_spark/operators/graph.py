@@ -134,3 +134,46 @@ def pagerank(
             )
         )
     return state.select(F.col("src").alias("id"), "rank")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected simple graph given as distinct
+    ``(s1, s2)`` edges with ``s1 < s2``.
+
+    Degree-ordered wedge enumeration: orient every edge from its
+    lower-(degree, id) endpoint, enumerate wedges at the low apex, and
+    close them with one equi-join back onto the oriented edge list.
+    Each triangle is produced exactly once, and a hub of degree d
+    contributes O(d^1.5) oriented wedges instead of O(d^2) — the bound
+    that keeps the wedge join skew-free on power-law graphs.  Three
+    shuffles total (degree agg, wedge join, closing join).
+    """
+    deg = (
+        edges.select(F.col("s1").alias("v"))
+        .unionAll(edges.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = edges.join(deg.withColumnsRenamed({"v": "s1", "d": "d1"}), "s1").join(
+        deg.withColumnsRenamed({"v": "s2", "d": "d2"}), "s2"
+    )
+    lower = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))
+    )
+    oriented = e.select(
+        F.when(lower, F.col("s1")).otherwise(F.col("s2")).alias("lo"),
+        F.when(lower, F.col("s2")).otherwise(F.col("s1")).alias("hi"),
+    ).persist()
+    w1 = oriented.alias("w1")
+    w2 = oriented.alias("w2")
+    c = oriented.alias("c")
+    return (
+        w1.join(
+            w2,
+            (F.col("w1.lo") == F.col("w2.lo")) & (F.col("w1.hi") < F.col("w2.hi")),
+        )
+        .join(
+            c, (F.col("c.lo") == F.col("w1.hi")) & (F.col("c.hi") == F.col("w2.hi"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -9,6 +9,7 @@ def load_all() -> None:
         advanced_plans,
         breadth_plans,
         dedup_plans,
+        graph_plans,
         multimodal_plans,
         relational,
         similarity_plans,

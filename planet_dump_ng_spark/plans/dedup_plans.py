@@ -6,6 +6,7 @@ property tests in tests/test_dedup.py pin the operators besides."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from planet_dump_ng_spark.operators import dedup as dd
 from planet_dump_ng_spark.plans.registry import register, table
@@ -276,3 +277,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dd.dedup_keep_first(docs).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "fuzzy_name_match",
+    """
+    WITH blocked AS (
+        SELECT a.p_partkey AS part1, b.p_partkey AS part2,
+               levenshtein(a.p_name, b.p_name) AS edit_dist
+        FROM part a
+        JOIN part b
+          ON a.p_brand = b.p_brand
+         AND substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+         AND a.p_partkey < b.p_partkey
+    )
+    SELECT part1, part2, edit_dist
+    FROM blocked WHERE edit_dist <= 4
+    """,
+    doc="Blocked edit-distance entity resolution over part names: "
+    "candidate pairs come from an equi-join on (brand, 4-char "
+    "name prefix) — never an all-pairs product — then exact Levenshtein "
+    "filters within each block. The prefix block is the standard "
+    "recall/cost trade and is part of the operator contract. Blocking "
+    "keys here have bounded cardinality, so at extreme scale blocks "
+    "grow — the scale path is then dedup_minhash_lsh, whose bucket "
+    "count grows with the data; this plan is the exact-verify shape "
+    "run within blocks or on LSH candidates.",
+    tags=("dedup", "join"),
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("part1"),
+        F.col("p_brand").alias("mfgr"),
+        F.col("p_name").alias("name1"),
+        F.substring("p_name", 1, 4).alias("pfx"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part2"),
+        F.col("p_brand").alias("mfgr"),
+        F.col("p_name").alias("name2"),
+        F.substring("p_name", 1, 4).alias("pfx"),
+    )
+    pairs = a.join(b, ["mfgr", "pfx"]).filter(F.col("part1") < F.col("part2"))
+    return (
+        pairs.withColumn("edit_dist", F.levenshtein("name1", "name2"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("part1", "part2", "edit_dist")
+    )

@@ -123,3 +123,49 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
     )
+
+
+@register(
+    "view_purchase_join",
+    """
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))
+               AS lag_us
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+    doc="View->purchase attribution within 30 min: batch analog of the "
+    "watermarked stream-stream interval join (streaming/jobs.py). "
+    "Equi-join on user_id bounds the fan-out; the time predicate is a "
+    "residual filter, not a theta-join — scales as one hash join.",
+    tags=("streaming", "join", "temporal"),
+)
+def view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = v.join(
+        p,
+        (v["user_id"] == p["p_user_id"])
+        & (p["p_ts"] >= v["v_ts"])
+        & (p["p_ts"] <= v["v_ts"] + F.expr("interval 30 minutes")),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )

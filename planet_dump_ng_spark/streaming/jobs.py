@@ -214,3 +214,52 @@ def curate_stream(docs: DataFrame) -> DataFrame:
             & F.col("repetition_keep")
         ).alias("quality_keep"),
     )
+
+
+def view_purchase_join_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each view joins the
+    purchases of the same user landing within 30 minutes after it.
+
+    Both sides carry a watermark, so Spark can bound the join state: a
+    buffered view is dropped once the purchase-side watermark passes
+    v_ts + 30 min, and a buffered purchase once the view-side watermark
+    passes p_ts.  State is therefore (watermark horizon x arrival rate)
+    per side, independent of stream length — the property that makes
+    this join viable on an unbounded 100 TB/day bus.  The batch analog
+    (plans/streaming_plans.view_purchase_join) is the oracle-checked
+    form; equivalence is pinned by tests/test_streaming.py.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + interval 30 minutes"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )

@@ -115,3 +115,22 @@ def test_doc_chunking_covers_all_tokens(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_triangle_count_known_graph(spark):
+    from planet_dump_ng_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant edge 4-5 (0 more) + a
+    # disjoint triangle {6,7,8} (1 more) = 5 triangles total.
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (6, 7), (6, 8), (7, 8)]
+    df = spark.createDataFrame(edges, "s1 long, s2 long")
+    assert triangle_count(df).first().n_triangles == 5
+
+
+def test_triangle_count_triangle_free(spark):
+    from planet_dump_ng_spark.operators.graph import triangle_count
+
+    # a 4-cycle has wedges but no closing edge
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], "s1 long, s2 long")
+    assert triangle_count(df).first().n_triangles == 0

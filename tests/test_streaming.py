@@ -330,3 +330,57 @@ def test_curate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
                 g.quality_keep) == (
             e.text, e.n_tokens, e.stopword_ratio, e.repetition_keep, e.quality_keep)
         assert "admin@site.io" not in g.text and "<EMAIL>" in g.text
+
+
+@pytest.fixture(scope="module")
+def ordered_events_dir(spark, sf_dir, tmp_path_factory):
+    """Events staged as time-ordered files with increasing mtimes, so the
+    file-source's arrival order follows event time — the shape a real bus
+    delivers, and the precondition for watermark state eviction to drop
+    nothing from an inner interval join."""
+    import glob
+    import os
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("events_ordered"))
+    stage = str(tmp_path_factory.mktemp("events_ordered_stage"))
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.select(
+        F.expr("percentile_approx(unix_micros(ts), array(0.25, 0.5, 0.75), 10000)")
+    ).first()[0]
+    lo = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        part = ev
+        if lo is not None:
+            part = part.filter(F.unix_micros("ts") >= lo)
+        if hi is not None:
+            part = part.filter(F.unix_micros("ts") < hi)
+        sub = f"{stage}/{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(sub)
+        (src,) = glob.glob(f"{sub}/part-*.parquet")
+        dst = f"{d}/{i:02d}.parquet"
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        lo = hi
+    return d
+
+
+def test_view_purchase_join_stream_matches_batch(spark, sf_dir, ordered_events_dir):
+    from planet_dump_ng_spark.plans.streaming_plans import view_purchase_join
+
+    stream = jobs.read_events_stream(
+        spark, ordered_events_dir, max_files_per_trigger=1
+    )
+    jobs.run_to_memory(
+        jobs.view_purchase_join_stream(stream), "ss_join_mem", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.view_id, r.purchase_id, r.lag_us)
+        for r in spark.table("ss_join_mem").collect()
+    }
+    expected = {
+        (r.user_id, r.view_id, r.purchase_id, r.lag_us)
+        for r in view_purchase_join(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
