@@ -263,3 +263,24 @@ def view_purchase_join_stream(
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment: each micro-batch of events
+    left-joins the (small, slowly-changing) customer dimension.
+
+    The static side is re-resolved per micro-batch, so a dimension
+    refresh is picked up without restarting the query; broadcasting it
+    means the stream side never shuffles — the same plan shape as the
+    batch `event_attribution` (plans/relational.py), whose oracle checks
+    the join semantics.  No watermark, no state store.
+    """
+    pub = dim.filter(F.col("c_acctbal") > 0).select("c_custkey", "c_name")
+    joined = events.join(
+        F.broadcast(pub), events["user_id"] == pub["c_custkey"], "left"
+    )
+    return joined.select(
+        "event_id",
+        F.when(F.col("c_custkey").isNotNull(), F.col("user_id")).alias("uid"),
+        F.col("c_name").alias("display_name"),
+    )

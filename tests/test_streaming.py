@@ -384,3 +384,22 @@ def test_view_purchase_join_stream_matches_batch(spark, sf_dir, ordered_events_d
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_enrich_stream_matches_batch(spark, sf_dir, events_dir):
+    from planet_dump_ng_spark.plans.relational import event_attribution
+
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    dim = table(spark, sf_dir, "customer")
+    jobs.run_to_memory(
+        jobs.enrich_stream(stream, dim), "enrich_mem", output_mode="append"
+    )
+    got = {
+        (r.event_id, r.uid, r.display_name)
+        for r in spark.table("enrich_mem").collect()
+    }
+    expected = {
+        (r.event_id, r.uid, r.display_name)
+        for r in event_attribution(spark, sf_dir).collect()
+    }
+    assert got == expected
