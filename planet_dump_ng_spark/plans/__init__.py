@@ -10,6 +10,7 @@ def load_all() -> None:
         breadth_plans,
         dedup_plans,
         graph_plans,
+        linalg_plans,
         multimodal_plans,
         relational,
         similarity_plans,

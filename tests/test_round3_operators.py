@@ -134,3 +134,41 @@ def test_triangle_count_triangle_free(spark):
     # a 4-cycle has wedges but no closing edge
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], "s1 long, s2 long")
     assert triangle_count(df).first().n_triangles == 0
+
+
+def test_gram_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    from planet_dump_ng_spark.operators import linalg
+
+    rng = np.random.default_rng(7)
+    x32 = rng.normal(size=(300, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x32)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+
+    gram = linalg.gram_matrix(df, "embedding", 8)
+    # quantized gram == numpy's row-wise truncation, any partitioning
+    x = x32.astype(np.float64)
+    expect_g = np.trunc(
+        np.einsum("ni,nj->nij", x, x) * linalg.GRAM_SCALE
+    ).astype(np.int64).sum(axis=0)
+    got_g = np.zeros((8, 8), dtype=np.int64)
+    for r in gram.collect():
+        got_g[r.i, r.j] = r.dot_q
+    assert (got_g == expect_g).all()
+
+    comps = linalg.pca_components(gram, dim=8, k=3)
+    vals, vecs = np.linalg.eigh(expect_g / linalg.GRAM_SCALE)
+    order = np.argsort(vals)[::-1][:3]
+    expect_c = vecs[:, order].T
+    for c in expect_c:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    assert np.allclose(comps, expect_c, atol=1e-9)
+
+    proj = linalg.project(df, "embedding", comps).orderBy("vec_id").collect()
+    expect_p = x @ comps.T
+    got_p = np.array([r.proj for r in proj])
+    assert np.allclose(got_p, expect_p, atol=1e-9)
