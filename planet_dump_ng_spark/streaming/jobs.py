@@ -284,3 +284,21 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
         F.when(F.col("c_custkey").isNotNull(), F.col("user_id")).alias("uid"),
         F.col("c_name").alias("display_name"),
     )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exact event dedup with BOUNDED state: a duplicate event_id
+    arriving within the watermark horizon of the original is dropped,
+    and state older than the horizon is evicted.
+
+    This is the at-least-once -> exactly-once repair stage in front of
+    a bus that can redeliver (duplicates arrive close to the original),
+    where the unbounded-state ``dedup_stream`` contract (suppress
+    forever) would accumulate state linear in stream length.  State here
+    is (watermark horizon x event rate) — a constant at any stream
+    length, which is what makes the operator viable on an unbounded
+    100 TB/day feed.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -403,3 +403,30 @@ def test_enrich_stream_matches_batch(spark, sf_dir, events_dir):
         for r in event_attribution(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_dedup_events_stream_drops_redelivered(spark, ordered_events_dir, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    # redeliver every file: duplicates arrive adjacent to the original,
+    # i.e. well inside the watermark horizon
+    d = str(tmp_path / "redelivered")
+    os.makedirs(d)
+    for i, f in enumerate(sorted(glob.glob(f"{ordered_events_dir}/*.parquet"))):
+        for rep in (0, 1):
+            dst = f"{d}/{i:02d}-{rep}.parquet"
+            shutil.copyfile(f, dst)
+            os.utime(dst, (1_700_000_000 + 2 * i + rep,) * 2)
+
+    stream = jobs.read_events_stream(spark, d, max_files_per_trigger=1)
+    jobs.run_to_memory(
+        jobs.dedup_events_stream(stream), "dedup_wm_mem", output_mode="append"
+    )
+    got = spark.table("dedup_wm_mem")
+    n_distinct = (
+        spark.read.schema(jobs.EVENTS_SCHEMA).parquet(d).select("event_id").distinct()
+    ).count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
