@@ -1125,3 +1125,34 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     return profile_columns(o, ["o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
+@register(
+    "bitwise_function_matrix",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           o_orderkey << 3 AS shl3,
+           o_orderkey >> 2 AS shr2,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount,
+           ~o_orderkey AS flipped
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    doc="Bitwise scalar surface: and/or/xor, shifts, popcount, not — "
+    "all JVM-codegen expressions, map-only.",
+    tags=("scalar",),
+)
+def bitwise_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("o_orderkey | 4096").alias("with_flag"),
+        F.expr("o_orderkey ^ o_custkey").alias("key_xor"),
+        F.expr("shiftleft(o_orderkey, 3)").alias("shl3"),
+        F.expr("shiftright(o_orderkey, 2)").alias("shr2"),
+        F.expr("cast(bit_count(o_orderkey) as int)").alias("popcount"),
+        F.expr("~o_orderkey").alias("flipped"),
+    )

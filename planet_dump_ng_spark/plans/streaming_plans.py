@@ -169,3 +169,47 @@ def view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
+
+
+@register(
+    "value_outlier_bounds",
+    """
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS q1,
+               quantile_disc(value, 0.50) AS med,
+               quantile_disc(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT b.event_type AS event_type, b.q1 AS q1, b.med AS med, b.q3 AS q3,
+           CAST(count(*) FILTER (e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                              OR e.value > b.q3 + 1.5 * (b.q3 - b.q1))
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY b.event_type, b.q1, b.med, b.q3
+    """,
+    doc="IQR outlier gate per event type: exact discrete quantiles "
+    "(percentile_disc picks actual elements, so both engines agree "
+    "bit-for-bit), then the tiny bounds table broadcast-joins back for "
+    "the outlier count — two scans, no sort of the full data.",
+    tags=("agg", "quality"),
+)
+def value_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias("med"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    joined = ev.join(F.broadcast(bounds), "event_type")
+    return (
+        joined.withColumn(
+            "is_out",
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr),
+        )
+        .groupBy("event_type", "q1", "med", "q3")
+        .agg(F.sum(F.col("is_out").cast("long")).alias("n_outliers"))
+        .select("event_type", "q1", "med", "q3", "n_outliers")
+    )
