@@ -302,3 +302,34 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def idempotent_parquet_sink(target_dir: str):
+    """foreachBatch writer achieving exactly-once parquet output: each
+    micro-batch overwrites its own ``batch_id=N`` directory, so a batch
+    replayed after a failure (same offsets -> same rows, Spark's replay
+    contract) lands byte-identically instead of duplicating.  Combined
+    with the checkpoint's offset log this is the standard
+    at-least-once -> exactly-once construction for non-transactional
+    stores."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{target_dir}/batch_id={batch_id}")
+
+    return write_batch
+
+
+def write_stream_exactly_once(
+    stream_df: DataFrame, target_dir: str, checkpoint_dir: str
+):
+    """Drain a stream into batch_id-partitioned parquet with replay
+    idempotence; returns the finished StreamingQuery.  Read the result
+    with ``spark.read.option("basePath", target).parquet(target)``."""
+    q = (
+        stream_df.writeStream.foreachBatch(idempotent_parquet_sink(target_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -430,3 +430,30 @@ def test_dedup_events_stream_drops_redelivered(spark, ordered_events_dir, tmp_pa
     ).count()
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_exactly_once_sink_survives_replay_and_restart(
+    spark, ordered_events_dir, tmp_path
+):
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    stream = jobs.read_events_stream(spark, ordered_events_dir, max_files_per_trigger=1)
+    jobs.write_stream_exactly_once(stream, target, ckpt)
+
+    src = spark.read.schema(jobs.EVENTS_SCHEMA).parquet(ordered_events_dir)
+    out = spark.read.option("basePath", target).parquet(target)
+    assert out.count() == src.count()
+    n_batches = out.select("batch_id").distinct().count()
+    assert n_batches >= 2  # maxFilesPerTrigger=1 over several files
+
+    # simulate a replayed micro-batch: re-invoke the sink with the same
+    # batch_id and the same rows -> output must not grow
+    sink = jobs.idempotent_parquet_sink(target)
+    replay = spark.read.parquet(f"{target}/batch_id=0").limit(1000000)
+    sink(replay, 0)
+    assert spark.read.option("basePath", target).parquet(target).count() == src.count()
+
+    # restart against the same checkpoint with no new data: a no-op
+    stream2 = jobs.read_events_stream(spark, ordered_events_dir)
+    jobs.write_stream_exactly_once(stream2, target, ckpt)
+    assert spark.read.option("basePath", target).parquet(target).count() == src.count()
