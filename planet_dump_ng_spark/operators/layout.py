@@ -60,3 +60,43 @@ def cluster_by_zorder(
         "zbucket", F.expr(f"zval div {width}")
     )
     return out.repartition(n_files, "zbucket").sortWithinPartitions("zval")
+
+
+def compact_dir(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a small-files parquet directory into ~target-size files;
+    returns the output file count.
+
+    The streaming sink and per-batch ingests leave one file per
+    micro-batch — at 100 TB that is the classic small-file problem
+    (scan task explosion, NameNode/listing pressure).  Compaction sizes
+    the output from the OBSERVED input bytes, so it needs no stats
+    service: ceil(total_bytes / target).  The rewrite is one shuffle-
+    free coalesce when reducing file count; row content is preserved
+    exactly (no ordering contract — pair with cluster_by_zorder when a
+    sort layout is wanted).
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_dir)
+    written = [
+        f
+        for root, _d, fs in os.walk(dst_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return len(written)

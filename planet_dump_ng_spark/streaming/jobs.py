@@ -333,3 +333,30 @@ def write_stream_exactly_once(
     )
     q.awaitTermination()
     return q
+
+
+def sessionize_stream_native(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-sessionization via the BUILT-IN session_window aggregation —
+    the engine-native alternative to the applyInPandasWithState
+    sessionizer, for pipelines that only need per-session aggregates
+    (no per-event session labels).  Session state merges inside the
+    state store and closes once the watermark passes the gap, so
+    memory is bounded by active sessions only.
+
+    session_window's end is exclusive (last event + gap); the custom
+    sessionizer reports the last event time, so this returns both the
+    raw window and session_end = window.end - gap for comparison.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .select(
+            "user_id",
+            "n_events",
+            "session_start",
+            (F.col("win.end") - F.expr(f"interval {gap}")).alias("session_end"),
+        )
+    )

@@ -172,3 +172,21 @@ def test_gram_pca_project_matches_numpy(spark):
     expect_p = x @ comps.T
     got_p = np.array([r.proj for r in proj])
     assert np.allclose(got_p, expect_p, atol=1e-9)
+
+
+def test_compact_dir_preserves_rows(spark, sf_dir, tmp_path):
+    from planet_dump_ng_spark.operators.layout import compact_dir
+
+    src = str(tmp_path / "small_files")
+    dst = str(tmp_path / "compacted")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(40).write.parquet(src)  # simulate micro-batch litter
+
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+    n = compact_dir(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    assert n < 40
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert a == b

@@ -457,3 +457,24 @@ def test_exactly_once_sink_survives_replay_and_restart(
     stream2 = jobs.read_events_stream(spark, ordered_events_dir)
     jobs.write_stream_exactly_once(stream2, target, ckpt)
     assert spark.read.option("basePath", target).parquet(target).count() == src.count()
+
+
+def test_session_window_native_matches_custom(spark, sf_dir, ordered_events_dir):
+    from planet_dump_ng_spark.plans.streaming_plans import user_sessionization
+
+    stream = jobs.read_events_stream(spark, ordered_events_dir, max_files_per_trigger=2)
+    jobs.run_to_memory(
+        jobs.sessionize_stream_native(stream), "sess_native_mem", output_mode="complete"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sess_native_mem").collect()
+    }
+    # the custom sessionizer closes a session only at a STRICTLY greater
+    # than gap difference; session_window closes at >= gap. Equal-gap
+    # boundaries don't occur in this data, so the session sets agree.
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in user_sessionization(spark, sf_dir).collect()
+    }
+    assert got == expected
