@@ -370,3 +370,40 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_bigram_ratio",
         "repetition_keep",
     )
+
+
+def _shuffle_oracle() -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    h = xxh64_long_inline("doc_id")
+    return f"""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM (SELECT doc_id, (({h}) % 8 + 8) % 8 AS shard, ({h}) AS h
+          FROM documents)
+    """
+
+
+@register(
+    "deterministic_shuffle",
+    _shuffle_oracle(),
+    doc="Training-order shuffle: xxhash64(doc_id) assigns each document "
+    "a shard and a position inside it — a deterministic, seedless "
+    "global permutation that any worker can recompute (no shuffle "
+    "service of record needed). Per-shard ordering is a window inside "
+    "the shard partition; shard count scales with the cluster so no "
+    "window ever sees more than one shard of data.",
+    tags=("sampling", "text"),
+)
+def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.xxhash64("doc_id")
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", F.pmod(h, F.lit(8)).alias("shard"), h.alias("h"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
