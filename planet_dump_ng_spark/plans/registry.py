@@ -52,17 +52,23 @@ def register(
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic parquet table.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects by default; read it as long nanos and truncate to microseconds
-    (exactly what DuckDB's ns->us cast does, so oracles agree).
+    ``events.parquet`` stores TIMESTAMP(NANOS).  Depending on the Spark
+    build this surfaces either as TIMESTAMP_NTZ (4.1+: read natively,
+    ns floor-truncated to Spark's internal µs) or, under the legacy
+    ``nanosAsLong`` conf, as raw long nanos.  Both paths normalize to a
+    session-TZ (UTC) TIMESTAMP at µs precision — exactly DuckDB's
+    ns->us cast, so oracles agree.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
