@@ -7,6 +7,7 @@ def load_all() -> None:
     """Import every plan module so its @register decorators run."""
     from planet_dump_ng_spark.plans import (  # noqa: F401
         advanced_plans,
+        analytics_plans,
         breadth_plans,
         dedup_plans,
         graph_plans,

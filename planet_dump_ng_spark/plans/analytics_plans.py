@@ -1,0 +1,198 @@
+"""Event-analytics queries: cohort retention, windowed dedup, concurrency.
+
+Product-analytics shapes over the ``events`` table that the reference's
+relational surface doesn't cover but any telemetry/training-log pipeline
+needs.  All oracle-checked; all window use is partitioned (the plan
+audit in tests/test_plan_quality.py enforces it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.plans.registry import register, table
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    first AS (SELECT user_id, MIN(d) AS first_d FROM ev GROUP BY user_id)
+    SELECT CAST(date_trunc('week', first_d) AS TIMESTAMP) AS cohort_week,
+           date_diff('day', first_d, d) // 7 AS week_offset,
+           COUNT(DISTINCT ev.user_id) AS n_active
+    FROM ev JOIN first USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="Classic cohort-retention matrix: users bucketed by the ISO week "
+    "of their first event, distinct-active counted at each whole-week "
+    "offset since.  Two shuffles (per-user min, cohort agg) plus a "
+    "user_id equi-join that reuses the first agg's partitioning; the "
+    "distinct is Spark's standard two-phase expand.  No windows.",
+    tags=("events", "agg"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.date_trunc("week", "first_d").alias("cohort_week"),
+            F.expr("CAST(datediff(d, first_d) DIV 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "dedup_events_window",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    b AS (
+      SELECT *,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start_s
+      FROM ev
+    )
+    SELECT window_start_s, user_id, event_type,
+           event_id AS first_event_id, n_events
+    FROM (
+      SELECT window_start_s, user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY window_start_s, user_id, event_type
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY window_start_s, user_id, event_type)
+               AS n_events
+      FROM b
+    ) WHERE rn = 1
+    """,
+    doc="Batch analog of the streaming dropDuplicatesWithinWatermark job: "
+    "keep the first event per (user, type) inside each 10-minute "
+    "tumbling window (tie-break by event_id), carrying the duplicate "
+    "count.  One groupBy on (window, user, type) with a lexicographic "
+    "MIN(struct(ts, event_id)) — no window function at all on the "
+    "Spark side, so state is one row per group and the agg is "
+    "map-side combinable.  The oracle spells the same semantics with "
+    "row_number, which is the formulation that would NOT scale.",
+    tags=("events", "dedup"),
+)
+def dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(w["start"]).alias("window_start_s"),
+            "user_id",
+            "event_type",
+        )
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("first"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "window_start_s",
+            "user_id",
+            "event_type",
+            F.col("first")["event_id"].alias("first_event_id"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "peak_concurrency_daily",
+    """
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 300 SECOND AS e
+      FROM events
+    ),
+    p AS (
+      SELECT s, e, date_trunc('day', s) AS d0,
+             date_trunc('day', s) + INTERVAL 1 DAY AS mid
+      FROM ev
+    ),
+    deltas AS (
+      SELECT d0 AS day, s AS t, 1 AS delta FROM p
+      UNION ALL SELECT d0, least(e, mid), -1 FROM p
+      UNION ALL SELECT mid, mid, 1 FROM p WHERE e > mid
+      UNION ALL SELECT mid, e, -1 FROM p WHERE e > mid
+    ),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS c
+      FROM deltas
+    )
+    SELECT day, CAST(MAX(c) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day
+    """,
+    doc="Distributed sweep-line: peak number of concurrent 5-minute "
+    "sessions per day.  Each interval becomes +1/-1 deltas; intervals "
+    "that cross midnight are split at the boundary so every delta "
+    "lands inside one day and the running sum needs NO cross-partition "
+    "carry — the window is partitioned by day, never global.  Equal "
+    "timestamps order ends (-1) before starts (+1), and the default "
+    "RANGE frame aggregates peer rows together, so the running max is "
+    "deterministic under ties on both engines.",
+    tags=("events", "window"),
+)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 300 SECONDS").alias("e"),
+        F.date_trunc("day", "ts").alias("d0"),
+        F.expr("date_trunc('day', ts) + INTERVAL 1 DAY").alias("mid"),
+    )
+    deltas = (
+        ev.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.struct(
+                            F.col("d0").alias("day"),
+                            F.col("s").alias("t"),
+                            F.lit(1).alias("delta"),
+                        ),
+                        F.struct(
+                            F.col("d0").alias("day"),
+                            F.least("e", "mid").alias("t"),
+                            F.lit(-1).alias("delta"),
+                        ),
+                        F.when(
+                            F.col("e") > F.col("mid"),
+                            F.struct(
+                                F.col("mid").alias("day"),
+                                F.col("mid").alias("t"),
+                                F.lit(1).alias("delta"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("e") > F.col("mid"),
+                            F.struct(
+                                F.col("mid").alias("day"),
+                                F.col("e").alias("t"),
+                                F.lit(-1).alias("delta"),
+                            ),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("x")
+        )
+        .select("x.day", "x.t", "x.delta")
+    )
+    w = W.partitionBy("day").orderBy("t", "delta")
+    run = deltas.withColumn("c", F.sum("delta").over(w))
+    return run.groupBy("day").agg(
+        F.max("c").cast("bigint").alias("peak_concurrency")
+    )

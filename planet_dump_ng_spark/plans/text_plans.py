@@ -407,3 +407,200 @@ def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+_VOCAB_CTES = f"""
+    counts AS (
+      SELECT term, COUNT(*) AS n
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+      GROUP BY term
+    ),
+    vocab AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1 AS INT)
+               AS token_id,
+             term
+      FROM (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 1000)
+    )
+"""
+
+
+@register(
+    "tokenize_with_vocab",
+    f"""
+    WITH {_VOCAB_CTES},
+    tok AS (
+      SELECT doc_id,
+             unnest({_TOKS}) AS term,
+             unnest(range(1, len({_TOKS}) + 1)) AS i
+      FROM documents
+    ),
+    ids AS (
+      SELECT t.doc_id, t.i, coalesce(v.token_id, -1) AS tid
+      FROM tok t LEFT JOIN vocab v USING (term)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY i) AS token_ids
+    FROM ids GROUP BY doc_id
+    """,
+    doc="Tokenizer transform step (the fit half is build_vocab): map each "
+    "document to its token-id sequence via a broadcast hash join against "
+    "the <=V-row vocabulary, OOV -> -1.  The sequence is reassembled "
+    "from (pos, id) pairs with array_sort — order preserved without any "
+    "window.  One explode + one broadcast join + one groupBy: the "
+    "standard fit/transform shape a 100 TB tokenization run needs "
+    "(vocab ships to executors; corpus never re-shuffles on term).",
+    tags=("text",),
+)
+def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    vocab = build_vocab(spark, sf_dir).select("term", "token_id")
+    tok = docs.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "term")
+    )
+    ids = tok.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(-1)).alias("tid")
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == -1, 1).otherwise(0)).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+            " ",
+        ).alias("token_ids"),
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH tk AS (SELECT {_TOKS} AS t FROM documents),
+    pairs AS (
+      SELECT unnest(t[1:len(t) - 1]) AS pair_left,
+             unnest(t[2:len(t)]) AS pair_right
+      FROM tk WHERE len(t) >= 2
+    )
+    SELECT pair_left, pair_right, COUNT(*) AS n
+    FROM pairs GROUP BY pair_left, pair_right
+    ORDER BY n DESC, pair_left, pair_right LIMIT 100
+    """,
+    doc="One BPE merge round: count every adjacent token pair across the "
+    "corpus and take the top-100 by (count, pair) total order.  The "
+    "count is a map-side-combinable groupBy; the top-k is "
+    "TakeOrderedAndProject (per-partition heap + driver merge), never "
+    "a global sort of the pair space.",
+    tags=("text", "topk"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(tx.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(tk[i-1] AS pair_left, tk[i] AS pair_right))"
+                )
+            ).alias("p")
+        )
+        .select("p.pair_left", "p.pair_right")
+    )
+    counts = pairs.groupBy("pair_left", "pair_right").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.orderBy(
+        F.col("n").desc(), F.col("pair_left"), F.col("pair_right")
+    ).limit(100)
+
+
+@register(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(trunc(tf.tf * (CAST(n.n_docs AS DOUBLE) / dfq.df))
+                  AS BIGINT) AS wq
+      FROM tf JOIN dfq USING (term), n
+      WHERE dfq.df <= CAST(0.9 * n.n_docs AS BIGINT)
+    ),
+    norms AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2
+              FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, dot,
+           dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= 0.30
+    """,
+    doc="Sparse TF-IDF cosine near-dup pairs via the inverted index: "
+    "integer-quantized weights (trunc(tf * N/df), always >= 1) make "
+    "dot products and norms exact integer sums, so the final "
+    "cosine = dot / sqrt(n2a * n2b) is a chain of correctly-rounded "
+    "IEEE ops — bit-identical across engines with no float-sum "
+    "order dependence.  Pairs materialize only through shared terms "
+    "(term equi-join, ubiquitous df > 0.9N terms dropped), the same "
+    "posting-list shape as dedup_ngram_jaccard; hot-term skew is "
+    "AQE skew-join territory.  The weight table is computed once and "
+    "persisted before the self-join.",
+    tags=("dedup", "text"),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= (F.lit(0.9) * F.col("n_docs")).cast("bigint"))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))
+            )
+            .cast("bigint")
+            .alias("wq"),
+        )
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.wq") * F.col("b.wq")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2b"))
+    cos = F.col("dot") / F.sqrt(
+        F.col("n2a").cast("double") * F.col("n2b")
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", "dot", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.30)
+    )
