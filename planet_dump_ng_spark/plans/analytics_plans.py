@@ -196,3 +196,105 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("day").agg(
         F.max("c").cast("bigint").alias("peak_concurrency")
     )
+
+
+@register(
+    "winsorized_event_stats",
+    """
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS q1,
+               quantile_disc(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type AS event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(least(greatest(e.value, b.q1 - 1.5 * (b.q3 - b.q1)),
+                               b.q3 + 1.5 * (b.q3 - b.q1))
+                         AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS wmean,
+           CAST(SUM(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                           OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+    doc="The apply half of value_outlier_bounds: clamp each value into the "
+    "IQR fence and take the order-independent decimal mean.  Exact "
+    "discrete quantiles (actual elements, engine-agnostic) feed a "
+    "broadcast join back over the fact table; the clamp is per-row "
+    "arithmetic on two doubles, and the mean uses the decimal-quantize "
+    "sum so executor summation order can't flip bits.  Two scans, no "
+    "full-data sort — the standard robust-stats shape for feature "
+    "cleaning at scale.",
+    tags=("agg", "quality"),
+)
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    clamped = F.least(F.greatest(F.col("value"), lo), hi)
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(clamped.cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("wmean"),
+            F.sum(
+                ((F.col("value") < lo) | (F.col("value") > hi)).cast("long")
+            ).alias("n_clipped"),
+        )
+    )
+
+
+@register(
+    "incremental_event_rollup",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+    doc="Incremental-view maintenance: the fact table splits at a date "
+    "watermark into a 'base' partition and a 'delta' batch, each "
+    "aggregated independently, and the two partial-aggregate tables "
+    "merge by re-aggregation (SUM of counts/sums, MIN of mins, MAX of "
+    "maxes).  The oracle aggregates the unsplit table directly — "
+    "hash-equality proves the merge is lossless, which is exactly the "
+    "algebraic-aggregate property that lets a nightly delta update a "
+    "100 TB rollup without rescanning history.  Decimal sums make the "
+    "merge exact; a plain double sum would NOT survive this test.",
+    tags=("agg", "events"),
+)
+def incremental_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.expr("TIMESTAMP '2024-06-01 00:00:00'")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").cast("double").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )

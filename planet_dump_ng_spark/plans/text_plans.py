@@ -521,12 +521,14 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tfidf_cosine_pairs",
     f"""
-    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    WITH tok AS (SELECT doc_id, source, unnest({_TOKS}) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, any_value(source) AS source, term, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, term),
     dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     w AS (
-      SELECT tf.doc_id, tf.term,
+      SELECT tf.doc_id, tf.source, tf.term,
              CAST(trunc(tf.tf * (CAST(n.n_docs AS DOUBLE) / dfq.df))
                   AS BIGINT) AS wq
       FROM tf JOIN dfq USING (term), n
@@ -537,7 +539,9 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
-      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      FROM w a JOIN w b
+        ON a.term = b.term AND a.source = b.source
+       AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b, dot,
@@ -545,24 +549,31 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots
     JOIN norms na ON na.doc_id = id_a
     JOIN norms nb ON nb.doc_id = id_b
-    WHERE dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= 0.30
+    WHERE dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= 0.80
     """,
     doc="Sparse TF-IDF cosine near-dup pairs via the inverted index: "
     "integer-quantized weights (trunc(tf * N/df), always >= 1) make "
     "dot products and norms exact integer sums, so the final "
     "cosine = dot / sqrt(n2a * n2b) is a chain of correctly-rounded "
     "IEEE ops — bit-identical across engines with no float-sum "
-    "order dependence.  Pairs materialize only through shared terms "
-    "(term equi-join, ubiquitous df > 0.9N terms dropped), the same "
-    "posting-list shape as dedup_ngram_jaccard; hot-term skew is "
-    "AQE skew-join territory.  The weight table is computed once and "
-    "persisted before the self-join.",
+    "order dependence.  Pairs materialize only through shared "
+    "(term, source) posting lists — the same source blocking as "
+    "dedup_ngram_jaccard bounds the pair space, ubiquitous "
+    "df > 0.9N terms drop, and the 0.80 threshold keeps output at "
+    "near-dup density, not quadratic.  Hot-term skew is AQE "
+    "skew-join territory; at 100 TB this is the exact verification "
+    "stage downstream of MinHash-LSH candidate generation.  The "
+    "weight table computes once and persists before the self-join.",
     tags=("dedup", "text"),
 )
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tok = docs.select(
+        "doc_id", "source", F.explode(tx.tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.any_value("source").alias("source")
+    )
     dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
@@ -571,6 +582,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= (F.lit(0.9) * F.col("n_docs")).cast("bigint"))
         .select(
             "doc_id",
+            "source",
             "term",
             F.floor(
                 F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))
@@ -586,6 +598,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -602,5 +615,5 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .select("id_a", "id_b", "dot", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.30)
+        .filter(F.col("cosine") >= 0.80)
     )
