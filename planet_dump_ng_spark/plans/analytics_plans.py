@@ -298,3 +298,70 @@ def incremental_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vmax").alias("vmax"),
         )
     )
+
+
+@register(
+    "hourly_latency_bands",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           COUNT(*) AS n,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY hour
+    """,
+    doc="Telemetry percentile bands: exact discrete p50/p95/p99 of value "
+    "per hour bucket.  percentile_disc selects actual elements, so both "
+    "engines agree bit-for-bit with no interpolation arithmetic; the "
+    "sort is per-group inside a partitioned aggregate, never global.",
+    tags=("events", "agg"),
+)
+def hourly_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+    )
+
+
+def _skew_oracle() -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    h = xxh64_long_inline("user_id")
+    return f"""
+    WITH shards AS (
+      SELECT (({h}) % 32 + 32) % 32 AS shard, COUNT(*) AS n_rows
+      FROM events GROUP BY shard
+    ),
+    total AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM shards)
+    SELECT shard, n_rows,
+           CAST(n_rows AS DOUBLE) * 32 / total.t AS skew_ratio
+    FROM shards, total
+    """
+
+
+@register(
+    "partition_skew_audit",
+    _skew_oracle(),
+    doc="Shuffle-health introspection: row count per hash shard for a "
+    "32-way repartition on user_id (the exact xxhash64 Spark's "
+    "HashPartitioner family uses, replayed in the oracle through the "
+    "DuckDB replica), plus each shard's ratio to the uniform share.  "
+    "A ratio >> 1 is the skew signal that says salt this key before "
+    "joining at scale.  One map-side-combinable count; the scalar "
+    "total broadcasts back.",
+    tags=("events", "skew"),
+)
+def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    shards = ev.groupBy(
+        F.pmod(F.xxhash64("user_id"), F.lit(32)).alias("shard")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = shards.agg(F.sum("n_rows").cast("bigint").alias("t"))
+    return shards.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_rows",
+        (F.col("n_rows").cast("double") * 32 / F.col("t")).alias("skew_ratio"),
+    )

@@ -126,3 +126,33 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_meta(meta, max_side=64).select(
         "doc_id", "format", "width", "height", "out_width", "out_height"
     )
+
+
+@register(
+    "multimodal_payload_dedup",
+    """
+    SELECT upper(sha256(text)) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies,
+           CAST(MIN(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY content_hash
+    """,
+    doc="Exact dedup over the opaque binary payload column: group by the "
+    "full sha256 content hash (computed JVM-side on the bytes, no "
+    "Python round-trip), keep the lowest doc_id.  The canonical "
+    "asset-dedup step for image/audio corpora — payloads never leave "
+    "the executor, and the hash groupBy is one map-side-combinable "
+    "shuffle of 32-byte keys, not payloads.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wp = mm.attach_binary_payload(docs)
+    return wp.groupBy(
+        F.upper(F.sha2("payload", 256)).alias("content_hash")
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.length("payload")).cast("bigint").alias("n_bytes"),
+    )
