@@ -53,18 +53,33 @@ def cosine_topk(
 
     queries is expected to be small (broadcast); ties break on ascending
     corpus id so ranking is total and deterministic.
+
+    Norms are hoisted into the per-side projections: each vector's norm
+    is computed once (N + Q fold evaluations) instead of inside every
+    pair (3 folds per pair), leaving one dot product per pair in the
+    N x Q hot loop.  The norm value is the same IEEE expression either
+    way, so results are bit-identical.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            (
+                _dot_exact(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
