@@ -190,7 +190,7 @@ def write_outputs(
         else None
     )
 
-    for spec in outputs:
+    def emit_one(spec: OutputSpec) -> None:
         if spec.kind in ("changesets", "discussions"):
             rendered = xml_sink.render_changesets(
                 cs_arranged,
@@ -206,7 +206,7 @@ def write_outputs(
                 pre_arranged=True,
                 meta=meta,
             )
-            continue
+            return
 
         hist = spec.kind in ("history", "pbf-history")
         v = "h" if hist else "c"
@@ -229,7 +229,7 @@ def write_outputs(
                 source=(meta or {}).get("source", pbf_sink.OSM_API_ORIGIN),
                 dense_nodes=dense_nodes,
             )
-            continue
+            return
         parts = [
             (
                 xml_sink.render_changesets(
@@ -245,6 +245,27 @@ def write_outputs(
             parts, spec.path, generator, frames.max_ts, pre_arranged=True,
             meta=meta,
         )
+
+    # The reference's writers consume ONE multicast pass concurrently
+    # (planet-dump.cpp:242-259, one thread per writer).  Spark analog:
+    # materialize each shared arrangement once (cheap count actions, so
+    # concurrent sinks never race to compute the same cache), then submit
+    # the independent per-output job chains from threads — the scheduler
+    # overlaps their stages, and driver-side part concatenation (pure
+    # I/O) overlaps other outputs' executor work.
+    from concurrent.futures import ThreadPoolExecutor
+
+    shared = [df for df in arranged.values() if df.is_cached]
+    if cs_arranged is not None and cs_arranged.is_cached:
+        shared.append(cs_arranged)
+    if len(outputs) > 1:
+        with ThreadPoolExecutor(max_workers=max(len(shared), 1)) as pool:
+            list(pool.map(lambda df: df.count(), shared))
+        with ThreadPoolExecutor(max_workers=len(outputs)) as pool:
+            list(pool.map(emit_one, outputs))
+    else:
+        for spec in outputs:
+            emit_one(spec)
 
     for df in arranged.values():
         if df.is_cached:
