@@ -116,31 +116,37 @@ def dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     p AS (
-      SELECT s, e, date_trunc('day', s) AS d0,
-             date_trunc('day', s) + INTERVAL 1 DAY AS mid
+      SELECT s, e, date_trunc('hour', s) AS h0,
+             date_trunc('hour', s) + INTERVAL 1 HOUR AS mid
       FROM ev
     ),
     deltas AS (
-      SELECT d0 AS day, s AS t, 1 AS delta FROM p
-      UNION ALL SELECT d0, least(e, mid), -1 FROM p
+      SELECT h0 AS hour, s AS t, 1 AS delta FROM p
+      UNION ALL SELECT h0, least(e, mid), -1 FROM p
       UNION ALL SELECT mid, mid, 1 FROM p WHERE e > mid
       UNION ALL SELECT mid, e, -1 FROM p WHERE e > mid
     ),
     run AS (
-      SELECT day,
-             SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS c
+      SELECT hour,
+             SUM(delta) OVER (PARTITION BY hour ORDER BY t, delta) AS c
       FROM deltas
     )
-    SELECT day, CAST(MAX(c) AS BIGINT) AS peak_concurrency
+    SELECT date_trunc('day', hour) AS day,
+           CAST(MAX(c) AS BIGINT) AS peak_concurrency
     FROM run GROUP BY day
     """,
     doc="Distributed sweep-line: peak number of concurrent 5-minute "
     "sessions per day.  Each interval becomes +1/-1 deltas; intervals "
-    "that cross midnight are split at the boundary so every delta "
-    "lands inside one day and the running sum needs NO cross-partition "
-    "carry — the window is partitioned by day, never global.  Equal "
-    "timestamps order ends (-1) before starts (+1), and the default "
-    "RANGE frame aggregates peer rows together, so the running max is "
+    "that cross an hour boundary split there (they can cross at most "
+    "one, since the interval is shorter than the bucket), so every "
+    "delta lands inside one hour and the running sum needs NO "
+    "cross-partition carry — the window partitions by HOUR, the "
+    "finest bucket the interval length allows, bounding per-partition "
+    "state 24x tighter than day partitioning; daily peaks then reduce "
+    "as MAX over hourly peaks (a boundary-crossing session is open in "
+    "both hours' sweeps, so no peak is lost).  Equal timestamps order "
+    "ends (-1) before starts (+1), and the default RANGE frame "
+    "aggregates peer rows together, so the running max is "
     "deterministic under ties on both engines.",
     tags=("events", "window"),
 )
@@ -150,8 +156,8 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         F.col("ts").alias("s"),
         F.expr("ts + INTERVAL 300 SECONDS").alias("e"),
-        F.date_trunc("day", "ts").alias("d0"),
-        F.expr("date_trunc('day', ts) + INTERVAL 1 DAY").alias("mid"),
+        F.date_trunc("hour", "ts").alias("h0"),
+        F.expr("date_trunc('hour', ts) + INTERVAL 1 HOUR").alias("mid"),
     )
     deltas = (
         ev.select(
@@ -159,19 +165,19 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter(
                     F.array(
                         F.struct(
-                            F.col("d0").alias("day"),
+                            F.col("h0").alias("hour"),
                             F.col("s").alias("t"),
                             F.lit(1).alias("delta"),
                         ),
                         F.struct(
-                            F.col("d0").alias("day"),
+                            F.col("h0").alias("hour"),
                             F.least("e", "mid").alias("t"),
                             F.lit(-1).alias("delta"),
                         ),
                         F.when(
                             F.col("e") > F.col("mid"),
                             F.struct(
-                                F.col("mid").alias("day"),
+                                F.col("mid").alias("hour"),
                                 F.col("mid").alias("t"),
                                 F.lit(1).alias("delta"),
                             ),
@@ -179,7 +185,7 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.when(
                             F.col("e") > F.col("mid"),
                             F.struct(
-                                F.col("mid").alias("day"),
+                                F.col("mid").alias("hour"),
                                 F.col("e").alias("t"),
                                 F.lit(-1).alias("delta"),
                             ),
@@ -189,11 +195,11 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("x")
         )
-        .select("x.day", "x.t", "x.delta")
+        .select("x.hour", "x.t", "x.delta")
     )
-    w = W.partitionBy("day").orderBy("t", "delta")
+    w = W.partitionBy("hour").orderBy("t", "delta")
     run = deltas.withColumn("c", F.sum("delta").over(w))
-    return run.groupBy("day").agg(
+    return run.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
         F.max("c").cast("bigint").alias("peak_concurrency")
     )
 
