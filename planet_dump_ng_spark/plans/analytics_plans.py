@@ -371,3 +371,61 @@ def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (F.col("n_rows").cast("double") * 32 / F.col("t")).alias("skew_ratio"),
     )
+
+
+@register(
+    "snapshot_diff_users",
+    """
+    WITH v1 AS (
+      SELECT user_id, COUNT(*) AS n1
+      FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-07-01 00:00:00'
+      GROUP BY user_id
+    ),
+    v2 AS (
+      SELECT user_id, COUNT(*) AS n2
+      FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-04-01 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'added'
+                WHEN v2.user_id IS NULL THEN 'removed'
+                WHEN v1.n1 <> v2.n2 THEN 'changed'
+                ELSE 'same' END AS status,
+           coalesce(v1.n1, 0) AS n1,
+           coalesce(v2.n2, 0) AS n2
+    FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    """,
+    doc="Dataset-version diff (CDC extract — the inverse of "
+    "merge_upsert_orders' CDC apply): two snapshot windows of the fact "
+    "table aggregate to per-key states, and a single full outer join "
+    "classifies every key as added/removed/changed/same.  Both "
+    "aggregates and the join share the user_id hash partitioning, so "
+    "the plan is two map-side-combinable aggs + one co-partitioned "
+    "join — the shape a nightly snapshot-reconciliation run needs.",
+    tags=("events", "join"),
+)
+def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v1 = (
+        ev.filter(F.col("ts") < F.lit("2024-07-01 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    v2 = (
+        ev.filter(F.col("ts") >= F.lit("2024-04-01 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.user_id") == F.col("v2.user_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("v1.user_id"), F.col("v2.user_id")).alias("user_id"),
+        F.when(F.col("v1.user_id").isNull(), "added")
+        .when(F.col("v2.user_id").isNull(), "removed")
+        .when(F.col("v1.n1") != F.col("v2.n2"), "changed")
+        .otherwise("same")
+        .alias("status"),
+        F.coalesce(F.col("v1.n1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.col("v2.n2"), F.lit(0)).alias("n2"),
+    )
