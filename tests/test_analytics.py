@@ -132,3 +132,45 @@ def test_retention_offset_zero_covers_every_user(spark, sf_dir):
         .count()
     )
     assert offset0 == n_users
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=3 * 3600),  # 3h span, in seconds
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_peak_concurrency_matches_bruteforce(spark, tmp_path_factory, offsets):
+    """The hour-partitioned sweep equals the O(n^2) definition: for every
+    interval-start instant, count intervals covering it; days report the
+    max.  Random offsets land on hour boundaries often enough to exercise
+    the split pieces."""
+    base = dt.datetime(2024, 3, 1, 22, 0)  # crosses midnight within the span
+    starts = [base + dt.timedelta(seconds=o) for o in offsets]
+    tmp = tmp_path_factory.mktemp("sweep")
+    _write_events(
+        spark, str(tmp), [(i, s, 1, "a") for i, s in enumerate(starts)]
+    )
+    got = {
+        r["day"].date(): r["peak_concurrency"]
+        for r in _q("peak_concurrency_daily")(spark, str(tmp)).collect()
+    }
+    # brute force: concurrency can only peak at an interval start (or at a
+    # boundary piece start, where the set of open intervals is a subset of
+    # the one at the original start instant), evaluated per day
+    span = dt.timedelta(seconds=300)
+    expect = {}
+    for s in starts:
+        for day in {s.date(), (s + span).date()}:
+            lo = dt.datetime.combine(day, dt.time())
+            # concurrency at max(s, day-start): intervals open at that instant
+            at = max(s, lo)
+            if at < s + span:
+                c_at = sum(1 for t in starts if t <= at < t + span)
+                expect[day] = max(expect.get(day, 0), c_at)
+    assert got == expect
