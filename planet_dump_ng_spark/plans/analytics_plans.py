@@ -30,7 +30,7 @@ from planet_dump_ng_spark.plans.registry import register, table
     "offset since.  Two shuffles (per-user min, cohort agg) plus a "
     "user_id equi-join that reuses the first agg's partitioning; the "
     "distinct is Spark's standard two-phase expand.  No windows.",
-    tags=("events", "agg"),
+    tags=("events", "agg", "bench"),
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
@@ -148,7 +148,7 @@ def dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ends (-1) before starts (+1), and the default RANGE frame "
     "aggregates peer rows together, so the running max is "
     "deterministic under ties on both engines.",
-    tags=("events", "window"),
+    tags=("events", "window", "bench"),
 )
 def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -451,7 +451,7 @@ _VOCAB_CTES = f"""
     "window.  One explode + one broadcast join + one groupBy: the "
     "standard fit/transform shape a 100 TB tokenization run needs "
     "(vocab ships to executors; corpus never re-shuffles on term).",
-    tags=("text",),
+    tags=("text", "bench"),
 )
 def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
