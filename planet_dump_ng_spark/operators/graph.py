@@ -177,3 +177,46 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round synchronous label propagation -> (id, community).
+
+    Each node starts labeled with its own id; every round it adopts the
+    most frequent label among its in-neighbors, ties broken toward the
+    SMALLEST label — a total order, so rounds are deterministic under
+    any partitioning (unlike classic async LPA, whose result depends on
+    visit order).  The per-node argmax is a lexicographic
+    MAX(struct(count, -label)) aggregate — one row of state per node,
+    map-side combinable, no window function.
+
+    Plan shape per round: one join of the persisted src-partitioned
+    edge arrangement against the label state (same arrangement reuse as
+    :func:`pagerank`) + one count aggregate keyed by destination.  With
+    symmetrized edges every node has in-degree >= 1, so no outer join
+    is needed to carry isolated state.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
+    labels = e.select("src").distinct().withColumn("label", F.col("src"))
+    for _ in range(n_rounds):
+        msgs = e.join(labels, "src").select(F.col("dst").alias("src"), "label")
+        cnt = msgs.groupBy("src", "label").agg(F.count(F.lit(1)).alias("n"))
+        labels = (
+            cnt.groupBy("src")
+            .agg(
+                F.max(
+                    F.struct(F.col("n"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("src", (-F.col("m.nl")).alias("label"))
+        )
+    return labels.select(F.col("src").alias("id"), F.col("label").alias("community"))

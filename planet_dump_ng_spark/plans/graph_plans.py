@@ -134,3 +134,58 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(
         F.col("n_orders_together").desc(), "part1", "part2"
     ).limit(50)
+
+
+def _lpa_oracle(n_rounds: int = 3) -> str:
+    """Unrolled synchronous-LPA rounds (operators.graph.label_propagation
+    replica): per round, each node adopts its in-neighbors' most frequent
+    label, ties to the smallest label (row_number over (n DESC, label))."""
+    rounds = []
+    for r in range(n_rounds):
+        rounds.append(f"""
+    m{r} AS (SELECT e.dst AS src, l.label, COUNT(*) AS n
+             FROM e JOIN l{r} l ON e.src = l.src
+             GROUP BY e.dst, l.label),
+    l{r + 1} AS (SELECT src, label FROM (
+                   SELECT src, label,
+                          row_number() OVER (PARTITION BY src
+                                             ORDER BY n DESC, label) AS rn
+                   FROM m{r}) WHERE rn = 1)""")
+    return f"""
+    WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    e AS (SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM pairs
+          UNION ALL
+          SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM pairs),
+    l0 AS (SELECT DISTINCT src, src AS label FROM e),
+    {','.join(rounds)}
+    SELECT src AS id, label AS community FROM l{n_rounds}
+    """
+
+
+@register(
+    "label_propagation_communities",
+    _lpa_oracle(),
+    doc="Community detection by synchronous label propagation over the "
+    "symmetrized supplier-part graph: 3 fixed rounds, most-frequent "
+    "neighbor label, ties to the smallest label (a total order, so the "
+    "result is deterministic under any partitioning — classic async "
+    "LPA is not).  The Spark argmax is a lexicographic "
+    "MAX(struct(n, -label)) aggregate, one state row per node and "
+    "map-side combinable; the oracle spells it with a row_number "
+    "window.  Fourth fully-oracled iterative algorithm next to "
+    "connected components, PageRank, and IVF k-means.",
+    tags=("graph", "iterative"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.graph import label_propagation
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    fwd = pairs.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, n_rounds=3)

@@ -190,3 +190,24 @@ def test_compact_dir_preserves_rows(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(src).collect()}
     b = {tuple(r) for r in spark.read.parquet(dst).collect()}
     assert a == b
+
+
+def test_label_propagation_triangle_with_tail(spark):
+    """Triangle 1-2-3 with tail 3-4: synchronous min-tie LPA converges to
+    one community labeled by the smallest id within 3 rounds (hand-run:
+    r1 = {1:2, 2:1, 3:1, 4:3}, r2 = all 1 except n2 tie->1, r3 = all 1)."""
+    from pyspark.sql import functions as F
+
+    from planet_dump_ng_spark.operators.graph import label_propagation
+
+    fwd = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(edges, n_rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
