@@ -60,6 +60,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns->us cast, so oracles agree.
     """
     path = f"{sf_dir}/{name}.parquet"
+    # The driver calls queries() under ITS OWN vanilla session, not
+    # session.get_spark — pin the timezone here so timestamp/date
+    # expressions (date_trunc, to_date, unix_timestamp) match the
+    # TZ-naive DuckDB oracles even if the host JVM default ever
+    # drifts from UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
