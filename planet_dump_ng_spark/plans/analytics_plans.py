@@ -1,4 +1,6 @@
-"""Event-analytics queries: cohort retention, windowed dedup, concurrency.
+"""Event-analytics queries: cohort retention, windowed dedup, sweep-line
+concurrency, percentile bands, winsorized stats, incremental rollup
+merge, partition-skew audit, and snapshot diff (CDC extract).
 
 Product-analytics shapes over the ``events`` table that the reference's
 relational surface doesn't cover but any telemetry/training-log pipeline
