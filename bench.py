@@ -125,6 +125,37 @@ def main() -> int:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    # Scale-ratio probe for the slowest queries: re-time them one SF down
+    # (10x less data) and record t(bench_sf) / t(small_sf).  A plan with
+    # healthy distributed scaling stays WELL below 10x (fixed per-job
+    # overhead amortizes, parallelism absorbs data growth); a super-linear
+    # blowup — skewed LSH band bucket, wedge explosion on a hub node —
+    # surfaces as a ratio at or above the data growth, a number per round
+    # instead of an anecdote.
+    small_dir = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
+    scale_ratio: dict[str, dict[str, float]] = {}
+    if os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(
+        sf_dir
+    ):
+        slowest = sorted(timings, key=timings.__getitem__, reverse=True)[:5]
+        small_t: dict[str, float] = {}
+        for _ in range(2):
+            for name in slowest:
+                t0 = time.perf_counter()
+                bench_specs[name].spark(spark, small_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                small_t[name] = min(small_t.get(name, dt), dt)
+        scale_ratio = {
+            name: {
+                "t_small": small_t[name],
+                "t_bench": timings[name],
+                "ratio": round(timings[name] / max(small_t[name], 1e-9), 2),
+            }
+            for name in slowest
+        }
+
     pipe = pipeline_bench(spark)
 
     try:
@@ -138,6 +169,7 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "scale_ratio": scale_ratio,
                 "pipeline": pipe,
                 "sf": sf,
             }

@@ -133,7 +133,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return state.select(F.col("src").alias("id"), "rank")
+    # node-sized final ranks materialize, edge-sized caches release
+    # (connected_components' cleanup idiom)
+    out = state.select(F.col("src").alias("id"), "rank").persist()
+    out.count()
+    e.unpersist()
+    deg.unpersist()
+    return out
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -219,4 +225,12 @@ def label_propagation(
             )
             .select("src", (-F.col("m.nl")).alias("label"))
         )
-    return labels.select(F.col("src").alias("id"), F.col("label").alias("community"))
+    # materialize the node-sized result, then release the edge-sized
+    # arrangement (same cleanup as connected_components — without this the
+    # edge cache is held for the rest of the session)
+    out = labels.select(
+        F.col("src").alias("id"), F.col("label").alias("community")
+    ).persist()
+    out.count()
+    e.unpersist()
+    return out

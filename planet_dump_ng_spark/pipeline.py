@@ -261,8 +261,19 @@ def write_outputs(
     if len(outputs) > 1:
         with ThreadPoolExecutor(max_workers=max(len(shared), 1)) as pool:
             list(pool.map(lambda df: df.count(), shared))
+        # submit (not map): map surfaces only the FIRST failure while
+        # sibling outputs still run to completion — failed or
+        # partially-written paths must all be reported, not just one
         with ThreadPoolExecutor(max_workers=len(outputs)) as pool:
-            list(pool.map(emit_one, outputs))
+            futures = {spec.path: pool.submit(emit_one, spec) for spec in outputs}
+        failures = {
+            path: f.exception() for path, f in futures.items() if f.exception()
+        }
+        if failures:
+            detail = "; ".join(f"{p}: {e!r}" for p, e in failures.items())
+            raise RuntimeError(
+                f"{len(failures)}/{len(outputs)} outputs failed: {detail}"
+            ) from next(iter(failures.values()))
     else:
         for spec in outputs:
             emit_one(spec)

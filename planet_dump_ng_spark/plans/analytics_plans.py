@@ -354,9 +354,13 @@ def _skew_oracle() -> str:
     "partition_skew_audit",
     _skew_oracle(),
     doc="Shuffle-health introspection: row count per hash shard for a "
-    "32-way repartition on user_id (the exact xxhash64 Spark's "
-    "HashPartitioner family uses, replayed in the oracle through the "
-    "DuckDB replica), plus each shard's ratio to the uniform share.  "
+    "32-way repartition on user_id, plus each shard's ratio to the "
+    "uniform share.  The audit buckets with xxhash64 (replayed exactly "
+    "in the DuckDB oracle) as a stand-in for shuffle HashPartitioning, "
+    "which actually uses Murmur3 — a different uniform hash, so shard "
+    "SIZES approximate what repartition('user_id') would produce while "
+    "staying oracle-replayable; the skew SIGNAL (hot keys landing "
+    "together) is hash-independent.  "
     "A ratio >> 1 is the skew signal that says salt this key before "
     "joining at scale.  One map-side-combinable count; the scalar "
     "total broadcasts back.",

@@ -581,22 +581,29 @@ def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents)
     SELECT doc_id,
            len(toks) AS n_toks,
-           list_sort(list_distinct(toks)) AS uniq_sorted,
-           toks[2:4] AS mid3,
+           array_to_string(list_sort(list_distinct(toks)), chr(1))
+             AS uniq_sorted,
+           array_to_string(toks[2:4], chr(1)) AS mid3,
            list_contains(toks, 'the') AS has_the,
            CAST(list_position(toks, 'table') AS INT) AS table_at,
-           list_sort(list_filter(toks, x -> length(x) > 4)) AS long_toks,
-           list_transform(toks[1:2], x -> upper(x)) AS head_up,
+           array_to_string(list_sort(list_filter(toks, x -> length(x) > 4)),
+                           chr(1)) AS long_toks,
+           array_to_string(list_transform(toks[1:2], x -> upper(x)), chr(1))
+             AS head_up,
            list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
                        (a, b) -> a + b) AS char_sum,
            len(list_filter(toks, x -> x = 'spark')) > 0 AS any_spark,
-           flatten([toks[1:1], toks[1:1]]) AS first_twice
+           array_to_string(flatten([toks[1:1], toks[1:1]]), chr(1))
+             AS first_twice
     FROM t
     """,
     doc="Array/higher-order surface: sort/distinct/slice/contains/position/"
     "filter/transform/aggregate/exists/flatten over token arrays — Spark "
     "builtins vs DuckDB list_* (string payloads keep every comparison "
-    "byte-exact; distinct is order-canonicalized by the sort).",
+    "byte-exact; distinct is order-canonicalized by the sort).  Array-typed "
+    "intermediates are serialized with array_join/array_to_string on a "
+    "chr(1) separator so every OUTPUT column is a scalar the driver's "
+    "pandas canonicalization can hash (round-3 driver-red fix).",
     tags=("array", "scalar"),
 )
 def array_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,22 +613,27 @@ def array_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     t = d.select("doc_id", toks.alias("toks"))
     tk = F.col("toks")
+    sep = "\x01"
     return t.select(
         "doc_id",
         F.size(tk).alias("n_toks"),
-        F.array_sort(F.array_distinct(tk)).alias("uniq_sorted"),
-        F.slice(tk, 2, 3).alias("mid3"),
+        F.array_join(F.array_sort(F.array_distinct(tk)), sep).alias("uniq_sorted"),
+        F.array_join(F.slice(tk, 2, 3), sep).alias("mid3"),
         F.array_contains(tk, "the").alias("has_the"),
         F.array_position(tk, "table").cast("int").alias("table_at"),
-        F.array_sort(F.filter(tk, lambda x: F.length(x) > 4)).alias("long_toks"),
-        F.transform(F.slice(tk, 1, 2), lambda x: F.upper(x)).alias("head_up"),
+        F.array_join(
+            F.array_sort(F.filter(tk, lambda x: F.length(x) > 4)), sep
+        ).alias("long_toks"),
+        F.array_join(
+            F.transform(F.slice(tk, 1, 2), lambda x: F.upper(x)), sep
+        ).alias("head_up"),
         F.aggregate(
             tk, F.lit(0), lambda acc, x: acc + F.length(x)
         ).alias("char_sum"),
         F.exists(tk, lambda x: x == "spark").alias("any_spark"),
-        F.flatten(F.array(F.slice(tk, 1, 1), F.slice(tk, 1, 1))).alias(
-            "first_twice"
-        ),
+        F.array_join(
+            F.flatten(F.array(F.slice(tk, 1, 1), F.slice(tk, 1, 1))), sep
+        ).alias("first_twice"),
     )
 
 
@@ -821,17 +833,19 @@ def regexp_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_function_matrix",
     """
     SELECT doc_id,
-           list_transform(list_sort(map_entries(m)),
-                          e -> e['key'] || ':' || e['value']) AS entries,
+           array_to_string(list_transform(list_sort(map_entries(m)),
+                          e -> e['key'] || ':' || e['value']), chr(1))
+             AS entries,
            CAST(cardinality(m) AS INT) AS n_keys,
            m['src'][1] AS src_val,
-           list_sort(map_keys(m)) AS keys_sorted
+           array_to_string(list_sort(map_keys(m)), chr(1)) AS keys_sorted
     FROM (SELECT doc_id, map(['src', 'lang'], [source, lang]) AS m
           FROM documents)
     """,
     doc="Map-typed column surface: construction, entries (canonicalized to "
     "sorted k:v strings — engine map representations differ), lookup, "
-    "cardinality, sorted keys.",
+    "cardinality, sorted keys.  Entry/key lists are chr(1)-joined so the "
+    "output is scalar-only (driver-hashable).",
     tags=("scalar",),
 )
 def map_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,15 +853,19 @@ def map_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.create_map(
         F.lit("src"), F.col("source"), F.lit("lang"), F.col("lang")
     )
+    sep = "\x01"
     return d.select(
         "doc_id",
-        F.transform(
-            F.array_sort(F.map_entries(m)),
-            lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(m)),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+            ),
+            sep,
         ).alias("entries"),
         F.size(m).cast("int").alias("n_keys"),
         m["src"].alias("src_val"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), sep).alias("keys_sorted"),
     )
 
 

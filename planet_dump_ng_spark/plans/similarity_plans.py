@@ -210,22 +210,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize_int8",
     """
     SELECT vec_id, scale,
-           CASE WHEN scale = 0
-                THEN list_transform(embedding::DOUBLE[], x -> 0)
-                ELSE list_transform(embedding::DOUBLE[],
-                                    x -> CAST(trunc(x / scale * 127) AS INT))
-           END AS q
+           array_to_string(
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                                      x -> CAST(trunc(x / scale * 127) AS INT))
+             END, ',') AS q
     FROM (SELECT vec_id, embedding,
                  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
           FROM embeddings)
     """,
     doc="Symmetric int8 embedding quantization (trunc keeps engines "
     "bit-identical; see operators.similarity.quantize_int8): the "
-    "storage-side compaction step before ANN indexing at scale.",
+    "storage-side compaction step before ANN indexing at scale.  The "
+    "int8 vector is emitted comma-joined so the output is driver-hashable "
+    "(the operator itself keeps the array form).",
     tags=("similarity",),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from planet_dump_ng_spark.operators.similarity import quantize_int8
 
     emb = table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", *quantize_int8(F.col("embedding")))
+    return emb.select("vec_id", *quantize_int8(F.col("embedding"))).select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("q", lambda x: x.cast("string")), ","
+        ).alias("q"),
+    )

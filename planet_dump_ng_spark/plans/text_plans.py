@@ -142,7 +142,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tf.doc_id, tf.term, tf.tf, df.df,
            tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS weight
     FROM tf JOIN df USING (term), n
-    WHERE df.df <= CAST(0.9 * n.n_docs AS BIGINT)
+    WHERE df.df * 10 <= 9 * n.n_docs
     """,
     doc="TF with linear inverse-document-frequency (tf * N/df): the "
     "engine-exact variant of TF-IDF — ln() is libm-dependent in the last "
@@ -159,7 +159,10 @@ def doc_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.join(df, "term")
         .crossJoin(F.broadcast(n))
-        .filter(F.col("df") <= (F.lit(0.9) * F.col("n_docs")).cast("bigint"))
+        # integer fence: Spark casts double->bigint by truncation but
+        # DuckDB rounds, so 0.9*N with fractional N would diverge by 1
+        # on boundary df values; df*10 <= 9*N is exact on both engines
+        .filter(F.col("df") * 10 <= F.col("n_docs") * 9)
         .select(
             "doc_id",
             "term",
@@ -532,7 +535,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(trunc(tf.tf * (CAST(n.n_docs AS DOUBLE) / dfq.df))
                   AS BIGINT) AS wq
       FROM tf JOIN dfq USING (term), n
-      WHERE dfq.df <= CAST(0.9 * n.n_docs AS BIGINT)
+      WHERE dfq.df * 10 <= 9 * n.n_docs
     ),
     norms AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2
               FROM w GROUP BY doc_id),
@@ -579,7 +582,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         tf.join(dfq, "term")
         .crossJoin(F.broadcast(n))
-        .filter(F.col("df") <= (F.lit(0.9) * F.col("n_docs")).cast("bigint"))
+        # integer fence: Spark casts double->bigint by truncation but
+        # DuckDB rounds, so 0.9*N with fractional N would diverge by 1
+        # on boundary df values; df*10 <= 9*N is exact on both engines
+        .filter(F.col("df") * 10 <= F.col("n_docs") * 9)
         .select(
             "doc_id",
             "source",
@@ -611,9 +617,15 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.col("dot") / F.sqrt(
         F.col("n2a").cast("double") * F.col("n2b")
     )
-    return (
+    out = (
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .select("id_a", "id_b", "dot", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.80)
+        .persist()
     )
+    # materialize the (near-dup-density) pair output, then release the
+    # term-weight cache instead of holding it for the session
+    out.count()
+    w.unpersist()
+    return out

@@ -127,3 +127,42 @@ def test_cli_meta_flags_parse():
          "--meta-copyleft", "CC0", "--meta-source", "http://example.org"]
     )
     assert meta_from_args(args) == {"license": "CC0", "source": "http://example.org"}
+
+
+@pytest.mark.skipif(
+    shutil.which("pg_restore") is None or not os.path.isdir(REF),
+    reason="needs pg_restore + reference fixtures",
+)
+def test_cli_meta_file_precedence_end_to_end(spark, tmp_path):
+    """CLI flags beat --meta-file entries (reference planet-dump.cpp:105-114:
+    boost po::store keeps the first-stored value, and the command line is
+    stored before the config file) — checked through the real CLI on a real
+    dump, not just meta_from_args."""
+    import subprocess
+
+    from planet_dump_ng_spark.cli import main
+
+    sql = tmp_path / "bad.sql"
+    subprocess.run(
+        ["pg_restore", "-f", str(sql), "-a", f"{REF}/bad-character.dmp"], check=True
+    )
+    meta_file = tmp_path / "meta.conf"
+    meta_file.write_text(
+        "# planet metainfo\n"
+        "meta-copyleft = FILE-LICENSE\n"
+        "meta-attribution = file-attribution\n"
+    )
+    out = tmp_path / "cs.osm"
+    rc = main(
+        [
+            "--dump-file", str(sql),
+            "--changesets", str(out),
+            "--work-dir", str(tmp_path / "w"),
+            "--meta-file", str(meta_file),
+            "--meta-copyleft", "FLAG-LICENSE",  # conflicts with the file
+        ]
+    )
+    assert rc == 0
+    header = out.read_bytes().split(b">", 2)[1].decode()  # the <osm ...> tag
+    assert 'license="FLAG-LICENSE"' in header  # flag wins the conflict
+    assert 'attribution="file-attribution"' in header  # file fills the rest

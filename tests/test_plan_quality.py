@@ -77,6 +77,37 @@ def _window_partition_specs(logical: str) -> list[str]:
     return specs
 
 
+@pytest.fixture(scope="module")
+def schemas(spark, sf_dir):
+    """Analyzed output schema per query (analysis only — no execution)."""
+    return {
+        name: plans.QUERIES[name].spark(spark, sf_dir).schema
+        for name in _QUERIES
+    }
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_scalar_only_output(name, schemas):
+    """The driver canonicalizes results with pandas ``sort_values`` over raw
+    values, which factorizes every column and raises ``unhashable type`` on
+    list/dict cells — so a top-level Array/Map/Struct column is driver-red
+    even when its values are correct (round-3 ``array_function_matrix``).
+    Serialize nested results with ``array_join``/``to_json`` before
+    registering."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in schemas[name].fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} outputs non-scalar columns {bad}; the driver's pandas "
+        "canonicalization cannot hash them — serialize with "
+        "array_join/to_json on both the Spark and oracle side"
+    )
+
+
 @pytest.mark.parametrize("name", _QUERIES)
 def test_no_cartesian_product(name, plans_text):
     """A CartesianProduct node is the non-broadcast O(n*m) fallback — at

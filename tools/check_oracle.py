@@ -26,6 +26,22 @@ TABLES = [
 ]
 
 
+def non_scalar_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/dict/ndarray values — legal in pandas but fatal
+    in the driver's canonicalization (``sort_values`` factorizes raw values
+    and dies on unhashables).  The round-3 ``array_function_matrix`` failure
+    class: flag it locally so it never reaches a driver round."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype != object:
+            continue
+        s = df[c].dropna()
+        if len(s) and s.map(lambda v: isinstance(v, (list, dict, set, tuple))
+                            or hasattr(v, "__array__")).any():
+            bad.append(c)
+    return bad
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -116,6 +132,12 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        bad = non_scalar_cols(sdf)
+        if bad:
+            print(f"FAIL  {name}: not driver-hashable (list/struct values) "
+                  f"in columns {bad} — serialize with array_join/to_json")
             n_fail += 1
             continue
         if name not in oracles:
