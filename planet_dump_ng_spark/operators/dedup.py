@@ -249,6 +249,51 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_join(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Asymmetric banded-LSH candidate join: distinct ``(id_a, id_b)``
+    where ``id_a`` is a NEW document sharing at least one band bucket with
+    corpus document ``id_b``.
+
+    This is the incremental-ingest shape of :func:`minhash_lsh_candidates`
+    — dedup a new batch AGAINST the standing corpus instead of
+    re-self-joining the whole corpus.  At 100 TB the corpus bucket table
+    ``(id, band, bh)`` is a precomputed artifact (bucketed/partitioned by
+    ``(band, bh)``) that each ingest batch equi-joins against: per-batch
+    cost is proportional to the batch, not the corpus.  Band hashes are
+    uniform by construction, so the join keys don't skew; a boilerplate
+    mega-bucket (both sides hot) is AQE skew-join territory.  Within-batch
+    duplicates are out of scope here — run the self-join variant on the
+    batch for those.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+
+    def buckets(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, k, seed)
+        return sigs.select(
+            "id", F.explode(lsh_bands("sig", bands, rows)).alias("bb")
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    bn, bc = buckets(new).alias("n"), buckets(corpus).alias("c")
+    return (
+        bn.join(
+            bc,
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.bh") == F.col("c.bh")),
+        )
+        .select(F.col("n.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -60,7 +60,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
+def _minhash_lsh_oracle(
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    pair_pred: str = "x.doc_id < y.doc_id",
+) -> str:
     """Full DuckDB replica of the MinHash+LSH candidate pipeline.
 
     The banding internals ARE SQL-expressible once DuckDB can reproduce
@@ -71,6 +76,10 @@ def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, seed: int = 42) -
     comma-joined slice, so equality of keys is identical up to 64-bit hash
     collisions); candidates are then verified with exact Jaccard >= 0.1,
     matching operators.dedup.ngram_jaccard_pairs(candidates=...) exactly.
+
+    ``pair_pred`` selects which (x, y) bucket-sharing pairs survive —
+    the self-join default, or an asymmetric new-batch/corpus split for
+    the incremental variant.
     """
     from planet_dump_ng_spark.operators.dedup import _MERSENNE_31, _hash_params
     from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_pmod_inline
@@ -91,7 +100,7 @@ def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, seed: int = 42) -
             FROM sig, (SELECT unnest(range(0, {bands})) AS bn)),
     cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
              FROM bnd x JOIN bnd y
-               ON x.bn = y.bn AND x.bk = y.bk AND x.doc_id < y.doc_id)
+               ON x.bn = y.bn AND x.bk = y.bk AND {pair_pred})
     SELECT c.id_a, c.id_b,
            len(list_intersect(sa.sh, sb.sh))::DOUBLE
              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
@@ -114,6 +123,90 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
     return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+
+
+@register(
+    "dedup_incremental_lsh",
+    _minhash_lsh_oracle(
+        pair_pred="x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0"
+    ),
+    doc="Incremental dedup: LSH-join a NEW batch (doc_id % 10 = 0) against "
+    "the standing corpus (the rest), then verify candidates with exact "
+    "Jaccard >= 0.1 — the production ingest shape where the corpus bucket "
+    "table is a precomputed artifact and per-batch cost is proportional "
+    "to the batch, not the corpus (operators.dedup.minhash_lsh_join).  "
+    "Oracle replays the banding via the DuckDB xxhash64 replica with an "
+    "asymmetric pair predicate.",
+    tags=("dedup",),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cands = dd.minhash_lsh_join(new, corpus, num_hashes=64, bands=16, k=3)
+    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+
+
+def _dup_ngram_oracle() -> str:
+    from planet_dump_ng_spark.operators.dedup import _MERSENNE_31
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_pmod_inline
+
+    hash_expr = xxh64_pmod_inline("s", _MERSENNE_31)
+    return f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+    hh AS MATERIALIZED (SELECT doc_id, {hash_expr} AS h FROM sh),
+    c AS (SELECT h, COUNT(*) AS ndocs FROM hh GROUP BY h)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_shingles,
+           CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_fraction
+    FROM hh JOIN c USING (h)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "duplicated_ngram_fraction",
+    _dup_ngram_oracle(),
+    doc="Corpus-wide duplicated-n-gram fraction per document: the share of "
+    "a doc's distinct 3-shingles that also occur in ANOTHER document "
+    "(each shingle is distinct within a doc, so a corpus count > 1 means "
+    "cross-document) — the RefinedWeb/Gopher-style duplication signal "
+    "that catches boilerplate and templated text below the near-dup "
+    "threshold.  Plan: explode hashed shingles (31-bit folded xxhash64, "
+    "so the inverted index shuffles 8-byte keys, not strings), one "
+    "corpus-wide count, join back, one per-doc aggregate — two shuffles "
+    "total, both map-side combinable; the oracle replays the identical "
+    "hash fold so even fold collisions agree.  Tokenless docs carry no "
+    "shingles and drop (exact-dedup territory, per operators.dedup."
+    "shingles contract).",
+    tags=("dedup", "text", "bench"),
+)
+def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dd.shingle_hashes("text", 3)).alias("h")
+    )
+    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    dup = (F.col("ndocs") > 1).cast("bigint")
+    return (
+        sh.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(dup).alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            (
+                F.col("n_dup_shingles").cast("double") / F.col("n_shingles")
+            ).alias("dup_fraction"),
+        )
+    )
 
 
 _EDOT = (

@@ -117,6 +117,28 @@ def test_minhash_lsh_candidates(docs):
     assert (1, 5) not in cands
 
 
+def test_minhash_lsh_join_matches_self_join_cross_pairs(docs):
+    """The asymmetric new-vs-corpus LSH join must produce exactly the
+    self-join candidates that cross the split (normalized for pair
+    order), since signatures and banding are per-document."""
+    new = docs.filter(F.col("doc_id").isin(1, 4))
+    corpus = docs.filter(~F.col("doc_id").isin(1, 4))
+    asym = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_join(new, corpus, bands=16).collect()
+    }
+    full = {
+        (r.id_a, r.id_b) for r in dd.minhash_lsh_candidates(docs, bands=16).collect()
+    }
+    expected = {
+        (a, b) if a in (1, 4) else (b, a)
+        for a, b in full
+        if (a in (1, 4)) != (b in (1, 4))  # exactly one side is "new"
+    }
+    assert asym == expected
+    assert all(a in (1, 4) and b not in (1, 4) for a, b in asym)
+
+
 def test_simhash_near_dup(docs):
     pairs = {
         (r.id_a, r.id_b): r.hamming
