@@ -207,6 +207,83 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_recall",
+    f"""
+    SELECT ex.query_id,
+           COUNT(l.neighbor_id) AS n_hit,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM ({_ORACLE}) ex
+    LEFT JOIN ({_lsh_oracle()}) l
+      ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
+    GROUP BY ex.query_id
+    """,
+    doc="ANN quality evaluation: recall@5 of the hyperplane-LSH index "
+    "against the exact brute-force top-5, per query vector — the eval "
+    "metric an embedding-store rollout watches when tuning "
+    "n_planes/n_tables.  Composes the two (independently hash-green, "
+    "deterministically tie-broken) top-k plans with a left join + "
+    "count(non-null); recall is a ratio of small ints, so it compares "
+    "exactly across engines.  At scale both sides are the already-"
+    "materialized index outputs, so the metric costs one key-keyed "
+    "join + one per-query count.",
+    tags=("similarity", "eval"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    lsh = sim.lsh_cosine_topk(emb, queries, dim=64, k=5, n_planes=8).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    j = exact.join(
+        lsh,
+        (exact.query_id == lsh.qid) & (exact.neighbor_id == lsh.nid),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("nid").alias("n_hit"),
+        (F.count("nid").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+@register(
+    "ann_ivf_recall",
+    f"""
+    SELECT ex.query_id,
+           COUNT(l.neighbor_id) AS n_hit,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM ({_ORACLE}) ex
+    LEFT JOIN ({_ivf_oracle()}) l
+      ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
+    GROUP BY ex.query_id
+    """,
+    doc="ANN quality evaluation for the IVF path: recall@5 of the "
+    "n_probe=3 k-means index against exact brute-force top-5 per query "
+    "(same composition as ann_lsh_recall — the n_cells/n_probe tuning "
+    "signal).",
+    tags=("similarity", "eval", "iterative"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.ivf import ivf_cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    ivf = ivf_cosine_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=3).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    j = exact.join(
+        ivf,
+        (exact.query_id == ivf.qid) & (exact.neighbor_id == ivf.nid),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("nid").alias("n_hit"),
+        (F.count("nid").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+@register(
     "embedding_quantize_int8",
     """
     SELECT vec_id, scale,
