@@ -185,6 +185,45 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peel -> (id, degree) of the surviving subgraph.
+
+    ``edges`` must be the SYMMETRIZED distinct edge list.  Each round
+    drops every node whose current degree is below ``k`` and restricts
+    the edge set to survivors on both endpoints; after ``n_rounds``
+    peels the remaining nodes' degrees are returned.  Fixed rounds keep
+    the plan oracle-unrollable (like :func:`pagerank` /
+    :func:`label_propagation`); when peeling converges within
+    ``n_rounds`` — typical for the low diameters of projected
+    co-occurrence graphs — the result IS the exact k-core.
+
+    The curation use: spam/bot rings and boilerplate mills show up as
+    low-core noise around a dense core of genuinely-connected entities.
+    Plan shape per round: one degree aggregate + two left-semi joins
+    (survivor filter on each endpoint) — all equi-joins on the edge
+    keys, no windows, hub-degree skew handled by AQE.  State is the
+    edge list itself; nothing reaches the driver.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    for _ in range(n_rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src")
+        e = e.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("id"), "degree")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src_col: str = "src",

@@ -216,6 +216,30 @@ def lsh_cosine_topk(
     )
 
 
+def rp_project(
+    vec: Column, dim: int, out_dim: int, seed: int = 7, prefix: str = "d"
+) -> list[Column]:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` scalar
+    columns: ``d_j = <v, r_j>`` with deterministic pseudo-Gaussian
+    directions (:func:`_hyperplanes`, sha256 Box-Muller — same generator
+    as the LSH planes, different seed).
+
+    The pre-ANN compression step of an embedding pipeline: map-only, no
+    shuffle, and the projection matrix is a plan literal — at 100 TB the
+    executors never exchange anything, and a (1 +- eps) distance
+    guarantee holds with out_dim = O(log n / eps^2).  Each dot uses the
+    strict left-to-right fold (:func:`_dot_exact`), so outputs compare
+    bit-exactly against a DuckDB ``list_reduce`` oracle.
+    """
+    planes = _hyperplanes(dim, out_dim, seed)
+    return [
+        _dot_exact(vec, F.array(*[F.lit(x) for x in plane])).alias(
+            f"{prefix}{j:02d}"
+        )
+        for j, plane in enumerate(planes)
+    ]
+
+
 def quantize_int8(
     vec: Column, scale_out: str = "scale", q_out: str = "q"
 ) -> list[Column]:

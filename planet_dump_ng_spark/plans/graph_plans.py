@@ -136,6 +136,63 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
+def _kcore_oracle(k: int = 3, n_rounds: int = 3) -> str:
+    """Unrolled fixed-round peel over the symmetrized co-supply graph.
+    The per-round keep set is DISTINCT on node id, so the restriction
+    joins replicate Spark's left-semi exactly (no multiplicity)."""
+    rounds = []
+    for r in range(n_rounds):
+        rounds.append(f"""
+    d{r} AS (SELECT src, COUNT(*) AS d FROM e{r} GROUP BY src),
+    k{r} AS (SELECT src FROM d{r} WHERE d >= {k}),
+    e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e
+                 JOIN k{r} a ON e.src = a.src
+                 JOIN k{r} b ON e.dst = b.src)""")
+    return (
+        _COSUPPLY_SQL
+        + f""",
+    e0 AS (SELECT s1 AS src, s2 AS dst FROM edges
+           UNION ALL SELECT s2, s1 FROM edges),
+    {','.join(rounds)}
+    SELECT src AS id, COUNT(*) AS degree FROM e{n_rounds} GROUP BY src
+    """
+    )
+
+
+@register(
+    "kcore_suppliers",
+    _kcore_oracle(),
+    doc="3-core of the supplier co-supply graph after 3 fixed peel "
+    "rounds (operators.graph.kcore): drop degree<3 nodes, restrict "
+    "edges to survivors, repeat — the graph-curation filter that "
+    "separates a dense genuinely-connected core from low-core noise "
+    "(spam rings, boilerplate mills in a dup graph).  Fixed rounds "
+    "keep it oracle-unrollable; each round is one degree aggregate + "
+    "two left-semi survivor joins, no windows.  Fifth fully-oracled "
+    "iterative algorithm.",
+    tags=("graph", "iterative"),
+)
+def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.graph import kcore
+
+    li = table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    und = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .count()
+        .filter(F.col("count") >= 3)
+        .select("s1", "s2")
+    )
+    edges = und.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionByName(und.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
+    return kcore(edges, k=3, n_rounds=3)
+
+
 def _lpa_oracle(n_rounds: int = 3) -> str:
     """Unrolled synchronous-LPA rounds (operators.graph.label_propagation
     replica): per round, each node adopts its in-neighbors' most frequent

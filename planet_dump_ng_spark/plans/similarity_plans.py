@@ -59,9 +59,12 @@ def _lsh_oracle(dim: int = 64, k: int = 5, n_planes: int = 8, n_tables: int = 8,
     """DuckDB replica of the multi-table hyperplane-LSH ANN.
 
     The hyperplanes are deterministic (sha256 Box-Muller,
-    operators.similarity._hyperplanes), so they embed as float literals.
-    Only the SIGN of each (vector, plane) dot matters for bucketing: the
-    BLAS matmul in the pandas UDF and DuckDB's left-to-right fold round
+    operators.similarity._hyperplanes), so they embed as
+    '<repr>'::DOUBLE literals (string-parse, which IS correctly rounded
+    — a bare decimal literal would be DECIMAL-typed and DuckDB's
+    DECIMAL->DOUBLE cast shifts the last ulp).  Only the SIGN of each
+    (vector, plane) dot matters for bucketing: the BLAS matmul in the
+    pandas UDF and DuckDB's left-to-right fold can still round
     differently in the last ulp, but a sign flip needs |dot| below the
     rounding difference (~1e-15 of operand scale) — not observed at any
     test SF, and the exact-cosine rerank after the bucket join uses the
@@ -70,7 +73,7 @@ def _lsh_oracle(dim: int = 64, k: int = 5, n_planes: int = 8, n_tables: int = 8,
     from planet_dump_ng_spark.operators.similarity import _hyperplanes
 
     def dot(vec: str, plane: list[float]) -> str:
-        lits = ", ".join(repr(x) for x in plane)
+        lits = ", ".join(f"'{x!r}'::DOUBLE" for x in plane)
         return (
             f"list_reduce(list_prepend(0.0, list_transform("
             f"list_zip({vec}, [{lits}]), p -> p[1] * p[2])), (acc, x) -> acc + x)"
@@ -204,6 +207,47 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_cosine_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=3)
+
+
+def _rp_oracle(dim: int = 64, out_dim: int = 16, seed: int = 7) -> str:
+    """JL projection replica: one strict-fold dot per output dim, the
+    deterministic directions embedded as float literals (same pattern as
+    the LSH hyperplane oracle)."""
+    from planet_dump_ng_spark.operators.similarity import _hyperplanes
+
+    cols = []
+    for j, plane in enumerate(_hyperplanes(dim, out_dim, seed)):
+        # '<repr>'::DOUBLE, not a bare numeric literal: DuckDB types bare
+        # decimals as DECIMAL(p,s) and its DECIMAL->DOUBLE cast is not
+        # correctly rounded (int128 / 10^s in double arithmetic), which
+        # shifts ~1-ulp on a fifth of the values; the VARCHAR->DOUBLE
+        # parse IS correctly rounded and matches Spark's F.lit exactly.
+        lits = ", ".join(f"'{x!r}'::DOUBLE" for x in plane)
+        cols.append(
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"list_zip(embedding::DOUBLE[], [{lits}]), p -> p[1] * p[2])),"
+            f" (acc, x) -> acc + x) AS d{j:02d}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@register(
+    "embedding_rp_project",
+    _rp_oracle(),
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims "
+    "(operators.similarity.rp_project): map-only, zero shuffle, the "
+    "projection matrix is a plan literal broadcast inside the codegen'd "
+    "expression — the pre-ANN compression step (distances preserved "
+    "within 1 +- eps at out_dim = O(log n / eps^2)).  Each output dim "
+    "is a strict left-to-right fold, bit-identical to the DuckDB "
+    "list_reduce oracle.",
+    tags=("similarity",),
+)
+def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", *sim.rp_project(F.col("embedding"), dim=64, out_dim=16, seed=7)
+    )
 
 
 @register(

@@ -211,3 +211,28 @@ def test_label_propagation_triangle_with_tail(spark):
         for r in label_propagation(edges, n_rounds=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    """K4 clique (1-2-3-4) with a pendant chain 4-5-6: the 3-core is
+    exactly the clique (every clique node keeps degree 3 once the chain
+    peels; node 5 survives round 1 with degree 2 < 3 and is dropped, which
+    cannot resurrect clique degrees since chain nodes never feed the
+    clique).  Also checks convergence: rounds 2 and 3 are no-ops, so the
+    fixed-round result equals the true k-core here."""
+    from pyspark.sql import functions as F
+
+    from planet_dump_ng_spark.operators.graph import kcore
+
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    fwd = spark.createDataFrame(und, "src bigint, dst bigint")
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got = {r["id"]: r["degree"] for r in kcore(edges, k=3, n_rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: the chain's interior survives? 5 has degree 2 (4,6) but 6 has
+    # degree 1 and peels, dropping 5 to 1 in round 2, dropping 5 in round
+    # 3 -> 2-core is the clique alone (4's chain edge gone).
+    got2 = {r["id"]: r["degree"] for r in kcore(edges, k=2, n_rounds=3).collect()}
+    assert got2 == {1: 3, 2: 3, 3: 3, 4: 3}
