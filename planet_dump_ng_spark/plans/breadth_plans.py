@@ -741,13 +741,17 @@ def unpivot_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_oracle(n_rounds: int = 3, damping: float = 0.85) -> str:
     """Unrolled PageRank rounds (the operators.graph.pagerank replica).
 
-    The base/damping literals are emitted with repr() because Spark
-    computes ``1.0 - 0.85`` in IEEE double (0.15000000000000002) — a
-    hand-written 0.15 would differ in the last ulp every round.
+    The base/damping literals are emitted as '<repr>'::DOUBLE because
+    Spark computes ``1.0 - 0.85`` in IEEE double (0.15000000000000002) —
+    a hand-written 0.15 would differ in the last ulp every round — and a
+    BARE 17-digit literal would be DECIMAL-typed in DuckDB, whose
+    DECIMAL->DOUBLE cast double-rounds (int128 then /10^s); the
+    VARCHAR->DOUBLE parse is correctly rounded and matches F.lit.
     Contributions truncate to micro-units (see operators.graph.pagerank):
     power-of-two degrees make rank/degree land exactly on .5 decimal
     ties, where the engines' decimal-cast rounding modes disagree."""
-    base, damp = repr(1.0 - damping), repr(damping)
+    base = f"'{1.0 - damping!r}'::DOUBLE"
+    damp = f"'{damping!r}'::DOUBLE"
     rounds = []
     for r in range(n_rounds):
         rounds.append(f"""

@@ -300,6 +300,78 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_canonical_docs",
+    f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, source, {{shingles}} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+    ),
+    sym AS (SELECT src AS u, dst AS v FROM pairs
+            UNION SELECT dst, src FROM pairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.u, r.lab FROM reach r JOIN sym s ON s.v = r.id
+    ),
+    comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+    tk AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents)
+    SELECT component, cluster_size, doc_id AS survivor_id,
+           n_tokens AS survivor_tokens
+    FROM (
+      SELECT c.component, tk.doc_id, tk.n_tokens,
+             COUNT(*) OVER (PARTITION BY c.component) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY tk.n_tokens DESC, tk.doc_id) AS rn
+      FROM comp c JOIN tk ON c.id = tk.doc_id
+    ) WHERE rn = 1
+    """.replace("{shingles}", _SHINGLES),
+    doc="Canonical-document election: within each near-dup cluster "
+    "(connected components over the Jaccard pair graph) keep the doc "
+    "with the MOST tokens, ties to the smallest id — the survivor "
+    "policy real curation uses (richest copy wins) instead of min-id.  "
+    "The Spark argmax is a lexicographic MAX(struct(n_tokens, -id)) "
+    "aggregate piggybacked on the cluster-size count — one state row "
+    "per cluster, map-side combinable, no window; the oracle spells "
+    "the same election with a row_number window over the recursive-"
+    "CTE components.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.graph import connected_components
+    from planet_dump_ng_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, block_col="source")
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    n = docs.select(
+        F.col("doc_id").alias("id"), F.size(tokens("text")).alias("n_tokens")
+    )
+    return (
+        comp.join(n, "id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(
+                F.struct(F.col("n_tokens"), (-F.col("id")).alias("nid"))
+            ).alias("m"),
+        )
+        .select(
+            "component",
+            "cluster_size",
+            (-F.col("m.nid")).alias("survivor_id"),
+            F.col("m.n_tokens").alias("survivor_tokens"),
+        )
+    )
+
+
 def _simhash_oracle(max_hamming: int = 12, block_bits: int = 8) -> str:
     """DuckDB replica of the SimHash pipeline (operators.dedup.simhash64).
 
