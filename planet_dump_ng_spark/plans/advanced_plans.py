@@ -331,6 +331,53 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_percentile_filter",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    th AS (SELECT source,
+                  percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens)
+                    AS p25_tokens
+           FROM feats GROUP BY source)
+    SELECT f.doc_id, f.source, f.n_tokens, t.p25_tokens
+    FROM feats f JOIN th t USING (source)
+    WHERE f.n_tokens >= t.p25_tokens
+    """,
+    doc="Adaptive per-source quality gate: keep documents at or above "
+    "their OWN source's 25th-percentile token count — the "
+    "distribution-aware variant of a fixed length gate (a fixed "
+    "threshold over-prunes terse sources and under-prunes verbose "
+    "ones).  percentile_disc on integer counts is discrete and "
+    "engine-exact (no interpolation).  Plan: map-only features, one "
+    "per-source aggregate (source cardinality is tiny), broadcast the "
+    "threshold table back — the fact table shuffles zero times.",
+    tags=("text", "filter", "sampling"),
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "source", tx.token_count("text").alias("n_tokens")
+    )
+    th = feats.groupBy("source").agg(
+        # Spark's percentile_disc returns DOUBLE even over ints; the
+        # discrete value IS an input int, so the bigint cast is exact
+        # (and matches DuckDB's integer return type class)
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens)")
+        .cast("bigint")
+        .alias("p25_tokens")
+    )
+    return (
+        feats.join(F.broadcast(th), "source")
+        .filter(F.col("n_tokens") >= F.col("p25_tokens"))
+        .select("doc_id", "source", "n_tokens", "p25_tokens")
+    )
+
+
+@register(
     "forward_fill_values",
     """
     SELECT event_id, user_id,
