@@ -287,7 +287,12 @@ def minhash_lsh_join(
     return (
         bn.join(
             bc,
-            (F.col("n.band") == F.col("c.band")) & (F.col("n.bh") == F.col("c.bh")),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bh") == F.col("c.bh"))
+            # guard self-pairs: if a batch doc already exists in the
+            # corpus bucket table (re-ingest, overlap), it shares every
+            # band with itself and would emit (d, d) at jaccard 1.0
+            & (F.col("n.id") != F.col("c.id")),
         )
         .select(F.col("n.id").alias("id_a"), F.col("c.id").alias("id_b"))
         .distinct()

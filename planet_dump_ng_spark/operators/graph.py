@@ -209,19 +209,39 @@ def kcore(
     (survivor filter on each endpoint) — all equi-joins on the edge
     keys, no windows, hub-degree skew handled by AQE.  State is the
     edge list itself; nothing reaches the driver.
+
+    Each round's edge set is persisted and materialized before the next
+    round references it THREE times (degree, and both survivor semis) —
+    without the cut, round r+1's lineage embeds round r's subtree 3x
+    and the base derivation blows up 3^rounds (the same reason
+    connected_components persists per-round state).  The previous
+    round's cache is released as soon as its successor is materialized.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    e.count()
+    prev = e
     for _ in range(n_rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("src")
-        e = e.join(keep, "src", "left_semi").join(
-            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .persist()
         )
-    return (
+        e.count()
+        prev.unpersist()
+        prev = e
+    out = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("src").alias("id"), "degree")
+        .persist()
     )
+    out.count()
+    prev.unpersist()
+    return out
 
 
 def label_propagation(

@@ -155,7 +155,7 @@ def _dup_ngram_oracle() -> str:
     return f"""
     WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
     hh AS MATERIALIZED (SELECT doc_id, {hash_expr} AS h FROM sh),
-    c AS (SELECT h, COUNT(*) AS ndocs FROM hh GROUP BY h)
+    c AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM hh GROUP BY h)
     SELECT doc_id,
            COUNT(*) AS n_shingles,
            CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -172,26 +172,30 @@ def _dup_ngram_oracle() -> str:
     _dup_ngram_oracle(),
     doc="Corpus-wide duplicated-n-gram fraction per document: the share of "
     "a doc's distinct 3-shingles that also occur in ANOTHER document "
-    "(each shingle is distinct within a doc, so a corpus count > 1 means "
-    "cross-document) — the RefinedWeb/Gopher-style duplication signal "
-    "that catches boilerplate and templated text below the near-dup "
-    "threshold.  Plan: explode hashed shingles (31-bit folded xxhash64, "
-    "so the inverted index shuffles 8-byte keys, not strings), one "
-    "corpus-wide count, join back, one per-doc aggregate — two shuffles "
-    "total, both map-side combinable; the oracle replays the identical "
-    "hash fold so even fold collisions agree.  Tokenless docs carry no "
-    "shingles and drop (exact-dedup territory, per operators.dedup."
-    "shingles contract).",
+    "(the per-bucket doc count is COUNT(DISTINCT doc_id), so two of a "
+    "doc's OWN shingles colliding in the 31-bit fold never masquerade "
+    "as cross-document duplication) — the RefinedWeb/Gopher-style "
+    "duplication signal that catches boilerplate and templated text "
+    "below the near-dup threshold.  Plan: explode hashed shingles "
+    "(31-bit folded xxhash64, so the inverted index shuffles 8-byte "
+    "keys, not strings; the shingle derivation persists once and feeds "
+    "both the count and the join-back), one corpus-wide distinct-count, "
+    "join back, one per-doc aggregate; the oracle replays the identical "
+    "hash fold so even cross-doc fold collisions agree.  Tokenless docs "
+    "carry no shingles and drop (exact-dedup territory, per "
+    "operators.dedup.shingles contract).",
     tags=("dedup", "text", "bench"),
 )
 def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # persist: the tokenize+shingle+hash explode feeds BOTH the corpus
+    # count and the join-back — without the cache it runs twice
     sh = docs.select(
         "doc_id", F.explode(dd.shingle_hashes("text", 3)).alias("h")
-    )
-    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    ).persist()
+    cnt = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
     dup = (F.col("ndocs") > 1).cast("bigint")
-    return (
+    out = (
         sh.join(cnt, "h")
         .groupBy("doc_id")
         .agg(
@@ -206,7 +210,11 @@ def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_dup_shingles").cast("double") / F.col("n_shingles")
             ).alias("dup_fraction"),
         )
+        .persist()
     )
+    out.count()
+    sh.unpersist()
+    return out
 
 
 _EDOT = (

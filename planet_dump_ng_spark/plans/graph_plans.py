@@ -37,6 +37,26 @@ _COSUPPLY_SQL = """
 """
 
 
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier pairs sharing >= 3 parts (s1 < s2), persisted —
+    the projected co-supply graph shared by cosupply_triangles and
+    kcore_suppliers (the DataFrame form of _COSUPPLY_SQL)."""
+    li = table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = sp.alias("a")
+    b = sp.alias("b")
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .count()
+        .filter(F.col("count") >= 3)
+        .select("s1", "s2")
+        .persist()
+    )
+
+
 @register(
     "cosupply_triangles",
     _COSUPPLY_SQL
@@ -69,20 +89,7 @@ _COSUPPLY_SQL = """
 def cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from planet_dump_ng_spark.operators.graph import triangle_count
 
-    li = table(spark, sf_dir, "lineitem")
-    sp = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = sp.alias("a")
-    b = sp.alias("b")
-    edges = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
-        .count()
-        .filter(F.col("count") >= 3)
-        .select("s1", "s2")
-        .persist()
-    )
+    edges = _cosupply_edges(spark, sf_dir)
     tri = triangle_count(edges)
     return tri.crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
 
@@ -175,22 +182,15 @@ def _kcore_oracle(k: int = 3, n_rounds: int = 3) -> str:
 def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from planet_dump_ng_spark.operators.graph import kcore
 
-    li = table(spark, sf_dir, "lineitem")
-    sp = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = sp.alias("a"), sp.alias("b")
-    und = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
-        .count()
-        .filter(F.col("count") >= 3)
-        .select("s1", "s2")
-    )
+    und = _cosupply_edges(spark, sf_dir)
     edges = und.select(
         F.col("s1").alias("src"), F.col("s2").alias("dst")
     ).unionByName(und.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
-    return kcore(edges, k=3, n_rounds=3)
+    # kcore materializes its result eagerly, so the projected-edge cache
+    # (read twice by the symmetrization) can be released here
+    out = kcore(edges, k=3, n_rounds=3)
+    und.unpersist()
+    return out
 
 
 def _lpa_oracle(n_rounds: int = 3) -> str:

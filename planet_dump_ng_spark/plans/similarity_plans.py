@@ -250,17 +250,47 @@ def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_lsh_recall",
-    f"""
+#: single source of truth for the recall evaluations' cutoff — the
+#: denominator, the index top-k calls, and the oracle template all read
+#: it, so tuning k cannot desynchronize them (the column name stays
+#: recall_at_5 and is asserted against the constant).
+_RECALL_K = 5
+assert _RECALL_K == 5, "rename recall_at_5 columns when changing the cutoff"
+
+
+def _recall_oracle(index_sql: str, k: int = _RECALL_K) -> str:
+    return f"""
     SELECT ex.query_id,
            COUNT(l.neighbor_id) AS n_hit,
-           CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / {k} AS recall_at_5
     FROM ({_ORACLE}) ex
-    LEFT JOIN ({_lsh_oracle()}) l
+    LEFT JOIN ({index_sql}) l
       ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
     GROUP BY ex.query_id
-    """,
+    """
+
+
+def _recall_vs_exact(
+    emb: DataFrame, queries: DataFrame, index_df: DataFrame, k: int = _RECALL_K
+) -> DataFrame:
+    """recall@k of an ANN index result against exact brute-force top-k:
+    left join on (query, neighbor), count the non-null hits."""
+    exact = sim.cosine_topk(emb, queries, k=k).select("query_id", "neighbor_id")
+    idx = index_df.select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    j = exact.join(
+        idx, (exact.query_id == idx.qid) & (exact.neighbor_id == idx.nid), "left"
+    )
+    return j.groupBy("query_id").agg(
+        F.count("nid").alias("n_hit"),
+        (F.count("nid").cast("double") / F.lit(float(k))).alias("recall_at_5"),
+    )
+
+
+@register(
+    "ann_lsh_recall",
+    _recall_oracle(_lsh_oracle()),
     doc="ANN quality evaluation: recall@5 of the hyperplane-LSH index "
     "against the exact brute-force top-5, per query vector — the eval "
     "metric an embedding-store rollout watches when tuning "
@@ -275,32 +305,13 @@ def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
-    lsh = sim.lsh_cosine_topk(emb, queries, dim=64, k=5, n_planes=8).select(
-        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
-    )
-    j = exact.join(
-        lsh,
-        (exact.query_id == lsh.qid) & (exact.neighbor_id == lsh.nid),
-        "left",
-    )
-    return j.groupBy("query_id").agg(
-        F.count("nid").alias("n_hit"),
-        (F.count("nid").cast("double") / F.lit(5.0)).alias("recall_at_5"),
-    )
+    lsh = sim.lsh_cosine_topk(emb, queries, dim=64, k=_RECALL_K, n_planes=8)
+    return _recall_vs_exact(emb, queries, lsh)
 
 
 @register(
     "ann_ivf_recall",
-    f"""
-    SELECT ex.query_id,
-           COUNT(l.neighbor_id) AS n_hit,
-           CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
-    FROM ({_ORACLE}) ex
-    LEFT JOIN ({_ivf_oracle()}) l
-      ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
-    GROUP BY ex.query_id
-    """,
+    _recall_oracle(_ivf_oracle()),
     doc="ANN quality evaluation for the IVF path: recall@5 of the "
     "n_probe=3 k-means index against exact brute-force top-5 per query "
     "(same composition as ann_lsh_recall — the n_cells/n_probe tuning "
@@ -312,19 +323,10 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
-    ivf = ivf_cosine_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=3).select(
-        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    ivf = ivf_cosine_topk(
+        emb, queries, dim=64, k=_RECALL_K, n_cells=8, n_probe=3
     )
-    j = exact.join(
-        ivf,
-        (exact.query_id == ivf.qid) & (exact.neighbor_id == ivf.nid),
-        "left",
-    )
-    return j.groupBy("query_id").agg(
-        F.count("nid").alias("n_hit"),
-        (F.count("nid").cast("double") / F.lit(5.0)).alias("recall_at_5"),
-    )
+    return _recall_vs_exact(emb, queries, ivf)
 
 
 @register(
