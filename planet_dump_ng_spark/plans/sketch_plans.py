@@ -9,6 +9,7 @@ value-hash compare holds without tolerance knobs."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from planet_dump_ng_spark.operators import sketches as sk
 from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
@@ -97,6 +98,117 @@ def _kmv_oracle(k: int = 64) -> str:
 def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.kmv_distinct(
         table(spark, sf_dir, "lineitem"), "l_returnflag", "l_partkey", k=64
+    )
+
+
+def _kmv_overlap_oracle(k: int = 64) -> str:
+    """KMV set-algebra replica: k-min sketches of the 1994 and 1995 part
+    assortments, merged union sketch, Beyer et al. intersection via the
+    matched fraction rho — beside the exact values."""
+    num = float(k - 1) * float(2**64)
+    return f"""
+    WITH a AS (SELECT DISTINCT {_unsigned('l_partkey', 'ka')} AS u
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+                 AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'),
+    b AS (SELECT DISTINCT {_unsigned('l_partkey', 'kb')} AS u
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'),
+    ka AS (SELECT u FROM a ORDER BY u LIMIT {k}),
+    kb AS (SELECT u FROM b ORDER BY u LIMIT {k}),
+    ku AS (SELECT u FROM (SELECT u FROM ka UNION SELECT u FROM kb)
+           ORDER BY u LIMIT {k}),
+    us AS (SELECT MAX(u) AS kth, COUNT(*) AS n_u FROM ku),
+    rho AS (SELECT COUNT(*) AS r FROM ku
+            WHERE u IN (SELECT u FROM ka) AND u IN (SELECT u FROM kb)),
+    pa AS (SELECT DISTINCT l_partkey FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'),
+    pb AS (SELECT DISTINCT l_partkey FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'),
+    ex AS (SELECT (SELECT COUNT(*) FROM pa) AS na,
+                  (SELECT COUNT(*) FROM pb) AS nb,
+                  (SELECT COUNT(*) FROM pa JOIN pb USING (l_partkey)) AS ni)
+    SELECT CASE WHEN us.n_u < {k} THEN CAST(us.n_u AS DOUBLE)
+                ELSE {num!r} / CAST(us.kth AS DOUBLE) END AS union_est,
+           CAST(rho.r AS DOUBLE) / {k}
+             * (CASE WHEN us.n_u < {k} THEN CAST(us.n_u AS DOUBLE)
+                     ELSE {num!r} / CAST(us.kth AS DOUBLE) END) AS inter_est,
+           CAST(rho.r AS DOUBLE) / {k} AS jaccard_est,
+           ex.na + ex.nb - ex.ni AS exact_union,
+           ex.ni AS exact_inter
+    FROM us, rho, ex
+    """
+
+
+@register(
+    "kmv_set_overlap",
+    _kmv_overlap_oracle(),
+    doc="KMV sketch set algebra (Beyer et al.): estimate the union, "
+    "intersection, and Jaccard of the 1994-vs-1995 part assortments "
+    "from two mergeable k=64 sketches — the cross-partition overlap "
+    "question a 100 TB store answers WITHOUT a distinct-join, because "
+    "k-min sketches are tiny, mergeable summaries each partition "
+    "maintains independently (union sketch = k smallest of the merged "
+    "sketches; intersection = matched fraction rho of the union sketch "
+    "times the union estimate).  Exact values computed beside for "
+    "error visibility.  All sketch frames are k rows; the only full "
+    "scans are the two filtered distincts.",
+    tags=("sketch",),
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 64
+    li = table(spark, sf_dir, "lineitem")
+
+    def year(y: int):
+        return (
+            (F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        )
+
+    def uhash(col: str):
+        h = F.xxhash64(F.col(col))
+        return (
+            h.cast("decimal(20,0)")
+            + F.when(
+                h < 0, F.expr("CAST(18446744073709551616 AS DECIMAL(20,0))")
+            ).otherwise(F.expr("CAST(0 AS DECIMAL(20,0))"))
+        ).alias("u")
+
+    ha = li.filter(year(1994)).select(uhash("l_partkey")).distinct()
+    hb = li.filter(year(1995)).select(uhash("l_partkey")).distinct()
+    ka = ha.orderBy("u").limit(k).persist()
+    kb = hb.orderBy("u").limit(k).persist()
+    ku = ka.union(kb).distinct().orderBy("u").limit(k).persist()
+    us = ku.agg(F.max("u").alias("kth"), F.count(F.lit(1)).alias("n_u"))
+    rho = (
+        ku.join(ka, "u", "left_semi")
+        .join(kb, "u", "left_semi")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    pa = li.filter(year(1994)).select("l_partkey").distinct()
+    pb = li.filter(year(1995)).select("l_partkey").distinct()
+    ex = (
+        pa.agg(F.count(F.lit(1)).alias("na"))
+        .crossJoin(pb.agg(F.count(F.lit(1)).alias("nb")))
+        .crossJoin(pa.join(pb, "l_partkey").agg(F.count(F.lit(1)).alias("ni")))
+    )
+    num = float(k - 1) * float(2**64)
+    union_est = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")
+    ).otherwise(F.lit(num) / F.col("kth").cast("double"))
+    return (
+        us.crossJoin(rho)
+        .crossJoin(ex)
+        .select(
+            union_est.alias("union_est"),
+            (F.col("r").cast("double") / k * union_est).alias("inter_est"),
+            (F.col("r").cast("double") / k).alias("jaccard_est"),
+            (F.col("na") + F.col("nb") - F.col("ni")).alias("exact_union"),
+            F.col("ni").alias("exact_inter"),
+        )
     )
 
 
