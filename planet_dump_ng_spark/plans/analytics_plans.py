@@ -435,3 +435,170 @@ def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("v1.n1"), F.lit(0)).alias("n1"),
         F.coalesce(F.col("v2.n2"), F.lit(0)).alias("n2"),
     )
+
+
+@register(
+    "time_decayed_user_scores",
+    """
+    WITH w AS (
+      SELECT user_id,
+             value / CAST(1 << LEAST(
+               date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7, 30)
+               AS DOUBLE) AS wv
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(wv AS DECIMAL(38,6))) AS DOUBLE) AS decayed_score
+    FROM w GROUP BY user_id
+    """,
+    doc="Exponential time-decay aggregate: each event's value is halved "
+    "per whole week of age at the 2024-02-01 anchor, then summed per "
+    "user — the freshness-weighted engagement score a ranking/feature "
+    "pipeline recomputes nightly.  Decay weights are exact powers of "
+    "two (value / 2^weeks is pure exponent arithmetic, no float "
+    "rounding), so each weighted value is bit-identical across "
+    "engines, and the sum uses the decimal quantization that makes "
+    "addition order-independent.  Map-only weighting + one map-side-"
+    "combinable agg — one shuffle, scales linearly.  The week clamp "
+    "(30) bounds the shift so ancient events degrade to ~1e-9 weight "
+    "instead of overflowing the shift.",
+    tags=("events", "agg"),
+)
+def time_decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    weeks = F.least(
+        F.floor(
+            F.datediff(F.lit("2024-02-01").cast("date"), F.to_date("ts")) / 7
+        ),
+        F.lit(30),
+    )
+    staged = ev.select("user_id", "value", weeks.cast("int").alias("weeks"))
+    wv = F.col("value") / F.expr("CAST(shiftleft(1, weeks) AS DOUBLE)")
+    return (
+        staged.select("user_id", wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("wv").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("decayed_score"),
+        )
+    )
+
+
+@register(
+    "rolling_zscore_anomalies",
+    """
+    WITH st AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             COUNT(*) OVER w AS n_prev,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value,
+           (value - s / n_prev)
+             / sqrt((s2 - s * s / n_prev) / n_prev) AS zscore
+    FROM st
+    WHERE n_prev >= 12
+      AND (s2 - s * s / n_prev) / n_prev > 0
+      AND abs((value - s / n_prev)
+              / sqrt((s2 - s * s / n_prev) / n_prev)) >= 3.0
+    """,
+    doc="Rolling z-score anomaly detection: each event is scored against "
+    "the mean/stddev of its user's previous 24 events (warm-up of 12), "
+    "and |z| >= 3 rows surface — the streaming-telemetry outlier gate, "
+    "expressed as a bounded-frame window so state per key is O(24).  "
+    "One shuffle (partition by user), sort within partition; the "
+    "rolling sums are decimal-quantized so the frame arithmetic is "
+    "order-independent and both engines agree bit-for-bit; mean/var "
+    "derive from the sums with scalar IEEE ops (deterministic), and "
+    "value*value is a single rounding computed identically.  Ties in "
+    "ts break on event_id so the frame contents are total-ordered.",
+    tags=("events", "window"),
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, -1)
+    )
+    st = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s") / F.col("n_prev")
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n_prev")) / F.col(
+        "n_prev"
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        st.filter((F.col("n_prev") >= 12) & (var > 0) & (F.abs(z) >= 3.0))
+        .select("event_id", "user_id", "ts", "value", z.alias("zscore"))
+    )
+
+
+@register(
+    "sliding_distinct_users",
+    """
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             + to_hours(o.off) AS window_end_hour,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events, (SELECT unnest(range(0, 3)) AS off) o
+    GROUP BY window_end_hour
+    """,
+    doc="Sliding-window distinct count: users active in the trailing "
+    "3-hour window, reported hourly.  Implemented with the bounded "
+    "fan-out trick — each event replicates into the 3 hourly windows "
+    "it participates in (a fixed 3x map-side expansion), then one "
+    "COUNT(DISTINCT) per window bucket — instead of a self-join or a "
+    "range join, so the shuffle key is the window bucket and the cost "
+    "is 3x the input scan regardless of window overlap.  This is the "
+    "batch replica of the streaming sliding-window aggregate "
+    "(window(ts, '3 hours', '1 hour')); distinct uses Spark's two-"
+    "phase expand.  Trailing partial windows past the data's edge are "
+    "kept (deterministic, same on both engines).",
+    tags=("events", "agg"),
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            F.explode(
+                F.array(F.lit(0), F.lit(1), F.lit(2))
+            ).alias("off"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .select(
+            "user_id",
+            (
+                F.col("h")
+                + F.make_interval(hours=F.col("off"))
+            ).alias("window_end_hour"),
+        )
+        .groupBy("window_end_hour")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

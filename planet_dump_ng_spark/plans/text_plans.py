@@ -629,3 +629,143 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     w.unpersist()
     return out
+
+
+@register(
+    "doc_rarity_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(cnt.c) AS DOUBLE) / COUNT(*) AS avg_corpus_count,
+           CAST(SUM(CASE WHEN cnt.c * 64 < tot.n_total THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS rare_fraction
+    FROM tok JOIN cnt USING (w), tot
+    GROUP BY tok.doc_id
+    """,
+    doc="Corpus-frequency document scoring (the CCNet-style LM-free "
+    "quality signal): every token instance is joined to its corpus-"
+    "wide count, and each doc reports its mean corpus count and the "
+    "fraction of its tokens rarer than 1/64 relative frequency — docs "
+    "dominated by hapax/garbage tokens score high rare_fraction, "
+    "boilerplate scores high avg count.  Plan: one tokenize+explode "
+    "(persisted — it feeds the vocabulary count and the join-back), "
+    "one vocab-sized agg, an inverted-index equi-join on the token, "
+    "one per-doc agg; the vocabulary table is broadcast-sized at any "
+    "corpus scale (it grows sub-linearly), so the join-back is a "
+    "broadcast join at 100 TB.  All ratios divide exact bigints — "
+    "bit-identical across engines.  Tokenless docs drop (no token "
+    "instances), matching the shingle-contract convention.",
+    tags=("text", "agg"),
+)
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tx.tokens("text")).alias("w")
+    ).persist()
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n_total"))
+    out = (
+        tok.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "avg_corpus_count"
+            ),
+            (
+                F.sum(
+                    (F.col("c") * 64 < F.col("n_total")).cast("bigint")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rare_fraction"),
+        )
+        .persist()
+    )
+    out.count()
+    tok.unpersist()
+    return out
+
+
+@register(
+    "bigram_pmi_collocations",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    ix AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+    bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM ix),
+    uni AS (SELECT w, COUNT(*) AS c
+            FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS u FROM uni),
+    big AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY w1, w2),
+    m AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS m FROM big)
+    SELECT w1, w2, n_ab,
+           CAST(n_ab * tot.u * tot.u AS DOUBLE)
+             / CAST(m.m * a.c * b.c AS DOUBLE) AS lift
+    FROM big
+    JOIN uni a ON a.w = big.w1
+    JOIN uni b ON b.w = big.w2, tot, m
+    WHERE n_ab >= 5
+    ORDER BY lift DESC, w1, w2
+    LIMIT 100
+    """,
+    doc="Collocation mining: top-100 adjacent-token bigrams by PMI lift "
+    "p(ab)/(p(a)p(b)) with support >= 5 — the phrase-discovery pass a "
+    "tokenizer-training or stopphrase-filter pipeline runs over a "
+    "corpus.  Bigrams derive positionally inside the array (no self-"
+    "join: slice+zip is a map-only 1x expansion), unigram and bigram "
+    "counts are two map-side-combinable aggs, and the two count "
+    "lookups broadcast (vocabulary-sized).  Lift is computed as a "
+    "ratio of exact bigint products (safe under 2^63 through sf0.1 "
+    "x100; switch to log-space sums beyond) and the top-k is "
+    "orderBy+limit = TakeOrderedAndProject with a total tiebreak "
+    "(lift, w1, w2), not a global window.",
+    tags=("text", "agg"),
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(tx.tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    t = t.persist()
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("u"))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    m = big.agg(F.sum("n_ab").cast("bigint").alias("m"))
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    out = (
+        big.filter(F.col("n_ab") >= 5)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("u") * F.col("u")).cast("double")
+                / (F.col("m") * F.col("ca") * F.col("cb")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(100)
+        .persist()
+    )
+    out.count()
+    t.unpersist()
+    return out
