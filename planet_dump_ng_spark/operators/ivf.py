@@ -167,3 +167,74 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    n_rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell) assignment under the trained coarse quantizer —
+    the IVF building block shared by the ANN probe path and semantic
+    dedup.  Map-only against broadcast centroid literals."""
+    centroids = train_kmeans(
+        corpus, dim, n_cells, n_rounds, vec_col=vec_col, id_col=id_col
+    )
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster embeddings with
+    the IVF coarse quantizer, then inside each cell mark every vector
+    that has a lower-id neighbour with cosine >= threshold as a
+    duplicate (the kept vector of each near-dup group is the lowest
+    id — deterministic canonical election without a components pass).
+
+    Scale shape: the k-means is the usual broadcast-Lloyd loop; the
+    candidate pair space is blocked by cell (sum of squared cell sizes,
+    not corpus^2) via one equi-join on the cell id; the final verdict
+    is one per-vector aggregate.  At 100 TB the cell count rises to
+    keep cells bounded and AQE splits any skewed mega-cell.
+    """
+    a = assign_cells(
+        corpus, dim, n_cells, id_col=id_col, vec_col=vec_col
+    ).persist()
+    from planet_dump_ng_spark.operators.similarity import cosine
+
+    b = a.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("nv"), "cell"
+    )
+    close_lower = (
+        a.join(b, "cell")
+        .filter(F.col("nid") < F.col("vec_id"))
+        .filter(cosine(F.col("v"), F.col("nv")) >= threshold)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_close_lower"))
+    )
+    out = (
+        a.join(close_lower, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_close_lower", F.lit(0)).alias("n_close_lower"),
+            F.col("n_close_lower").isNull().alias("kept"),
+        )
+        .persist()
+    )
+    out.count()
+    a.unpersist()
+    return out

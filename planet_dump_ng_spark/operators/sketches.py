@@ -266,3 +266,98 @@ def cms_heavy_hitters(
         .limit(topk)
         .select("key", "est_count", "exact_count")
     )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile estimator.
+
+    The scale path for percentiles over data too large (or too
+    streaming) for an exact global sort: one pass builds an
+    equi-width ``n_bins`` histogram (map-side combinable — partial
+    histograms merge by adding counts, which is what makes this a
+    sketch), then each requested quantile is answered from the
+    cumulative histogram with linear interpolation inside the landing
+    bin.  Error is bounded by one bin width of the value range.
+
+    Plan: one min/max/count agg (scalar, broadcast back), one
+    ``groupBy(bin)`` agg, then all remaining work happens on the
+    ``n_bins``-row table — the cumulative sum is a broadcast
+    self-join (bin' <= bin) instead of a partition-less window, so no
+    stage ever funnels the data through one task.
+
+    Determinism: bin ids derive from single IEEE ops ((x-lo)/width,
+    floor) computed identically by both engines; counts are exact
+    ints; the interpolation is a fixed op sequence over exact ints
+    and two doubles — bit-identical to the SQL oracle.
+    """
+    x = F.col(value_col)
+    stats = df.agg(
+        F.min(x).alias("lo"),
+        F.max(x).alias("hi"),
+        F.count(x).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    binned = df.select(x.alias("x")).crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))  # zero-width: one bin
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / width).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        )
+        .alias("bin"),
+        "lo",
+        "hi",
+        "n",
+    )
+    hist = binned.groupBy("bin", "lo", "hi", "n").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    other = hist.select(F.col("bin").alias("bin2"), F.col("c").alias("c2"))
+    cum = (
+        hist.join(F.broadcast(other), F.col("bin2") <= F.col("bin"))
+        .groupBy("bin", "lo", "hi", "n", "c")
+        .agg(F.sum("c2").alias("cum"))
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    t = (
+        F.broadcast(qdf)
+        .crossJoin(F.broadcast(stats.select(F.col("n").alias("tn"))))
+        .select("q", F.ceil(F.col("q") * F.col("tn")).cast("bigint").alias("target"))
+    )
+    landed = (
+        cum.join(F.broadcast(t), F.col("cum") >= F.col("target"))
+        .groupBy("q", "target")
+        .agg(F.min("bin").alias("bin"))
+    )
+    filled = landed.join(cum, ["bin"]).select(
+        "q",
+        "target",
+        "bin",
+        "lo",
+        "hi",
+        "c",
+        "cum",
+    )
+    w2 = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    frac = (
+        F.col("target") - (F.col("cum") - F.col("c"))
+    ).cast("double") / F.col("c").cast("double")
+    est = (
+        F.col("lo")
+        + w2 * F.col("bin").cast("double")
+        + w2 * frac
+    )
+    return filled.select(
+        "q",
+        F.col("target").alias("target_rank"),
+        F.col("bin").cast("int").alias("bin"),
+        est.alias("est"),
+    )

@@ -221,3 +221,89 @@ def fingerprint(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+_BPE_MERGE_EXPR = """aggregate(s, CAST(array() AS array<string>),
+  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b
+              THEN concat(slice(acc, 1, size(acc) - 1),
+                          array(concat(element_at(acc, -1), x)))
+              ELSE concat(acc, array(x)) END)"""
+
+
+def bpe_learn_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus.
+
+    The real tokenizer-training loop (Sennrich et al.), not just one
+    round of pair statistics: each round counts adjacent symbol pairs
+    weighted by word frequency, elects the most frequent pair (ties:
+    lexicographically smallest), and rewrites every word's symbol
+    sequence with a left-to-right non-overlapping merge fold.  Returns
+    one row per learned rule: (round, pair_left, pair_right, n).
+
+    Scale shape: the loop runs entirely on the DISTINCT-word table
+    (vocabulary-sized — grows sub-linearly with the corpus, so at
+    100 TB this is a few million rows after one corpus-wide word
+    count), each round is one map-side-combinable pair count plus a
+    TakeOrdered(1); the elected rule is a 1-row broadcast into the
+    merge rewrite, so nothing but the word count ever scans the
+    corpus and NO rule ever routes through the driver.  Per-round
+    state is persisted and the previous round unpersisted, mirroring
+    operators.graph.connected_components.
+    """
+    from functools import reduce
+
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "w",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("s"),
+    ).persist()
+    rules = []
+    for r in range(n_merges):
+        pairs = (
+            cur.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(s[i - 1] AS a, s[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("p.a", "p.b", "cnt")
+        )
+        rule = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+        )
+        rules.append(
+            rule.select(
+                F.lit(r + 1).cast("int").alias("round"),
+                F.col("a").alias("pair_left"),
+                F.col("b").alias("pair_right"),
+                "n",
+            )
+        )
+        nxt = (
+            cur.crossJoin(F.broadcast(rule.select("a", "b")))
+            .select("w", "cnt", F.expr(_BPE_MERGE_EXPR).alias("s"))
+            .persist()
+        )
+        nxt.count()  # materialize before dropping the parent cache
+        cur.unpersist()
+        cur = nxt
+    out = reduce(lambda x, y: x.unionAll(y), rules).persist()
+    out.count()
+    cur.unpersist()
+    return out

@@ -602,3 +602,89 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             epoch_us(MAX(CAST(o_orderdate AS TIMESTAMP))) AS last_order_us,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY last_order_us) AS l1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY last_order_us) AS l2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY last_order_us) AS l3,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS f1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency) AS f2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS f3,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary) AS m1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary) AS m2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary) AS m3
+      FROM rfm
+    )
+    SELECT custkey,
+           CASE WHEN last_order_us <= l1 THEN 1 WHEN last_order_us <= l2 THEN 2
+                WHEN last_order_us <= l3 THEN 3 ELSE 4 END AS r_seg,
+           CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+                WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_seg,
+           CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+                WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_seg,
+           frequency, monetary
+    FROM rfm, cuts
+    """,
+    doc="RFM quartile segmentation: per-customer recency/frequency/"
+    "monetary from one orders aggregate, quartile boundaries as ONE "
+    "global percentile_disc aggregate (a 1-row table — order "
+    "statistics, so engine-exact), broadcast back to classify every "
+    "customer 1-4 on each axis.  The broadcast-cuts shape replaces "
+    "the ntile global window an RFM query would naively use (which "
+    "funnels all rows through one task); cost is two passes over the "
+    "per-customer aggregate, both map-side combinable.  Monetary "
+    "uses the decimal-quantized sum so the quartile cut compares "
+    "bit-identical doubles on both engines.",
+    tags=("events", "agg"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.unix_micros(F.max(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_order_us"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    cuts = rfm.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"{c[0]}{i}")
+            for c in ("last_order_us", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def seg(col: str, p: str):
+        return (
+            F.when(F.col(col) <= F.col(f"{p}1"), 1)
+            .when(F.col(col) <= F.col(f"{p}2"), 2)
+            .when(F.col(col) <= F.col(f"{p}3"), 3)
+            .otherwise(4)
+            .alias(f"{p}_seg")
+        )
+
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "custkey",
+        seg("last_order_us", "l").alias("r_seg"),
+        seg("frequency", "f"),
+        seg("monetary", "m"),
+        "frequency",
+        "monetary",
+    )

@@ -125,24 +125,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_cosine_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
-def _ivf_oracle(dim: int = 64, k: int = 5, n_cells: int = 8, n_probe: int = 3,
-                n_rounds: int = 3) -> str:
-    """DuckDB replica of the IVF pipeline (operators.ivf), Lloyd rounds
-    unrolled as CTEs.
+_IVF_DIST = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "list_zip({v}, {c}), p -> (p[1] - p[2]) * (p[1] - p[2]))),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _ivf_cte_prefix(dim: int = 64, n_cells: int = 8, n_rounds: int = 3
+                    ) -> tuple[str, str]:
+    """(CTE prefix, final-centroid CTE name) for the unrolled Lloyd
+    rounds — shared by the IVF ANN oracle and the semantic-dedup
+    oracle.  The prefix defines ``emb(vec_id, v)`` plus centroid tables
+    ``c0..cN``; callers append their own assignment/probe CTEs.
 
     Every stage is engine-deterministic by construction: the k-means init
     orders by Spark's xxhash64(vec_id) (hashLong replica), assignments
     break distance ties on the lower cell id, and the per-cell means use
-    the 1e-12-truncated integer-sum quantization — so three unrolled
-    rounds land on bit-identical centroids and the probe/rerank matches
-    the exact-cosine fold."""
+    the 1e-12-truncated integer-sum quantization — so the unrolled
+    rounds land on bit-identical centroids in both engines."""
     from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
 
-    dist = (
-        "list_reduce(list_prepend(0.0, list_transform("
-        "list_zip({v}, {c}), p -> (p[1] - p[2]) * (p[1] - p[2]))),"
-        " (acc, x) -> acc + x)"
-    )
+    dist = _IVF_DIST
     rounds = []
     for r in range(n_rounds):
         prev, cur = f"c{r}", f"c{r + 1}"
@@ -161,13 +165,25 @@ def _ivf_oracle(dim: int = 64, k: int = 5, n_cells: int = 8, n_probe: int = 3,
     {cur} AS (SELECT p.cell, COALESCE(g.centroid, p.centroid) AS centroid
               FROM {prev} p LEFT JOIN g{r} g USING (cell))""")
     final = f"c{n_rounds}"
-    return f"""
+    prefix = f"""
     WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (SELECT vec_id, v, ROW_NUMBER() OVER (
                 ORDER BY {xxh64_long_inline('vec_id')}, vec_id) AS rn FROM emb),
     c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, v AS centroid
            FROM seeds WHERE rn <= {n_cells}),
-    {','.join(rounds)},
+    {','.join(rounds)}"""
+    return prefix, final
+
+
+def _ivf_oracle(dim: int = 64, k: int = 5, n_cells: int = 8, n_probe: int = 3,
+                n_rounds: int = 3) -> str:
+    """DuckDB replica of the IVF ANN pipeline (operators.ivf): the
+    shared Lloyd-round prefix plus probe/rerank CTEs; the exact-cosine
+    rerank matches the strict left-to-right fold."""
+    dist = _IVF_DIST
+    prefix, final = _ivf_cte_prefix(dim, n_cells, n_rounds)
+    return f"""
+    {prefix},
     corpus AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
         SELECT e.vec_id, e.v, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -361,3 +377,57 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("q", lambda x: x.cast("string")), ","
         ).alias("q"),
     )
+
+
+def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,
+                           threshold: float = 0.35) -> str:
+    """Semantic-dedup replica: Lloyd-round prefix, one assignment CTE,
+    cell-blocked lower-id pair count, left join back."""
+    dist = _IVF_DIST
+    prefix, final = _ivf_cte_prefix(dim, n_cells)
+    cos = (
+        f"{_DOT.format(a='a.v', b='b.v')}"
+        f" / (sqrt({_DOT.format(a='a.v', b='a.v')})"
+        f" * sqrt({_DOT.format(a='b.v', b='b.v')}))"
+    )
+    return f"""
+    {prefix},
+    assign AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
+        FROM emb e, {final} c) WHERE rn = 1),
+    cl AS (SELECT a.vec_id, COUNT(*) AS n_close_lower
+           FROM assign a JOIN assign b
+             ON a.cell = b.cell AND b.vec_id < a.vec_id
+           WHERE {cos} >= {threshold!r}
+           GROUP BY a.vec_id)
+    SELECT a.vec_id, a.cell,
+           COALESCE(cl.n_close_lower, 0) AS n_close_lower,
+           cl.vec_id IS NULL AS kept
+    FROM assign a LEFT JOIN cl USING (vec_id)
+    """
+
+
+@register(
+    "dedup_semantic_ivf",
+    _semantic_dedup_oracle(),
+    doc="SemDeDup-shaped semantic deduplication "
+    "(operators.ivf.semantic_dedup): embeddings cluster under the IVF "
+    "coarse quantizer (deterministic Lloyd rounds), then inside each "
+    "cell every vector with a lower-id neighbour at cosine >= 0.35 is "
+    "marked duplicate — the kept member of each near-dup group is the "
+    "lowest id, elected without a connected-components pass.  The pair "
+    "space is cell-blocked (sum of squared cell sizes, the SemDeDup "
+    "cost model), the verdict is one per-vector count + left join, and "
+    "at scale the cell count grows to bound cells while AQE splits "
+    "skewed mega-cells.  Oracle unrolls the same Lloyd rounds as the "
+    "IVF ANN oracle (shared CTE prefix) and replays the exact-fold "
+    "cosine, so both engines agree bit-for-bit.",
+    tags=("dedup", "similarity", "iterative", "bench"),
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.ivf import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=64, n_cells=8, threshold=0.35)

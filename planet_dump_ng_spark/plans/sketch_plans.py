@@ -295,3 +295,56 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.cms_heavy_hitters(
         table(spark, sf_dir, "lineitem"), "l_partkey", w=256, d=3, topk=20
     )
+
+
+def _binned_quantile_oracle(n_bins: int = 256,
+                            qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    qlits = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+    WITH stats AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+                          COUNT(l_extendedprice) AS n FROM lineitem),
+    binned AS (SELECT CASE WHEN hi = lo THEN 0
+                    ELSE LEAST(CAST(FLOOR((l_extendedprice - lo)
+                                       / ((hi - lo) / {float(n_bins)!r})) AS INT),
+                               {n_bins - 1}) END AS bin, lo, hi, n
+               FROM lineitem, stats),
+    hist AS (SELECT bin, lo, hi, n, COUNT(*) AS c
+             FROM binned GROUP BY bin, lo, hi, n),
+    cum AS (SELECT h.bin, h.lo, h.hi, h.n, h.c,
+                   CAST(SUM(o.c) AS BIGINT) AS cum
+            FROM hist h JOIN hist o ON o.bin <= h.bin
+            GROUP BY h.bin, h.lo, h.hi, h.n, h.c),
+    t AS (SELECT q, CAST(CEIL(q * stats.n) AS BIGINT) AS target
+          FROM (VALUES {qlits}) AS qt(q), stats),
+    landed AS (SELECT t.q, t.target, MIN(cum.bin) AS bin
+               FROM cum JOIN t ON cum.cum >= t.target
+               GROUP BY t.q, t.target)
+    SELECT l.q, l.target AS target_rank, CAST(l.bin AS INT) AS bin,
+           c.lo + ((c.hi - c.lo) / {float(n_bins)!r}) * CAST(l.bin AS DOUBLE)
+                + ((c.hi - c.lo) / {float(n_bins)!r})
+                  * (CAST(l.target - (c.cum - c.c) AS DOUBLE)
+                     / CAST(c.c AS DOUBLE)) AS est
+    FROM landed l JOIN cum c ON c.bin = l.bin
+    """
+
+
+@register(
+    "binned_quantile_estimate",
+    _binned_quantile_oracle(),
+    doc="Mergeable histogram quantile sketch "
+    "(operators.sketches.binned_quantiles): p50/p90/p99 of "
+    "l_extendedprice from a 256-bin equi-width histogram with linear "
+    "interpolation in the landing bin.  Partial histograms merge by "
+    "adding counts (map-side combinable — the property that makes this "
+    "the percentile path at 100 TB where an exact global sort or a "
+    "partition-less rank window would funnel one task), and every "
+    "post-histogram step runs on the 256-row table: the cumulative sum "
+    "is a broadcast self-join, not a global window.  Bin ids and the "
+    "interpolation are fixed IEEE op sequences over exact integers, "
+    "mirrored in the oracle — bit-identical across engines.",
+    tags=("sketch", "agg", "bench"),
+)
+def binned_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sk.binned_quantiles(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )

@@ -723,7 +723,7 @@ def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x100; switch to log-space sums beyond) and the top-k is "
     "orderBy+limit = TakeOrderedAndProject with a total tiebreak "
     "(lift, w1, w2), not a global window.",
-    tags=("text", "agg"),
+    tags=("text", "agg", "bench"),
 )
 def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -769,3 +769,63 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     t.unpersist()
     return out
+
+
+def _bpe_learn_oracle(n_merges: int = 3) -> str:
+    """Unrolled BPE training rounds: pair count -> top-1 rule -> merge
+    fold per round, the 1-row rule CTE referenced from the rewrite
+    lambda (same no-driver-roundtrip shape as the Spark loop)."""
+    fold = (
+        "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+        "list_transform(s, x -> [x])), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = r{r}.a "
+        "AND x[1] = r{r}.b "
+        "THEN acc[1:len(acc)-1] || [acc[len(acc)] || x[1]] "
+        "ELSE acc || x END)"
+    )
+    ctes = []
+    for r in range(n_merges):
+        ctes.append(f"""
+    p{r} AS (SELECT s[i] AS a, s[i + 1] AS b, cnt
+             FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i FROM s{r})),
+    c{r} AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n
+             FROM p{r} GROUP BY a, b),
+    r{r} AS (SELECT a, b, n FROM c{r} ORDER BY n DESC, a, b LIMIT 1),
+    s{r + 1} AS (SELECT w, cnt, {fold.format(r=r)} AS s FROM s{r}, r{r})""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INT) AS round, a AS pair_left, "
+        f"b AS pair_right, n FROM r{r}"
+        for r in range(n_merges)
+    )
+    return f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    words AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    s0 AS (SELECT w, cnt,
+                  list_transform(range(1, length(w) + 1),
+                                 i -> substring(w, CAST(i AS INT), 1)) AS s
+           FROM words),
+    {','.join(ctes)}
+    {finals}
+    """
+
+
+@register(
+    "bpe_learn_merges",
+    _bpe_learn_oracle(),
+    doc="BPE tokenizer training (operators.text.bpe_learn_merges): three "
+    "full merge-learning rounds — frequency-weighted adjacent-pair "
+    "count over the distinct-word table, deterministic top-1 rule "
+    "election (n DESC, then lexicographic), and a left-to-right "
+    "non-overlapping merge fold rewriting every word — returning the "
+    "learned rules.  The sixth fully-oracled iterative algorithm: the "
+    "oracle unrolls the rounds as CTEs with the 1-row rule CTE "
+    "referenced inside the rewrite lambda, exactly like the Spark "
+    "loop's 1-row broadcast (no driver round-trip on either side).  "
+    "Corpus is scanned once for the word count; everything else is "
+    "vocabulary-sized.",
+    tags=("text", "iterative", "bench"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.text import bpe_learn_merges as learn
+
+    return learn(table(spark, sf_dir, "documents"), n_merges=3)
