@@ -293,3 +293,51 @@ def label_propagation(
     out.count()
     e.unpersist()
     return out
+
+
+def bfs_levels(
+    edges: DataFrame,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-hop BFS from the minimum node id over a symmetric edge
+    set: after ``n_rounds`` frontier expansions, return every reached
+    node with its hop distance (id, dist).
+
+    The n-hop-neighborhood / reachability primitive (lineage blast
+    radius, ego networks).  The source is elected declaratively (MIN
+    over the edge table broadcast back), so no driver round-trip; each
+    round is one equi-join on the persisted src-partitioned edge
+    arrangement plus a MIN-aggregate — dist is monotone, so re-visited
+    nodes collapse by MIN and the frontier table stays one row per
+    reached node (O(V) state, never the exponential path set).  Rounds
+    persist/unpersist like connected_components.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
+    d = (
+        e.agg(F.min("src").alias("id"))
+        .select("id", F.lit(0).cast("int").alias("dist"))
+        .persist()
+    )
+    d.count()
+    for _ in range(n_rounds):
+        expanded = (
+            e.join(d.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        nd = (
+            d.unionByName(expanded)
+            .groupBy("id")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .persist()
+        )
+        nd.count()
+        d.unpersist()
+        d = nd
+    e.unpersist()
+    return d

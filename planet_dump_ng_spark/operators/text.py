@@ -230,30 +230,11 @@ _BPE_MERGE_EXPR = """aggregate(s, CAST(array() AS array<string>),
               ELSE concat(acc, array(x)) END)"""
 
 
-def bpe_learn_merges(
-    docs: DataFrame, text_col: str = "text", n_merges: int = 3
-) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merge rules over the corpus.
-
-    The real tokenizer-training loop (Sennrich et al.), not just one
-    round of pair statistics: each round counts adjacent symbol pairs
-    weighted by word frequency, elects the most frequent pair (ties:
-    lexicographically smallest), and rewrites every word's symbol
-    sequence with a left-to-right non-overlapping merge fold.  Returns
-    one row per learned rule: (round, pair_left, pair_right, n).
-
-    Scale shape: the loop runs entirely on the DISTINCT-word table
-    (vocabulary-sized — grows sub-linearly with the corpus, so at
-    100 TB this is a few million rows after one corpus-wide word
-    count), each round is one map-side-combinable pair count plus a
-    TakeOrdered(1); the elected rule is a 1-row broadcast into the
-    merge rewrite, so nothing but the word count ever scans the
-    corpus and NO rule ever routes through the driver.  Per-round
-    state is persisted and the previous round unpersisted, mirroring
-    operators.graph.connected_components.
-    """
-    from functools import reduce
-
+def _bpe_rounds(
+    docs: DataFrame, text_col: str, n_merges: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(final word-symbol table [persisted — caller unpersists], one
+    1-row rule DataFrame per round) — the shared BPE training loop."""
     words = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -303,7 +284,73 @@ def bpe_learn_merges(
         nxt.count()  # materialize before dropping the parent cache
         cur.unpersist()
         cur = nxt
+    return cur, rules
+
+
+def bpe_learn_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus.
+
+    The real tokenizer-training loop (Sennrich et al.), not just one
+    round of pair statistics: each round counts adjacent symbol pairs
+    weighted by word frequency, elects the most frequent pair (ties:
+    lexicographically smallest), and rewrites every word's symbol
+    sequence with a left-to-right non-overlapping merge fold.  Returns
+    one row per learned rule: (round, pair_left, pair_right, n).
+
+    Scale shape: the loop runs entirely on the DISTINCT-word table
+    (vocabulary-sized — grows sub-linearly with the corpus, so at
+    100 TB this is a few million rows after one corpus-wide word
+    count), each round is one map-side-combinable pair count plus a
+    TakeOrdered(1); the elected rule is a 1-row broadcast into the
+    merge rewrite, so nothing but the word count ever scans the
+    corpus and NO rule ever routes through the driver.  Per-round
+    state is persisted and the previous round unpersisted, mirroring
+    operators.graph.connected_components.
+    """
+    from functools import reduce
+
+    cur, rules = _bpe_rounds(docs, text_col, n_merges)
     out = reduce(lambda x, y: x.unionAll(y), rules).persist()
+    out.count()
+    cur.unpersist()
+    return out
+
+
+def bpe_encode_stats(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """Fit-and-transform: learn ``n_merges`` BPE rules, then encode every
+    document and report per-doc symbol statistics — (doc_id, n_tokens,
+    n_chars, n_symbols, compression).
+
+    The transform never re-folds per token INSTANCE: the merge rewrite
+    happens once per distinct word (the vocabulary-sized model table),
+    and documents join back on the word — the same broadcast-model
+    shape as tokenize_with_vocab, so the per-document cost at 100 TB is
+    one map-side join plus an aggregate.
+    """
+    cur, _ = _bpe_rounds(docs, text_col, n_merges)
+    wn = cur.select(
+        "w",
+        F.size("s").cast("bigint").alias("n_sym"),
+        F.length("w").cast("bigint").alias("n_chr"),
+    )
+    dtok = docs.select("doc_id", F.explode(tokens(text_col)).alias("w"))
+    out = (
+        dtok.join(wn, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_chr").cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_symbols"),
+            (
+                F.sum("n_sym").cast("double") / F.sum("n_chr").cast("double")
+            ).alias("compression"),
+        )
+        .persist()
+    )
     out.count()
     cur.unpersist()
     return out

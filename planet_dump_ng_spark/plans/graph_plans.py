@@ -246,3 +246,55 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return label_propagation(edges, n_rounds=3)
+
+
+def _bfs_oracle(n_rounds: int = 3) -> str:
+    """Unrolled BFS frontier rounds over the co-supply graph from the
+    minimum supplier id (operators.graph.bfs_levels replica)."""
+    rounds = []
+    for r in range(n_rounds):
+        rounds.append(f"""
+    d{r + 1} AS (SELECT id, CAST(MIN(dist) AS INT) AS dist FROM (
+            SELECT id, dist FROM d{r}
+            UNION ALL
+            SELECT e.dst AS id, d.dist + 1 AS dist
+            FROM e JOIN d{r} d ON e.src = d.id)
+        GROUP BY id)""")
+    return (
+        _COSUPPLY_SQL
+        + f"""
+    , e AS (SELECT s1 AS src, s2 AS dst FROM edges
+            UNION ALL SELECT s2, s1 FROM edges),
+    d0 AS (SELECT MIN(src) AS id, CAST(0 AS INT) AS dist FROM e),
+    {','.join(rounds)}
+    SELECT id AS suppkey, dist AS hops FROM d{n_rounds}
+    """
+    )
+
+
+@register(
+    "bfs_supplier_hops",
+    _bfs_oracle(),
+    doc="Bounded-hop BFS (operators.graph.bfs_levels): hop distance from "
+    "the minimum-id supplier over the symmetrized co-supply graph, "
+    "three frontier expansions — the n-hop-neighborhood primitive "
+    "(blast-radius / ego-network queries).  The seventh fully-oracled "
+    "iterative algorithm: the source is elected declaratively (MIN "
+    "broadcast back, no driver round-trip), each round joins the "
+    "persisted src-partitioned edge arrangement once, and MIN-collapse "
+    "keeps frontier state at one row per reached node.  Oracle unrolls "
+    "the rounds as CTEs over the shared co-supply edge SQL.",
+    tags=("graph", "iterative"),
+)
+def bfs_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.graph import bfs_levels
+
+    und = _cosupply_edges(spark, sf_dir)
+    edges = und.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionByName(und.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
+    out = bfs_levels(edges, n_rounds=3).select(
+        F.col("id").alias("suppkey"), F.col("dist").alias("hops")
+    )
+    und.unpersist()
+    return out

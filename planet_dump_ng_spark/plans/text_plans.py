@@ -771,10 +771,12 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_learn_oracle(n_merges: int = 3) -> str:
-    """Unrolled BPE training rounds: pair count -> top-1 rule -> merge
-    fold per round, the 1-row rule CTE referenced from the rewrite
-    lambda (same no-driver-roundtrip shape as the Spark loop)."""
+def _bpe_cte_chain(n_merges: int = 3) -> tuple[str, str]:
+    """(CTE body, final symbol-table name) for the unrolled BPE training
+    rounds: pair count -> top-1 rule -> merge fold per round, the 1-row
+    rule CTE referenced from the rewrite lambda (same no-driver-
+    roundtrip shape as the Spark loop).  Shared by the learn and the
+    encode oracles."""
     fold = (
         "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
         "list_transform(s, x -> [x])), "
@@ -792,20 +794,45 @@ def _bpe_learn_oracle(n_merges: int = 3) -> str:
              FROM p{r} GROUP BY a, b),
     r{r} AS (SELECT a, b, n FROM c{r} ORDER BY n DESC, a, b LIMIT 1),
     s{r + 1} AS (SELECT w, cnt, {fold.format(r=r)} AS s FROM s{r}, r{r})""")
-    finals = " UNION ALL ".join(
-        f"SELECT CAST({r + 1} AS INT) AS round, a AS pair_left, "
-        f"b AS pair_right, n FROM r{r}"
-        for r in range(n_merges)
-    )
-    return f"""
+    body = f"""
     WITH tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
     words AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
     s0 AS (SELECT w, cnt,
                   list_transform(range(1, length(w) + 1),
                                  i -> substring(w, CAST(i AS INT), 1)) AS s
            FROM words),
-    {','.join(ctes)}
+    {','.join(ctes)}"""
+    return body, f"s{n_merges}"
+
+
+def _bpe_learn_oracle(n_merges: int = 3) -> str:
+    body, _ = _bpe_cte_chain(n_merges)
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INT) AS round, a AS pair_left, "
+        f"b AS pair_right, n FROM r{r}"
+        for r in range(n_merges)
+    )
+    return f"""
+    {body}
     {finals}
+    """
+
+
+def _bpe_encode_oracle(n_merges: int = 3) -> str:
+    body, final = _bpe_cte_chain(n_merges)
+    return f"""
+    {body},
+    wn AS (SELECT w, CAST(len(s) AS BIGINT) AS n_sym,
+                  CAST(length(w) AS BIGINT) AS n_chr FROM {final}),
+    dtok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+           CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+           CAST(SUM(n_sym) AS DOUBLE) / CAST(SUM(n_chr) AS DOUBLE)
+             AS compression
+    FROM dtok JOIN wn USING (w)
+    GROUP BY doc_id
     """
 
 
@@ -829,3 +856,21 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from planet_dump_ng_spark.operators.text import bpe_learn_merges as learn
 
     return learn(table(spark, sf_dir, "documents"), n_merges=3)
+
+
+@register(
+    "bpe_encode_stats",
+    _bpe_encode_oracle(),
+    doc="BPE fit-and-transform (operators.text.bpe_encode_stats): learn "
+    "three merge rules, rewrite the distinct-word table once, and join "
+    "documents back to report per-doc token/char/symbol counts and the "
+    "compression ratio the tokenizer achieves — the encode-side "
+    "companion of bpe_learn_merges.  The model table is vocabulary-"
+    "sized, so the per-document transform is a broadcast join (never a "
+    "per-token fold); ratios divide exact bigints.",
+    tags=("text", "iterative"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.text import bpe_encode_stats as enc
+
+    return enc(table(spark, sf_dir, "documents"), n_merges=3)

@@ -268,3 +268,48 @@ def test_binned_quantiles_histogram_is_mergeable(spark):
     shuffled = full.repartition(7)
     est_shuf = {r.q: r.est for r in binned_quantiles(shuffled, "x").collect()}
     assert est_full == est_shuf
+
+
+def test_bfs_levels_chain_graph(spark):
+    """Path graph 1-2-3-4-5 (symmetric): 3 rounds from min id reach
+    nodes 1..4 at dists 0..3; node 5 stays unreached."""
+    from planet_dump_ng_spark.operators.graph import bfs_levels
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = {r.id: r.dist for r in bfs_levels(edges, n_rounds=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_levels_min_dist_on_cycle(spark):
+    """Triangle 1-2-3: both 2 and 3 are at dist 1 (MIN collapses the
+    2-hop path through the other node)."""
+    from planet_dump_ng_spark.operators.graph import bfs_levels
+
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = {r.id: r.dist for r in bfs_levels(edges, n_rounds=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_bpe_encode_stats_compression(spark):
+    """'aaab' corpus: 2 merges turn 4 chars into 2 symbols ('aa'+'a','b'
+    after round 1 -> round 2 merges ('a','b')? No: round 2 rule is the
+    lexicographic tie ('a','b'), giving ['aa','a','b'] -> ['aa','ab'].
+    Encoded symbol count = 2, chars = 4."""
+    from planet_dump_ng_spark.operators.text import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(i, "aaab aaab") for i in range(3)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_encode_stats(docs, n_merges=2).collect()}
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        assert r.n_tokens == 2
+        assert r.n_chars == 8
+        assert r.n_symbols == 4  # 2 symbols per word after 2 merges
+        assert r.compression == 0.5
