@@ -360,3 +360,28 @@ def sessionize_stream_native(
             (F.col("win.end") - F.expr(f"interval {gap}")).alias("session_end"),
         )
     )
+
+
+def sliding_distinct_stream(
+    events: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Streaming form of sliding_distinct_users: distinct users per
+    trailing 3-hour window, sliding hourly.
+
+    Two chained stateful operators (Spark 3.5+ multiple-stateful
+    support): a watermark-bounded ``dropDuplicates`` on (window, user)
+    — the streaming replacement for COUNT(DISTINCT), which streaming
+    aggregation cannot express directly — feeding a windowed count in
+    append mode.  State: one row per (window, user) until the
+    watermark passes the window end (the sliding window column carries
+    event time, so both operators' state is bounded), exactly the
+    batch plan's 3x fan-out expressed as window assignment.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .select(F.window("ts", "3 hours", "1 hour").alias("win"), "user_id")
+        .dropDuplicates(["win", "user_id"])
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("win").end.alias("window_end"), "n_users")
+    )

@@ -478,3 +478,33 @@ def test_session_window_native_matches_custom(spark, sf_dir, ordered_events_dir)
         for r in user_sessionization(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_sliding_distinct_stream_matches_batch(spark, sf_dir, events_dir):
+    """Chained stateful ops (dedup -> windowed agg): every window the
+    stream finalizes carries exactly the batch sliding-distinct count,
+    and all windows the watermark closed were emitted."""
+    from planet_dump_ng_spark.plans.analytics_plans import sliding_distinct_users
+
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    jobs.run_to_memory(
+        jobs.sliding_distinct_stream(stream), "slide_mem", output_mode="append"
+    )
+    got = {
+        r.window_end: r.n_users for r in spark.table("slide_mem").collect()
+    }
+    assert got, "stream emitted nothing"
+    # batch labels windows by their last contained hour; stream by the
+    # exclusive end -> batch window_end_hour == stream window_end - 1h
+    import datetime as dt
+
+    expected = {
+        r.window_end_hour + dt.timedelta(hours=1): r.n_users
+        for r in sliding_distinct_users(spark, sf_dir).collect()
+    }
+    for we, n in got.items():
+        assert expected.get(we) == n, (we, n, expected.get(we))
+    # append mode withholds windows still open at the final watermark
+    # (max event time); everything the watermark passed must be present
+    closed = {we for we in expected if we <= max(got)}
+    assert closed <= set(got)
