@@ -61,6 +61,8 @@ def curate(
     scrub_pii: bool = True,
     mix_weights: dict[str, float] | None = None,
     pack_capacity: int | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.9,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -85,6 +87,27 @@ def curate(
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     docs = docs.join(losers, "doc_id", "left_anti")
     report.log("near_dedup", docs.count())
+
+    # 2b. optional semantic dedup (SemDeDup): embeddings keyed by doc_id
+    # cluster under the IVF coarse quantizer; inside a cell, any doc with
+    # a lower-id neighbour above the cosine threshold drops.  Catches
+    # paraphrase-level duplication the lexical stages cannot.
+    if embeddings is not None:
+        from planet_dump_ng_spark.operators.ivf import semantic_dedup
+
+        dim = len(
+            embeddings.select("embedding").first()["embedding"]
+        )
+        verdict = semantic_dedup(
+            embeddings, dim=dim, threshold=semantic_threshold
+        )
+        # docs without an embedding pass through (left_anti on the drops,
+        # not semi on the keeps — absence of a vector is not evidence)
+        drop_ids = verdict.filter(~F.col("kept")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        docs = docs.join(drop_ids, "doc_id", "left_anti")
+        report.log("semantic_dedup", docs.count())
 
     # 3. decontamination: drop any training doc containing too much of an
     # eval item (asymmetric containment, eval side broadcast)

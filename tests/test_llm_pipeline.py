@@ -111,3 +111,36 @@ def test_curate_cli_main(spark, sf_dir, tmp_path, capsys):
     assert "raw" in printed and "mixed" in printed and "split=" in printed
     assert spark.read.parquet(out).count() > 0
     assert spark.read.parquet(out + "_pack").count() > 0
+
+
+def test_curate_semantic_stage(spark, sf_dir, tmp_path):
+    """With embeddings supplied, the SemDeDup stage drops exactly the
+    non-kept vec_ids that survived the lexical stages, and docs without
+    a vector pass through untouched."""
+    from planet_dump_ng_spark.operators.ivf import semantic_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "curated_sem")
+
+    manifest, report = curate(
+        docs,
+        out,
+        embeddings=emb,
+        semantic_threshold=0.35,
+        min_tokens=1,
+        max_stopword_ratio=1.0,
+    )
+    stages = dict(report.stages)
+    assert "semantic_dedup" in stages
+    assert stages["semantic_dedup"] <= stages["near_dedup"]
+    # replay: the stage's drop set is the operator's non-kept ids
+    dropped = {
+        r.vec_id
+        for r in semantic_dedup(emb, dim=64, threshold=0.35)
+        .filter(~F.col("kept"))
+        .collect()
+    }
+    written = spark.read.parquet(out)
+    surviving = {r.doc_id for r in written.select("doc_id").collect()}
+    assert not (surviving & dropped)
