@@ -442,9 +442,9 @@ def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT user_id,
-             value / CAST(1 << LEAST(
-               date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7, 30)
-               AS DOUBLE) AS wv
+             value / CAST(1 << LEAST(GREATEST(
+               date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7,
+               0), 30) AS DOUBLE) AS wv
       FROM events
     )
     SELECT user_id,
@@ -468,11 +468,15 @@ def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def time_decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     weeks = F.least(
-        F.floor(
-            F.datediff(F.lit("2024-02-01").cast("date"), F.to_date("ts")) / 7
+        F.greatest(
+            F.floor(
+                F.datediff(F.lit("2024-02-01").cast("date"), F.to_date("ts"))
+                / 7
+            ),
+            F.lit(0),
         ),
         F.lit(30),
-    )
+    )  # clamp below too: an event after the anchor must not shift negative
     staged = ev.select("user_id", "value", weeks.cast("int").alias("weeks"))
     wv = F.col("value") / F.expr("CAST(shiftleft(1, weeks) AS DOUBLE)")
     return (
