@@ -6,6 +6,8 @@ standard curation sequence:
       -> exact dedup (first-occurrence survivors)
       -> near-dup removal (MinHash-LSH candidates, exact-Jaccard verify,
          keep the smallest doc id per dup pair)
+      -> optional semantic dedup (SemDeDup: IVF-cell-blocked embedding
+         cosine, lowest id per near-dup group survives)
       -> benchmark-contamination filter (containment vs an eval set)
       -> PII scrub (mask emails/IPs/long digit runs/phones — a
          transform, not a filter)

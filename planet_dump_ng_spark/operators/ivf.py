@@ -20,29 +20,92 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from planet_dump_ng_spark.operators.similarity import cosine
 
 
-def _nearest_centroid(vec, centroids: list[tuple[int, list[float]]]):
-    """Expression: argmin over centroids of squared L2 distance (exact
-    arithmetic on broadcast literals).  Ties break on the lower cell id
-    via the (dist, cell) struct min."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, c in centroids
-        ]
+def _centroids_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Centroid table as DATA, not plan literals: embedding the n_cells x
+    dim floats as expression literals (the round-2/3 formulation) made
+    every Lloyd round pay Catalyst + whole-stage-codegen for a ~500-leaf
+    expression tree — planning dominated the 2k-row execution.  A
+    broadcast join against this tiny table keeps the plan constant-size
+    per round (and is the formulation that still works when n_cells
+    grows to thousands at 100 TB, where a literal tree would not even
+    compile)."""
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in c]) for cid, c in centroids],
+        "cell int, centroid array<double>",
     )
-    return F.array_min(scored)["cell"]
+
+
+#: exact squared-L2 between the row vector ``v`` and the joined
+#: ``centroid`` — same strict fold (zip, per-dim square, left-to-right
+#: sum) the literal formulation used, so results are bit-identical.
+_DIST2 = F.aggregate(
+    F.zip_with(
+        F.col("v"),
+        F.col("centroid"),
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    ),
+    F.lit(0.0),
+    lambda acc, x: acc + x,
+)
+
+
+def _assign(vecs: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(vec_id, v) x broadcast centroids -> (vec_id, v, cell): nearest
+    cell by exact squared L2, ties to the lower cell id via the
+    lexicographic struct MIN (identical to ROW_NUMBER ORDER BY dist,
+    cell of the oracle).  any_value(v) is deterministic here — every
+    candidate row of a vec_id carries the same v."""
+    return (
+        vecs.join(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "v",
+            F.struct(_DIST2.alias("dist"), F.col("cell").alias("cell")).alias(
+                "dc"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("v").alias("v"),
+            F.min("dc")["cell"].alias("cell"),
+        )
+    )
+
+
+def train_kmeans_df(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    n_rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd iterations as ONE lazy DataFrame chain -> (cell, centroid).
+
+    Deterministic init: the ``n_cells`` corpus vectors with the smallest
+    xxhash64(id) (a seeded pseudo-random but reproducible sample — the
+    only driver round-trip; it also lets cell ids come from Python
+    enumeration instead of a partition-less rank window).  Each round:
+    assign to nearest centroid (broadcast join against the tiny centroid
+    table), recompute exact means per cell (1e-12-truncated integer
+    sums, the engine-stable quantization).  Empty cells keep their
+    previous centroid via the left join + coalesce.
+
+    The recurrence MATERIALIZES each round (the tiny centroid table is
+    collected and re-seeded as data): a fully lazy chain is tempting but
+    wrong — round r+1's plan references round r's centroid table twice
+    (assignment AND the carry-forward left join), so lazy chaining
+    doubles the plan per round and Spark recomputes the recurrence
+    exponentially (measured 1.6x slower at 3 rounds).  An 8-row collect
+    per round is the cheap way to cut that lineage.  The caller should
+    persist ``corpus`` — each round rescans it once.
+    """
+    return _centroids_df(
+        corpus.sparkSession,
+        train_kmeans(
+            corpus, dim, n_cells, n_rounds, vec_col=vec_col, id_col=id_col
+        ),
+    )
 
 
 def train_kmeans(
@@ -53,32 +116,25 @@ def train_kmeans(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> list[tuple[int, list[float]]]:
-    """Lloyd iterations as DataFrame jobs.
-
-    Deterministic init: the ``n_cells`` corpus vectors with the smallest
-    xxhash64(id) (a seeded pseudo-random but reproducible sample).  Each
-    round: assign to nearest centroid (map-only vs broadcast literals),
-    recompute exact means per cell (1e-12-truncated integer sums, the
-    engine-stable quantization), collect the tiny centroid table.  Empty
-    cells keep their previous centroid.
-    """
+    """Lloyd rounds with an 8-row driver materialization per round (see
+    train_kmeans_df for why the lineage cut beats a lazy chain)."""
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
     seeds = (
-        corpus.select(id_col, vec_col)
-        .withColumn("_h", F.xxhash64(F.col(id_col)))
-        .orderBy("_h", id_col)
+        vecs.withColumn("_h", F.xxhash64(F.col("vec_id")))
+        .orderBy("_h", "vec_id")
         .limit(n_cells)
         .collect()
     )
-    centroids = [
-        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)
-    ]
+    centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)]
     for _ in range(n_rounds):
-        assigned = corpus.select(
-            vec_col, _nearest_centroid(F.col(vec_col), centroids).alias("cell")
+        assigned = _assign(
+            vecs, _centroids_df(corpus.sparkSession, centroids)
         )
         means = (
             assigned.select(
-                "cell", F.posexplode(vec_col).alias("pos", "val")
+                "cell", F.posexplode("v").alias("pos", "val")
             )
             .groupBy("cell", "pos")
             .agg(
@@ -117,38 +173,39 @@ def ivf_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: probe the ``n_probe`` nearest cells per query,
     exact-cosine rerank inside them."""
-    centroids = train_kmeans(corpus, dim, n_cells, vec_col=vec_col, id_col=id_col)
+    corpus = corpus.persist()
+    cdf = train_kmeans_df(
+        corpus, dim, n_cells, vec_col=vec_col, id_col=id_col
+    )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
+    c = _assign(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        ),
+        cdf,
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "cell",
     )
-    # per query: the n_probe closest cells by centroid distance
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(x) for x in cvec]),
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(
-            F.transform(F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"])
-        ).alias("cell"),
+    # per query: the n_probe closest cells by centroid distance (rank over
+    # the broadcast-joined centroid table; ties on dist go to the lower
+    # cell id, matching the oracle's ORDER BY dist, cell)
+    pw = W.partitionBy("query_id").orderBy("dist", "cell")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+        )
+        .join(F.broadcast(cdf))
+        .select(
+            "query_id",
+            F.col("v").alias("qv"),
+            "cell",
+            _DIST2.alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -179,14 +236,16 @@ def assign_cells(
 ) -> DataFrame:
     """(id, vec, cell) assignment under the trained coarse quantizer —
     the IVF building block shared by the ANN probe path and semantic
-    dedup.  Map-only against broadcast centroid literals."""
-    centroids = train_kmeans(
+    dedup.  One broadcast join against the lazily-trained centroid
+    table (the caller should have ``corpus`` persisted)."""
+    cdf = train_kmeans_df(
         corpus, dim, n_cells, n_rounds, vec_col=vec_col, id_col=id_col
     )
-    return corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
+    return _assign(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        ),
+        cdf,
     )
 
 
@@ -210,9 +269,12 @@ def semantic_dedup(
     is one per-vector aggregate.  At 100 TB the cell count rises to
     keep cells bounded and AQE splits any skewed mega-cell.
     """
+    corpus = corpus.select(id_col, vec_col).persist()
     a = assign_cells(
         corpus, dim, n_cells, id_col=id_col, vec_col=vec_col
     ).persist()
+    a.count()
+    corpus.unpersist()
     from planet_dump_ng_spark.operators.similarity import cosine
 
     b = a.select(
