@@ -692,3 +692,59 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+
+
+@register(
+    "range_partition_bounds",
+    """
+    WITH ks AS (SELECT o_orderkey AS k FROM orders),
+    cuts AS (SELECT percentile_disc(1/8.0) WITHIN GROUP (ORDER BY k) AS b1, percentile_disc(2/8.0) WITHIN GROUP (ORDER BY k) AS b2, percentile_disc(3/8.0) WITHIN GROUP (ORDER BY k) AS b3, percentile_disc(4/8.0) WITHIN GROUP (ORDER BY k) AS b4, percentile_disc(5/8.0) WITHIN GROUP (ORDER BY k) AS b5, percentile_disc(6/8.0) WITHIN GROUP (ORDER BY k) AS b6, percentile_disc(7/8.0) WITHIN GROUP (ORDER BY k) AS b7 FROM ks),
+    bounds AS (SELECT CAST(1 AS INT) AS cut, b1 AS bound FROM cuts UNION ALL SELECT CAST(2 AS INT) AS cut, b2 AS bound FROM cuts UNION ALL SELECT CAST(3 AS INT) AS cut, b3 AS bound FROM cuts UNION ALL SELECT CAST(4 AS INT) AS cut, b4 AS bound FROM cuts UNION ALL SELECT CAST(5 AS INT) AS cut, b5 AS bound FROM cuts UNION ALL SELECT CAST(6 AS INT) AS cut, b6 AS bound FROM cuts UNION ALL SELECT CAST(7 AS INT) AS cut, b7 AS bound FROM cuts)
+    SELECT cut, CAST(bound AS DOUBLE) AS bound,
+           (SELECT COUNT(*) FROM ks WHERE k <= bound) AS n_below
+    FROM bounds
+    """,
+    doc="Range-partitioner bound election: the 7 order-statistic cut "
+    "points that split o_orderkey into 8 balanced ranges, with the "
+    "below-count audit per bound — the primitive behind "
+    "repartitionByRange / global sort at scale (Spark samples to pick "
+    "these; here they are exact percentile_disc order statistics, so "
+    "both engines agree bit-for-bit and the balance guarantee is "
+    "checkable).  One aggregate computes all 7 bounds (no global "
+    "window), and the audit is a broadcast of the 7-row bound table "
+    "against a count aggregate.",
+    tags=("layout", "agg"),
+)
+def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    cuts = o.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i}/8.0) WITHIN GROUP (ORDER BY k)"
+            ).alias(f"b{i}")
+            for i in range(1, 8)
+        ]
+    )
+    bounds = cuts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("cut"),
+                        F.col(f"b{i}").alias("bound"),
+                    )
+                    for i in range(1, 8)
+                ]
+            )
+        ).alias("c")
+    ).select("c.cut", "c.bound")
+    audited = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("cut", "bound")
+        .agg(
+            F.sum((F.col("k") <= F.col("bound")).cast("bigint")).alias(
+                "n_below"
+            )
+        )
+    )
+    return audited

@@ -313,3 +313,36 @@ def test_bpe_encode_stats_compression(spark):
         assert r.n_chars == 8
         assert r.n_symbols == 4  # 2 symbols per word after 2 merges
         assert r.compression == 0.5
+
+
+def test_binned_quantile_error_bound_property(spark):
+    """Property (hypothesis): for arbitrary float multisets the sketch
+    estimate is within one bin width of the true order statistic."""
+    from hypothesis import given, settings, strategies as st
+
+    from planet_dump_ng_spark.operators.sketches import binned_quantiles
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=5,
+            max_size=60,
+        )
+    )
+    def check(xs):
+        df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+        out = binned_quantiles(df, "x", n_bins=64).collect()
+        lo, hi = min(xs), max(xs)
+        width = (hi - lo) / 64 if hi > lo else 0.0
+        xs_sorted = sorted(xs)
+        for r in out:
+            true = xs_sorted[r.target_rank - 1]
+            assert abs(r.est - true) <= width + 1e-9, (r.q, r.est, true)
+
+    check()
