@@ -232,9 +232,16 @@ _BPE_MERGE_EXPR = """aggregate(s, CAST(array() AS array<string>),
 
 def _bpe_rounds(
     docs: DataFrame, text_col: str, n_merges: int
-) -> tuple[DataFrame, list[DataFrame]]:
-    """(final word-symbol table [persisted — caller unpersists], one
-    1-row rule DataFrame per round) — the shared BPE training loop."""
+) -> tuple[DataFrame, list[DataFrame], list[DataFrame]]:
+    """(final word-symbol table, 1-row rule DataFrame per round, all
+    persisted round tables) — the shared BPE training loop.  EVERY
+    round table stays cached until the caller has materialized its
+    output and calls unpersist on the returned cache list: rule r's
+    plan reads round r's symbol table, so dropping a round's cache
+    mid-loop would silently recompute the whole earlier chain when the
+    rules finally execute.  The tables are vocabulary-sized, so
+    holding n_merges of them is cheap.
+    """
     words = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -247,6 +254,7 @@ def _bpe_rounds(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("s"),
     ).persist()
+    caches = [cur]
     rules = []
     for r in range(n_merges):
         pairs = (
@@ -281,10 +289,10 @@ def _bpe_rounds(
             .select("w", "cnt", F.expr(_BPE_MERGE_EXPR).alias("s"))
             .persist()
         )
-        nxt.count()  # materialize before dropping the parent cache
-        cur.unpersist()
+        nxt.count()  # materialize so each round builds on cached state
+        caches.append(nxt)
         cur = nxt
-    return cur, rules
+    return cur, rules, caches
 
 
 def bpe_learn_merges(
@@ -311,10 +319,11 @@ def bpe_learn_merges(
     """
     from functools import reduce
 
-    cur, rules = _bpe_rounds(docs, text_col, n_merges)
+    _, rules, caches = _bpe_rounds(docs, text_col, n_merges)
     out = reduce(lambda x, y: x.unionAll(y), rules).persist()
     out.count()
-    cur.unpersist()
+    for c in caches:
+        c.unpersist()
     return out
 
 
@@ -331,7 +340,7 @@ def bpe_encode_stats(
     shape as tokenize_with_vocab, so the per-document cost at 100 TB is
     one map-side join plus an aggregate.
     """
-    cur, _ = _bpe_rounds(docs, text_col, n_merges)
+    cur, _, caches = _bpe_rounds(docs, text_col, n_merges)
     wn = cur.select(
         "w",
         F.size("s").cast("bigint").alias("n_sym"),
@@ -352,5 +361,6 @@ def bpe_encode_stats(
         .persist()
     )
     out.count()
-    cur.unpersist()
+    for c in caches:
+        c.unpersist()
     return out
