@@ -121,3 +121,56 @@ def resize_meta(meta: DataFrame, max_side: int = 64) -> DataFrame:
             ),
         }
     )
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "doc_id bigint, n_windows int, peak_energy int, mean_energy double"
+)
+
+
+def _fake_audio_energies(payload: bytes, n_windows: int = 8) -> list[int]:
+    """STUB — stands in for an audio decode + per-window RMS (librosa /
+    torchaudio aren't in this container).  Deterministic pseudo-energies:
+    bytes 3..3+n of the payload's sha256.  Replace the body with a real
+    decoder; the (bytes) -> [int energy per window] contract and all
+    Spark-side plumbing stay as-is.
+    """
+    d = hashlib.sha256(payload).digest()
+    return [d[3 + i] for i in range(n_windows)]
+
+
+def audio_energy_stats(
+    with_payload: DataFrame, n_windows: int = 8
+) -> DataFrame:
+    """Windowed audio energy via mapInPandas (Arrow batches): rows whose
+    media format carries an audio track (the mp4 class here) decode to
+    ``n_windows`` per-window energies, reduced to peak and mean.
+
+    Same scale shape as decode_image_meta: the Python stage is an
+    Arrow-batched map over (payload) with a fixed output schema, no
+    shuffle; the reduction happens inside the batch, so each input row
+    yields exactly one output row regardless of window count.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                e = _fake_audio_energies(bytes(payload), n_windows)
+                rows.append(
+                    (
+                        doc_id,
+                        n_windows,
+                        max(e),
+                        float(sum(e)) / n_windows,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_windows", "peak_energy", "mean_energy"],
+            )
+
+    audio = with_payload.filter(F.col("media_meta")["format"] == "mp4")
+    return audio.select("doc_id", "payload").mapInPandas(
+        batches, AUDIO_ENERGY_SCHEMA
+    )

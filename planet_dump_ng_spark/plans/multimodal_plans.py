@@ -156,3 +156,32 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min(F.length("payload")).cast("bigint").alias("n_bytes"),
     )
+
+
+def _audio_energy_sql(n_windows: int = 8) -> str:
+    bytes_ = ", ".join(f"{_hex_byte(3 + i)}" for i in range(n_windows))
+    return f"""
+    SELECT doc_id,
+           CAST({n_windows} AS INT) AS n_windows,
+           CAST(list_max([{bytes_}]) AS INT) AS peak_energy,
+           CAST(list_sum([{bytes_}]) AS DOUBLE) / {n_windows} AS mean_energy
+    FROM (SELECT doc_id, upper(sha256(text)) AS h FROM documents
+          WHERE doc_id % 3 = 2)
+    """
+
+
+@register(
+    "multimodal_audio_energy",
+    _audio_energy_sql(),
+    doc="Audio modality: per-window energy extraction over the payloads "
+    "whose format carries an audio track, reduced to peak/mean per doc "
+    "(operators.multimodal.audio_energy_stats).  The decoder is the "
+    "honestly-marked sha256 stub; the oracle replays it byte-for-byte, "
+    "hash-checking the Arrow mapInPandas plumbing (batch shape, filter "
+    "pushdown ahead of the Python stage, fixed output schema) exactly "
+    "as the image path does.  Mean is an exact integer sum / constant.",
+    tags=("multimodal",),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return mm.audio_energy_stats(mm.attach_binary_payload(docs))

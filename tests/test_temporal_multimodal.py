@@ -201,3 +201,28 @@ def test_materialize_splits_roundtrip(spark, sf_dir, tmp_path):
     a = sorted(r.doc_id for r in read_split(spark, out, "val").collect())
     b = sorted(r.doc_id for r in read_split(spark, out2, "val").collect())
     assert a == b
+
+
+def test_audio_energy_matches_python_reference(spark, sf_dir):
+    """The mapInPandas audio path reproduces the pure-Python stub
+    exactly, only for audio-format (mp4) rows."""
+    import hashlib
+
+    from planet_dump_ng_spark.operators import multimodal as mm
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    out = {
+        r.doc_id: r
+        for r in mm.audio_energy_stats(mm.attach_binary_payload(docs)).collect()
+    }
+    ref = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, text in ref.items():
+        if doc_id % 3 != 2:
+            assert doc_id not in out  # image rows never reach the decoder
+            continue
+        d = hashlib.sha256(text.encode()).digest()
+        e = [d[3 + i] for i in range(8)]
+        r = out[doc_id]
+        assert (r.n_windows, r.peak_energy) == (8, max(e))
+        assert r.mean_energy == float(sum(e)) / 8
