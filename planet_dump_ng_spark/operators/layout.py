@@ -100,3 +100,68 @@ def compact_dir(
         if f.endswith(".parquet")
     ]
     return len(written)
+
+
+def _hilbert_steps(n_bits: int, dialect: str) -> list[tuple[str, str, str]]:
+    """Per-step (d_increment, x_next, y_next) SQL strings of the
+    canonical Hilbert xy2d recurrence (the Wikipedia formulation: test
+    the s-bit of each coordinate, accumulate s^2 * gray(rx, ry), rotate
+    the frame).  One generator emits both dialects so the Spark plan and
+    the DuckDB oracle are structurally the same algorithm — the only
+    divergence is the XOR spelling (Spark ``^`` vs DuckDB ``xor()``,
+    where ``^`` means exponentiation)."""
+    xor2 = (
+        (lambda a, b: f"({a} ^ {b})")
+        if dialect == "spark"
+        else (lambda a, b: f"xor({a}, {b})")
+    )
+    n = 1 << n_bits
+    steps = []
+    for i in range(n_bits):
+        s = 1 << (n_bits - 1 - i)
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        d_inc = f"{s * s} * {xor2(f'(3 * {rx})', ry)}"
+        x_next = (
+            f"(CASE WHEN {ry} = 1 THEN x"
+            f" WHEN {rx} = 1 THEN {n - 1} - y ELSE y END)"
+        )
+        y_next = (
+            f"(CASE WHEN {ry} = 1 THEN y"
+            f" WHEN {rx} = 1 THEN {n - 1} - x ELSE x END)"
+        )
+        steps.append((d_inc, x_next, y_next))
+    return steps
+
+
+def hilbert_layout(df: DataFrame, n_bits: int = 8) -> DataFrame:
+    """Hilbert-curve clustering key over grid columns (x, y) in
+    [0, 2^n_bits): appends ``hval`` (curve position) and carries the
+    inputs through.
+
+    The second space-filling layout next to Z-order: Hilbert preserves
+    locality strictly better (every curve step moves one grid cell, so
+    a file of consecutive hvals has a provably tight 2-D envelope,
+    while Morton takes long diagonal jumps between quadrants).  The
+    recurrence unrolls to ``n_bits`` chained simultaneous column
+    updates — pure codegen'd integer CASE/bit arithmetic, map-only,
+    bit-identical to the unrolled-CTE SQL oracle.
+    """
+    out = (
+        df.withColumn("hx", F.col("x"))  # originals survive; x/y become
+        .withColumn("hy", F.col("y"))   # the rotating working frame
+        .withColumn("d", F.lit(0).cast("bigint"))
+    )
+    for d_inc, x_next, y_next in _hilbert_steps(n_bits, "spark"):
+        out = out.withColumns(
+            {
+                "d": F.col("d") + F.expr(d_inc),
+                "x": F.expr(x_next),
+                "y": F.expr(y_next),
+            }
+        )
+    return (
+        out.withColumn("hval", F.col("d").cast("bigint"))
+        .drop("d", "x", "y")
+        .withColumnsRenamed({"hx": "x", "hy": "y"})
+    )

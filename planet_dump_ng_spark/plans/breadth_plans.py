@@ -1178,3 +1178,61 @@ def bitwise_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(bit_count(o_orderkey) as int)").alias("popcount"),
         F.expr("~o_orderkey").alias("flipped"),
     )
+
+
+def _hilbert_oracle(n_bits: int = 8) -> str:
+    from planet_dump_ng_spark.operators.layout import _hilbert_steps
+
+    ctes = []
+    for i, (d_inc, x_next, y_next) in enumerate(
+        _hilbert_steps(n_bits, "duckdb")
+    ):
+        ctes.append(
+            f"h{i + 1} AS (SELECT event_id, hx, hy,"
+            f" d + {d_inc} AS d, {x_next} AS x, {y_next} AS y FROM h{i})"
+        )
+    mod = 1 << n_bits
+    return f"""
+    WITH g AS (SELECT event_id,
+                 user_id % {mod} AS hx,
+                 CAST(floor(value * 100) AS BIGINT) % {mod} AS hy
+               FROM events),
+    h0 AS (SELECT event_id, hx, hy, CAST(0 AS BIGINT) AS d,
+                  hx AS x, hy AS y FROM g),
+    {','.join(ctes)}
+    SELECT event_id, hx AS x, hy AS y, CAST(d AS BIGINT) AS hval,
+           d // 1024 AS hbucket
+    FROM h{n_bits}
+    """
+
+
+@register(
+    "hilbert_layout",
+    _hilbert_oracle(),
+    doc="Hilbert-curve clustering key (operators.layout.hilbert_layout) "
+    "over the same 2-D grid as zorder_layout: the canonical xy2d "
+    "recurrence unrolled to 8 simultaneous column-update steps — the "
+    "stronger space-filling layout (every curve step moves exactly one "
+    "grid cell, so consecutive-hval files have provably tight 2-D "
+    "min/max envelopes; Morton jumps diagonally between quadrants).  "
+    "Pure integer CASE/bit arithmetic, map-only, engine-exact; the "
+    "oracle unrolls the identical steps as CTEs from the same "
+    "generator, differing only in XOR spelling.",
+    tags=("layout",),
+)
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.layout import hilbert_layout as hl
+
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("x"),
+        (F.floor(F.col("value") * 100).cast("bigint") % 256).alias("y"),
+    )
+    return hl(g, n_bits=8).select(
+        "event_id",
+        "x",
+        "y",
+        "hval",
+        F.expr("hval div 1024").alias("hbucket"),
+    )

@@ -346,3 +346,47 @@ def test_binned_quantile_error_bound_property(spark):
             assert abs(r.est - true) <= width + 1e-9, (r.q, r.est, true)
 
     check()
+
+
+def _xy2d_ref(n_bits, x, y):
+    """Pure-Python canonical Hilbert xy2d (Wikipedia formulation)."""
+    n = 1 << n_bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_full_grid(spark):
+    """Every cell of the 16x16 grid maps to the canonical curve position."""
+    from planet_dump_ng_spark.operators.layout import hilbert_layout
+
+    cells = [(x * 16 + y, x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(cells, "event_id long, x long, y long")
+    out = {(r.x, r.y): r.hval for r in hilbert_layout(df, n_bits=4).collect()}
+    for _, x, y in cells:
+        assert out[(x, y)] == _xy2d_ref(4, x, y), (x, y)
+
+
+def test_hilbert_adjacency_property(spark):
+    """The defining Hilbert property: consecutive curve positions are
+    grid neighbours (|dx| + |dy| == 1) — strictly better locality than
+    Morton, which takes diagonal jumps."""
+    from planet_dump_ng_spark.operators.layout import hilbert_layout
+
+    cells = [(x * 16 + y, x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(cells, "event_id long, x long, y long")
+    by_d = sorted(
+        ((r.hval, r.x, r.y) for r in hilbert_layout(df, n_bits=4).collect())
+    )
+    assert [d for d, _, _ in by_d] == list(range(256))  # a true bijection
+    for (d1, x1, y1), (d2, x2, y2) in zip(by_d, by_d[1:]):
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d1, d2)
