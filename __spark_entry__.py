@@ -34,7 +34,10 @@ def _driver_green() -> set[str]:
     import glob
     import json
 
-    green: set[str] = set()
+    # LATEST verdict per query wins (files sort r1 < r2 < ...): a query
+    # that was green in an old round but regressed red since must rotate
+    # back into the checked prefix, so an any-round union is wrong.
+    verdict: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -46,15 +49,16 @@ def _driver_green() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("err"):
-                continue
             # Full-oracle rows need the value hash; rows-only rows (no
             # hash computed) count on the row-count match alone.
-            if row.get("hash_match") is True or (
-                row.get("hash_match") is None and row.get("rows_match") is True
-            ):
-                green.add(name)
-    return green
+            verdict[name] = not row.get("err") and (
+                row.get("hash_match") is True
+                or (
+                    row.get("hash_match") is None
+                    and row.get("rows_match") is True
+                )
+            )
+    return {name for name, ok in verdict.items() if ok}
 
 
 def _ordered_names() -> list[str]:

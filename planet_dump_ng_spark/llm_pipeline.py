@@ -97,18 +97,26 @@ def curate(
     if embeddings is not None:
         from planet_dump_ng_spark.operators.ivf import semantic_dedup
 
-        dim = len(
-            embeddings.select("embedding").first()["embedding"]
+        # Scope to the docs that SURVIVED the lexical stages first: a
+        # vector whose only close lower-id neighbour was already removed
+        # upstream must not still count it as a reason to drop — that
+        # would leave its semantic group with zero survivors.  (Also
+        # cheaper: the dedup pair space shrinks to the survivors.)
+        emb = embeddings.join(
+            docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
         )
-        verdict = semantic_dedup(
-            embeddings, dim=dim, threshold=semantic_threshold
-        )
-        # docs without an embedding pass through (left_anti on the drops,
-        # not semi on the keeps — absence of a vector is not evidence)
-        drop_ids = verdict.filter(~F.col("kept")).select(
-            F.col("vec_id").alias("doc_id")
-        )
-        docs = docs.join(drop_ids, "doc_id", "left_anti")
+        head = emb.select("embedding").first()
+        if head is not None:  # no surviving vectors => stage is a no-op
+            verdict = semantic_dedup(
+                emb, dim=len(head["embedding"]), threshold=semantic_threshold
+            )
+            # docs without an embedding pass through (left_anti on the
+            # drops, not semi on the keeps — absence of a vector is not
+            # evidence)
+            drop_ids = verdict.filter(~F.col("kept")).select(
+                F.col("vec_id").alias("doc_id")
+            )
+            docs = docs.join(drop_ids, "doc_id", "left_anti")
         report.log("semantic_dedup", docs.count())
 
     # 3. decontamination: drop any training doc containing too much of an

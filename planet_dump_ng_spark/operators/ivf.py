@@ -172,22 +172,33 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: probe the ``n_probe`` nearest cells per query,
-    exact-cosine rerank inside them."""
+    exact-cosine rerank inside them.
+
+    Cache discipline: the corpus stays persisted only through training
+    and the assignment materialization, then releases; what survives
+    for the returned (lazy) plan is the much smaller assignment table.
+    """
     corpus = corpus.persist()
     cdf = train_kmeans_df(
         corpus, dim, n_cells, vec_col=vec_col, id_col=id_col
     )
 
-    c = _assign(
-        corpus.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-        ),
-        cdf,
-    ).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        "cell",
+    c = (
+        _assign(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+            ),
+            cdf,
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            "cell",
+        )
+        .persist()
     )
+    c.count()
+    corpus.unpersist()
     # per query: the n_probe closest cells by centroid distance (rank over
     # the broadcast-joined centroid table; ties on dist go to the lower
     # cell id, matching the oracle's ORDER BY dist, cell)
@@ -275,13 +286,20 @@ def semantic_dedup(
     ).persist()
     a.count()
     corpus.unpersist()
-    from planet_dump_ng_spark.operators.similarity import cosine
+    from planet_dump_ng_spark.operators.similarity import _dot_exact, cosine
 
-    b = a.select(
+    # zero-norm guard: a failed-encode all-zeros vector yields
+    # cosine = 0/0 = NaN, and both engines order NaN ABOVE any number,
+    # so NaN >= threshold would mark every higher-id cell-mate as a
+    # duplicate of a vector it has no similarity to.  Zero vectors
+    # simply never participate in pairs (they stay kept themselves).
+    pos = _dot_exact(F.col("v"), F.col("v")) > 0
+    b = a.filter(pos).select(
         F.col("vec_id").alias("nid"), F.col("v").alias("nv"), "cell"
     )
     close_lower = (
-        a.join(b, "cell")
+        a.filter(pos)
+        .join(b, "cell")
         .filter(F.col("nid") < F.col("vec_id"))
         .filter(cosine(F.col("v"), F.col("nv")) >= threshold)
         .groupBy("vec_id")

@@ -270,14 +270,26 @@ def _bpe_rounds(
             )
             .select("p.a", "p.b", "cnt")
         )
+        # Sentinel ('', '', -1) keeps the rule table NON-EMPTY when a
+        # round has no adjacent pairs left (merge-exhausted corpus):
+        # without it the crossJoin against 0 rows would wipe the whole
+        # word-symbol table.  The sentinel's empty symbols can never
+        # match a fold step (symbols are non-empty), so the rewrite is
+        # the identity, and sentinel rounds are filtered from the
+        # learned-rule output (a corpus may honestly yield < n_merges
+        # rules).  The oracle replays the same sentinel.
+        sentinel = pairs.sparkSession.createDataFrame(
+            [("", "", -1)], "a string, b string, n long"
+        )
         rule = (
             pairs.groupBy("a", "b")
             .agg(F.sum("cnt").cast("bigint").alias("n"))
+            .unionByName(sentinel)
             .orderBy(F.col("n").desc(), "a", "b")
             .limit(1)
         )
         rules.append(
-            rule.select(
+            rule.filter(F.col("n") >= 0).select(
                 F.lit(r + 1).cast("int").alias("round"),
                 F.col("a").alias("pair_left"),
                 F.col("b").alias("pair_right"),

@@ -390,6 +390,8 @@ def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,
         f" / (sqrt({_DOT.format(a='a.v', b='a.v')})"
         f" * sqrt({_DOT.format(a='b.v', b='b.v')}))"
     )
+    na = _DOT.format(a='a.v', b='a.v')
+    nb = _DOT.format(a='b.v', b='b.v')
     return f"""
     {prefix},
     assign AS (SELECT vec_id, v, cell FROM (
@@ -400,7 +402,7 @@ def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,
     cl AS (SELECT a.vec_id, COUNT(*) AS n_close_lower
            FROM assign a JOIN assign b
              ON a.cell = b.cell AND b.vec_id < a.vec_id
-           WHERE {cos} >= {threshold!r}
+           WHERE {na} > 0 AND {nb} > 0 AND {cos} >= {threshold!r}
            GROUP BY a.vec_id)
     SELECT a.vec_id, a.cell,
            COALESCE(cl.n_close_lower, 0) AS n_close_lower,

@@ -133,10 +133,10 @@ def _kmv_overlap_oracle(k: int = 64) -> str:
                   (SELECT COUNT(*) FROM pa JOIN pb USING (l_partkey)) AS ni)
     SELECT CASE WHEN us.n_u < {k} THEN CAST(us.n_u AS DOUBLE)
                 ELSE {num!r} / CAST(us.kth AS DOUBLE) END AS union_est,
-           CAST(rho.r AS DOUBLE) / {k}
+           CAST(rho.r AS DOUBLE) / CAST(us.n_u AS DOUBLE)
              * (CASE WHEN us.n_u < {k} THEN CAST(us.n_u AS DOUBLE)
                      ELSE {num!r} / CAST(us.kth AS DOUBLE) END) AS inter_est,
-           CAST(rho.r AS DOUBLE) / {k} AS jaccard_est,
+           CAST(rho.r AS DOUBLE) / CAST(us.n_u AS DOUBLE) AS jaccard_est,
            ex.na + ex.nb - ex.ni AS exact_union,
            ex.ni AS exact_inter
     FROM us, rho, ex
@@ -199,17 +199,27 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_est = F.when(
         F.col("n_u") < k, F.col("n_u").cast("double")
     ).otherwise(F.lit(num) / F.col("kth").cast("double"))
-    return (
+    # Beyer et al.: the matched fraction rho divides by the UNION SKETCH
+    # SIZE min(k, n_u) = n_u, not by k — dividing by k understates
+    # jaccard/intersection whenever the union has fewer than k distinct
+    # hashes (small assortments).
+    jac = F.col("r").cast("double") / F.col("n_u").cast("double")
+    out = (
         us.crossJoin(rho)
         .crossJoin(ex)
         .select(
             union_est.alias("union_est"),
-            (F.col("r").cast("double") / k * union_est).alias("inter_est"),
-            (F.col("r").cast("double") / k).alias("jaccard_est"),
+            (jac * union_est).alias("inter_est"),
+            jac.alias("jaccard_est"),
             (F.col("na") + F.col("nb") - F.col("ni")).alias("exact_union"),
             F.col("ni").alias("exact_inter"),
         )
+        .persist()
     )
+    out.count()  # materialize the 1-row result, then release the sketches
+    for c in (ka, kb, ku):
+        c.unpersist()
+    return out
 
 
 def _km_pos_sql(i: int, m_bits: int) -> str:

@@ -791,7 +791,8 @@ def _bpe_cte_chain(n_merges: int = 3) -> tuple[str, str]:
     p{r} AS (SELECT s[i] AS a, s[i + 1] AS b, cnt
              FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i FROM s{r})),
     c{r} AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n
-             FROM p{r} GROUP BY a, b),
+             FROM p{r} GROUP BY a, b
+             UNION ALL SELECT '', '', CAST(-1 AS BIGINT)),
     r{r} AS (SELECT a, b, n FROM c{r} ORDER BY n DESC, a, b LIMIT 1),
     s{r + 1} AS (SELECT w, cnt, {fold.format(r=r)} AS s FROM s{r}, r{r})""")
     body = f"""
@@ -809,7 +810,7 @@ def _bpe_learn_oracle(n_merges: int = 3) -> str:
     body, _ = _bpe_cte_chain(n_merges)
     finals = " UNION ALL ".join(
         f"SELECT CAST({r + 1} AS INT) AS round, a AS pair_left, "
-        f"b AS pair_right, n FROM r{r}"
+        f"b AS pair_right, n FROM r{r} WHERE n >= 0"
         for r in range(n_merges)
     )
     return f"""

@@ -114,9 +114,9 @@ def test_curate_cli_main(spark, sf_dir, tmp_path, capsys):
 
 
 def test_curate_semantic_stage(spark, sf_dir, tmp_path):
-    """With embeddings supplied, the SemDeDup stage drops exactly the
-    non-kept vec_ids that survived the lexical stages, and docs without
-    a vector pass through untouched."""
+    """The SemDeDup stage drops exactly the non-kept ids of the operator
+    run over the LEXICAL SURVIVORS (replayed stage-by-stage), and docs
+    without a vector pass through untouched."""
     from planet_dump_ng_spark.operators.ivf import semantic_dedup
 
     docs = table(spark, sf_dir, "documents")
@@ -134,13 +134,69 @@ def test_curate_semantic_stage(spark, sf_dir, tmp_path):
     stages = dict(report.stages)
     assert "semantic_dedup" in stages
     assert stages["semantic_dedup"] <= stages["near_dedup"]
-    # replay: the stage's drop set is the operator's non-kept ids
+
+    # replay the lexical stages to recover the scoped embedding set
+    lex = dd.dedup_keep_first(docs)
+    cands = dd.minhash_lsh_candidates(lex, num_hashes=64, bands=16, k=3)
+    pairs = dd.ngram_jaccard_pairs(lex, k=3, threshold=0.8, candidates=cands)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    lex = lex.join(losers, "doc_id", "left_anti")
+    scoped = emb.join(
+        lex.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
     dropped = {
         r.vec_id
-        for r in semantic_dedup(emb, dim=64, threshold=0.35)
+        for r in semantic_dedup(scoped, dim=64, threshold=0.35)
         .filter(~F.col("kept"))
         .collect()
     }
+    assert stages["semantic_dedup"] == stages["near_dedup"] - len(dropped)
     written = spark.read.parquet(out)
     surviving = {r.doc_id for r in written.select("doc_id").collect()}
     assert not (surviving & dropped)
+
+
+def test_curate_semantic_stage_no_orphan_groups(spark, tmp_path):
+    """Regression: if the lexical stages removed a group's lowest id,
+    the semantic stage must re-elect a survivor from the remainder
+    instead of dropping the whole group."""
+    import pyspark.sql.functions as SF
+
+    # doc 1 and 2: exact lexical duplicates (stage 1 keeps 1? keep-first
+    # keeps the lowest doc_id -> 1 survives, 2 drops).  Doc 1 and 2 and
+    # 3's EMBEDDINGS form one semantic group; doc 3's only lower-id
+    # semantic neighbours are 1 and 2.  Whatever the lexical outcome,
+    # at least one member of {1, 2, 3} must survive.
+    docs = spark.createDataFrame(
+        [
+            (1, "the same exact text", "en", "s", 19),
+            (2, "the same exact text", "en", "s", 19),
+            (3, "a different text entirely", "en", "s", 25),
+            (4, "an unrelated document", "en", "s", 21),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    v = lambda i, eps: [1.0 if j == 0 else (eps if j == 1 else 0.0) for j in range(8)]  # noqa: E731
+    emb = spark.createDataFrame(
+        [
+            (1, v(0, 0.0)),
+            (2, v(0, 0.01)),
+            (3, v(0, 0.02)),
+            (4, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = str(tmp_path / "curated_orphan")
+    manifest, report = curate(
+        docs,
+        out,
+        embeddings=emb,
+        semantic_threshold=0.9,
+        min_tokens=1,
+        max_stopword_ratio=1.0,
+    )
+    surviving = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert surviving & {1, 2, 3}, "semantic group lost every member"
+    assert 4 in surviving

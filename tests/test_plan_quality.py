@@ -22,13 +22,21 @@ _QUERIES = sorted(plans.QUERIES)
 
 
 @pytest.fixture(scope="module")
-def plans_text(spark, sf_dir):
-    """(optimized logical, executed physical) tree strings per query."""
+def plans_info(spark, sf_dir):
+    """(optimized logical, executed physical, schema) per query — built
+    in ONE pass.  Several plan functions are eager at construction
+    (iterative training loops, persisted materializations), so invoking
+    each query once and capturing everything here matters: a separate
+    schema fixture would re-run all those jobs a second time."""
     out = {}
     for name in _QUERIES:
         df = plans.QUERIES[name].spark(spark, sf_dir)
         qe = df._jdf.queryExecution()
-        out[name] = (qe.optimizedPlan().toString(), qe.executedPlan().toString())
+        out[name] = (
+            qe.optimizedPlan().toString(),
+            qe.executedPlan().toString(),
+            df.schema,
+        )
     return out
 
 
@@ -77,17 +85,8 @@ def _window_partition_specs(logical: str) -> list[str]:
     return specs
 
 
-@pytest.fixture(scope="module")
-def schemas(spark, sf_dir):
-    """Analyzed output schema per query (analysis only — no execution)."""
-    return {
-        name: plans.QUERIES[name].spark(spark, sf_dir).schema
-        for name in _QUERIES
-    }
-
-
 @pytest.mark.parametrize("name", _QUERIES)
-def test_scalar_only_output(name, schemas):
+def test_scalar_only_output(name, plans_info):
     """The driver canonicalizes results with pandas ``sort_values`` over raw
     values, which factorizes every column and raises ``unhashable type`` on
     list/dict cells — so a top-level Array/Map/Struct column is driver-red
@@ -98,7 +97,7 @@ def test_scalar_only_output(name, schemas):
 
     bad = [
         f.name
-        for f in schemas[name].fields
+        for f in plans_info[name][2].fields
         if isinstance(f.dataType, (ArrayType, MapType, StructType))
     ]
     assert not bad, (
@@ -109,11 +108,11 @@ def test_scalar_only_output(name, schemas):
 
 
 @pytest.mark.parametrize("name", _QUERIES)
-def test_no_cartesian_product(name, plans_text):
+def test_no_cartesian_product(name, plans_info):
     """A CartesianProduct node is the non-broadcast O(n*m) fallback — at
     scale it means a full shuffle-nested-loop.  Broadcast nested loop
     (small side by contract) is allowed; true cartesian is not."""
-    _, physical = plans_text[name]
+    _, physical, _ = plans_info[name]
     assert "CartesianProduct" not in physical, (
         f"{name} plans a CartesianProduct; broadcast the small side or "
         "add an equi-join key"
@@ -121,12 +120,12 @@ def test_no_cartesian_product(name, plans_text):
 
 
 @pytest.mark.parametrize("name", _QUERIES)
-def test_no_global_window(name, plans_text):
+def test_no_global_window(name, plans_info):
     """Every window function must declare a partition spec: a partition-
     less window moves ALL rows to one task (the round-2 q10 anti-pattern).
     spark_partition_id() over a post-limit single partition counts — the
     point is that the spec is non-empty and non-constant-folded."""
-    logical, _ = plans_text[name]
+    logical, _, _ = plans_info[name]
     for spec in _window_partition_specs(logical):
         assert spec.strip(), (
             f"{name} plans a partition-less window (single-task at scale)"

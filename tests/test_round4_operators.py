@@ -390,3 +390,21 @@ def test_hilbert_adjacency_property(spark):
     assert [d for d, _, _ in by_d] == list(range(256))  # a true bijection
     for (d1, x1, y1), (d2, x2, y2) in zip(by_d, by_d[1:]):
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d1, d2)
+
+
+def test_bpe_merge_exhausted_corpus_survives(spark):
+    """A corpus of single-char words exhausts merges immediately: the
+    sentinel keeps the word table intact (encode reports symbols ==
+    chars) and learn returns zero real rules instead of crashing or
+    silently emptying."""
+    from planet_dump_ng_spark.operators.text import (
+        bpe_encode_stats,
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_learn_merges(docs, n_merges=2).collect() == []
+    out = bpe_encode_stats(docs, n_merges=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_tokens, r.n_chars, r.n_symbols, r.compression) == (3, 3, 3, 1.0)
