@@ -102,3 +102,70 @@ def project(df: DataFrame, vec_col: str, components: np.ndarray) -> DataFrame:
             ),
         ),
     )
+
+
+TREND_SCHEMA = (
+    "event_type string, n bigint, sx bigint, sy bigint, "
+    "sxx bigint, sxy bigint, slope double, intercept double"
+)
+
+#: epoch-second rebase so integer moment products stay in int64 at any
+#: tested SF (x' <= ~8e6 for 2024 data; sum(x'^2) < 2^63 through sf1)
+TREND_X0 = 1_700_000_000
+
+
+def fit_group_trends(events, ts_col="ts", group_col="event_type",
+                     val_col="value"):
+    """Per-group OLS trend (value vs time) via applyInPandas — the
+    grouped-map Pandas-UDF path (one Arrow batch per group feeding a
+    Python model fit), completing the engine's UDF surface next to
+    mapInPandas (multimodal) and applyInPandasWithState (streaming
+    sessionizer).
+
+    The fit body is a closed-form OLS over integer-quantized moments
+    (epoch seconds rebased to TREND_X0; values truncated to
+    milli-units), so even the Python-side model is hash-verifiable
+    against a SQL oracle — swap the body for sklearn/scipy where
+    bit-replay doesn't matter; the grouping/batching plumbing is the
+    part that scales.  Each group shuffles once to its worker; group
+    row order inside the batch does NOT affect the result because the
+    moments are exact integer sums.
+    """
+    import pandas as pd
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        xs = (pdf[ts_col].astype("int64") // 10**9) - TREND_X0
+        ys = (pdf[val_col] * 1e3).apply(
+            lambda v: int(v)  # trunc toward zero == SQL trunc()
+        )
+        n = len(pdf)
+        sx = int(xs.sum())
+        sy = int(ys.sum())
+        sxx = int((xs * xs).sum())
+        sxy = int((xs * ys).sum())
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den = float(n) * float(sxx) - float(sx) * float(sx)
+        slope = 0.0 if den == 0.0 else num / den
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        return pd.DataFrame(
+            [
+                (
+                    pdf[group_col].iloc[0],
+                    n,
+                    sx,
+                    sy,
+                    sxx,
+                    sxy,
+                    slope,
+                    intercept,
+                )
+            ],
+            columns=[
+                group_col, "n", "sx", "sy", "sxx", "sxy",
+                "slope", "intercept",
+            ],
+        )
+
+    return events.select(group_col, ts_col, val_col).groupBy(
+        group_col
+    ).applyInPandas(fit, TREND_SCHEMA)

@@ -42,3 +42,55 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return gram_matrix(emb, "embedding", _DIM)
+
+
+@register(
+    "event_trend_by_type",
+    """
+    WITH q AS (SELECT event_type,
+                 CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - 1700000000 AS x,
+                 CAST(trunc(value * 1e3) AS BIGINT) AS y
+               FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM q GROUP BY event_type)
+    SELECT event_type, n, sx, sy, sxx, sxy,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+                THEN 0.0
+                ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+             AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+                    THEN 0.0
+                    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END)
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM s
+    """,
+    doc="Per-group OLS trend fit via applyInPandas "
+    "(operators.linalg.fit_group_trends): one Arrow batch per "
+    "event_type feeds a Python closed-form fit — the grouped-map UDF "
+    "path (per-group model fitting), completing the Pandas surface "
+    "beside mapInPandas and applyInPandasWithState.  Moments are "
+    "exact integer sums (rebased epoch seconds x truncated "
+    "milli-values), so batch row ORDER cannot change the result and "
+    "the Python model is hash-verified against this SQL replay; the "
+    "slope/intercept derivation is a fixed double op sequence.  One "
+    "shuffle on the group key; group count bounds parallelism.",
+    tags=("window", "udf"),
+)
+def event_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.linalg import fit_group_trends
+
+    return fit_group_trends(table(spark, sf_dir, "events"))

@@ -408,3 +408,30 @@ def test_bpe_merge_exhausted_corpus_survives(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_tokens, r.n_chars, r.n_symbols, r.compression) == (3, 3, 3, 1.0)
+
+
+def test_fit_group_trends_known_slope(spark):
+    """Hand series: y = 2x (milli-units) -> slope == 2000 per second;
+    row order inside the group cannot change the integer moments."""
+    import datetime as dt
+
+    from planet_dump_ng_spark.operators.linalg import TREND_X0, fit_group_trends
+
+    base = dt.datetime.fromtimestamp(TREND_X0 + 1000, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    rows = [
+        ("a", base + dt.timedelta(seconds=i), float(2 * i)) for i in range(10)
+    ]
+    # a constant group: zero slope, intercept = value
+    rows += [("b", base + dt.timedelta(seconds=i), 5.0) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    ).repartition(5)  # scatter group rows across partitions
+    out = {r.event_type: r for r in fit_group_trends(df).collect()}
+    a = out["a"]
+    assert a.n == 10
+    assert a.slope == pytest.approx(2000.0)  # 2 units/s in milli-units
+    b = out["b"]
+    assert b.slope == pytest.approx(0.0)
+    assert b.intercept == pytest.approx(5000.0 - b.slope)
