@@ -5,3 +5,7 @@ from planet_dump_ng_spark.sources.copy_source import (  # noqa: F401
     read_copy_table,
     split_dump_file,
 )
+from planet_dump_ng_spark.sources.jsonl_source import (  # noqa: F401
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
