@@ -178,9 +178,23 @@ def main(argv: list[str] | None = None) -> int:
         prog="planet-dump-ng-spark-curate",
         description="Curate a raw document corpus into a training dataset.",
     )
-    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--input", required=True, help="documents input path")
+    p.add_argument(
+        "--input-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="jsonl reads with the explicit documents schema and "
+        "quarantines malformed lines to <output>_quarantine "
+        "(auditable ingest; never silent drops)",
+    )
     p.add_argument("--output", required=True, help="dataset output dir")
     p.add_argument("--bench", help="eval-set parquet to decontaminate against")
+    p.add_argument(
+        "--embeddings",
+        help="optional embeddings parquet (vec_id = doc_id) enabling the "
+        "SemDeDup semantic-dedup stage",
+    )
+    p.add_argument("--semantic-threshold", type=float, default=0.9)
     p.add_argument("--jaccard-threshold", type=float, default=0.8)
     p.add_argument("--containment-threshold", type=float, default=0.5)
     p.add_argument("--min-tokens", type=int, default=20)
@@ -210,8 +224,20 @@ def main(argv: list[str] | None = None) -> int:
         }
 
     spark = get_spark("planet-dump-ng-spark-curate")
-    docs = spark.read.parquet(args.input)
+    n_quarantined = 0
+    if args.input_format == "jsonl":
+        from planet_dump_ng_spark.sources import read_documents_jsonl
+
+        docs, bad = read_documents_jsonl(spark, args.input)
+        n_quarantined = bad.count()
+        if n_quarantined:
+            bad.write.mode("overwrite").json(args.output + "_quarantine")
+    else:
+        docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.bench) if args.bench else None
+    embeddings = (
+        spark.read.parquet(args.embeddings) if args.embeddings else None
+    )
     manifest, report = curate(
         docs,
         args.output,
@@ -223,7 +249,11 @@ def main(argv: list[str] | None = None) -> int:
         scrub_pii=not args.no_pii_scrub,
         mix_weights=mix,
         pack_capacity=args.pack_capacity,
+        embeddings=embeddings,
+        semantic_threshold=args.semantic_threshold,
     )
+    if n_quarantined:
+        print(f"{'quarantined':16s} {n_quarantined}")
     for stage, n in report.stages:
         print(f"{stage:16s} {n}")
     for r in manifest.collect():

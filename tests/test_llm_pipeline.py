@@ -200,3 +200,34 @@ def test_curate_semantic_stage_no_orphan_groups(spark, tmp_path):
     }
     assert surviving & {1, 2, 3}, "semantic group lost every member"
     assert 4 in surviving
+
+
+def test_curate_cli_jsonl_input(spark, sf_dir, tmp_path, capsys):
+    """CLI ingests JSONL, quarantines the bad line, and still curates."""
+    from planet_dump_ng_spark.llm_pipeline import main
+    from planet_dump_ng_spark.sources import write_documents_jsonl
+
+    src = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(table(spark, sf_dir, "documents").limit(50), src)
+    # drop a corrupt line in as its own file (appending to a Spark part
+    # file would invalidate its Hadoop .crc sidecar)
+    import os
+
+    with open(os.path.join(src, "part-zz-corrupt.json"), "w") as fh:
+        fh.write("definitely-not-json\n")
+    out = str(tmp_path / "cli_jsonl_out")
+    rc = main(
+        [
+            "--input", src,
+            "--input-format", "jsonl",
+            "--output", out,
+            "--min-tokens", "1",
+            "--max-stopword-ratio", "1.0",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "quarantined" in printed
+    q = spark.read.json(out + "_quarantine")
+    assert q.count() == 1
+    assert spark.read.parquet(out).count() > 0
