@@ -385,3 +385,42 @@ def sliding_distinct_stream(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(F.col("win").end.alias("window_end"), "n_users")
     )
+
+
+def histogram_stream(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming form of the binned-quantile sketch's histogram stage:
+    per-bin counts over fixed [lo, hi) bounds, continuously maintained.
+
+    The histogram is the part of operators.sketches.binned_quantiles
+    that is a true mergeable sketch (partial counts add), so it streams
+    naturally as one windowless grouped count in update/complete mode —
+    state is O(n_bins), independent of stream length.  Bounds must be
+    FIXED a priori (a stream has no global min/max); production systems
+    take them from a prior batch profile, exactly like the quantile
+    targets here.  Quantile extraction stays a cheap batch query over
+    the n_bins-row result (see tests), so the expensive part — one pass
+    over the data — is the streaming part.
+    """
+    width = (hi - lo) / float(n_bins)
+    bin_col = F.when(F.col("value") >= hi, F.lit(n_bins - 1)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast(
+                    "int"
+                ),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

@@ -508,3 +508,35 @@ def test_sliding_distinct_stream_matches_batch(spark, sf_dir, events_dir):
     # (max event time); everything the watermark passed must be present
     closed = {we for we in expected if we <= max(got)}
     assert closed <= set(got)
+
+
+def test_histogram_stream_matches_batch(spark, sf_dir, events_dir):
+    """The streaming histogram (the mergeable stage of the binned-
+    quantile sketch) converges to exactly the batch histogram under the
+    same fixed bounds, regardless of micro-batch slicing."""
+    from planet_dump_ng_spark.plans.registry import table
+
+    lo, hi = 0.0, 500.0
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    jobs.run_to_memory(
+        jobs.histogram_stream(stream, lo, hi), "hist_mem",
+        output_mode="complete",
+    )
+    got = {r.bin: r.c for r in spark.table("hist_mem").collect()}
+
+    ev = table(spark, sf_dir, "events")
+    width = (hi - lo) / 256.0
+    bin_col = F.when(F.col("value") >= hi, F.lit(255)).otherwise(
+        F.least(
+            F.greatest(F.floor((F.col("value") - lo) / width).cast("int"), F.lit(0)),
+            F.lit(255),
+        )
+    )
+    expected = {
+        r.bin: r.c
+        for r in ev.groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == ev.count()  # every event in some bin
