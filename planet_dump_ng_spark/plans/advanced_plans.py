@@ -535,3 +535,81 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.merge_upsert(
         base, upd, "o_orderkey", ["o_totalprice", "o_orderstatus"]
     )
+
+
+def _curriculum_oracle() -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    h = xxh64_long_inline("doc_id")
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    cuts AS (SELECT
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS q1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY n_tokens) AS q2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens) AS q3
+      FROM feats),
+    tiered AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= q1 THEN 1 WHEN n_tokens <= q2 THEN 2
+                  WHEN n_tokens <= q3 THEN 3 ELSE 4 END AS tier,
+             {h} AS shuffle_key
+      FROM feats, cuts)
+    SELECT doc_id, n_tokens, CAST(tier AS INT) AS tier,
+           CAST(ROW_NUMBER() OVER (PARTITION BY tier
+                ORDER BY shuffle_key, doc_id) AS BIGINT) AS seq
+    FROM tiered
+    """
+
+
+@register(
+    "curriculum_order",
+    _curriculum_oracle(),
+    doc="Curriculum training order: docs tiered by corpus-wide token-"
+    "count quartile (short/easy first), deterministically shuffled "
+    "WITHIN each tier by xxhash64(doc_id) — the epoch ordering a "
+    "curriculum-learning trainer consumes (tier ASC, seq ASC).  "
+    "Quartile cuts are one 1-row percentile_disc aggregate broadcast "
+    "back (never a global ntile window); the shuffle rank partitions "
+    "by tier so no single task sees the whole corpus; reproducible "
+    "run-to-run because the shuffle key is content-derived, not "
+    "rand().  Oracle replays the xxhash64 shuffle keys bit-for-bit.",
+    tags=("sampling", "text"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select("doc_id", tx.token_count("text").alias("n_tokens"))
+    cuts = feats.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_tokens)"
+            ).alias(f"q{i}")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    tier = (
+        F.when(F.col("n_tokens") <= F.col("q1"), 1)
+        .when(F.col("n_tokens") <= F.col("q2"), 2)
+        .when(F.col("n_tokens") <= F.col("q3"), 3)
+        .otherwise(4)
+        .cast("int")
+    )
+    tiered = feats.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        tier.alias("tier"),
+        F.xxhash64("doc_id").alias("shuffle_key"),
+    )
+    w = W.partitionBy("tier").orderBy("shuffle_key", "doc_id")
+    return tiered.select(
+        "doc_id",
+        "n_tokens",
+        "tier",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
