@@ -361,3 +361,74 @@ def binned_quantiles(
         F.col("bin").cast("int").alias("bin"),
         est.alias("est"),
     )
+
+
+def cms_join_size(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    w: int = 256,
+    d: int = 3,
+) -> DataFrame:
+    """AMS/Count-Min join-size estimation: |left JOIN right ON key| from
+    two tiny sketches, WITHOUT executing the join.
+
+    The estimator the optimizer question needs at 100 TB ("how big
+    would this join be?"): each side folds its per-key counts into a
+    d x w Count-Min sketch; row r's inner product sum_w A[r][w]*B[r][w]
+    upper-bounds the true join size sum_k a_k*b_k (hash collisions only
+    ADD cross terms), and the MIN over the d rows tightens it — so
+    ``est >= exact`` always, mirroring Count-Min's one-sided error.
+    Sketch builds shuffle DISTINCT KEYS (not rows), the d x w tables
+    broadcast, and the exact size is computed beside it from the same
+    per-key count tables (one equi-join of key-count tables, never the
+    row-level join) for error visibility.  All-integer arithmetic —
+    hash-exact across engines.
+    """
+    ca = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+
+    def sketch(counts: DataFrame, cnt_col: str) -> DataFrame:
+        return (
+            counts.select(
+                cnt_col,
+                F.posexplode(
+                    F.array(
+                        *[
+                            _km_positions(F.xxhash64(F.col("key")), i, w)
+                            for i in range(d)
+                        ]
+                    )
+                ).alias("i", "pos"),
+            )
+            .groupBy("i", "pos")
+            .agg(F.sum(cnt_col).alias("total"))
+        )
+
+    sa = sketch(ca, "ca").withColumnRenamed("total", "ta")
+    sb = sketch(cb, "cb").withColumnRenamed("total", "tb")
+    dots = (
+        sa.join(sb, ["i", "pos"])  # missing buckets contribute 0 either way
+        .groupBy("i")
+        .agg(F.sum(F.col("ta") * F.col("tb")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("bigint").alias("est_join_size"))
+    exact = (
+        ca.join(cb, "key")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias(
+            "exact_join_size"
+        ))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        (
+            (F.col("est_join_size") - F.col("exact_join_size")).cast("double")
+            / F.col("exact_join_size").cast("double")
+        ).alias("rel_overestimate"),
+    )

@@ -358,3 +358,57 @@ def binned_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.binned_quantiles(
         table(spark, sf_dir, "lineitem"), "l_extendedprice"
     )
+
+
+def _cms_join_size_oracle(w: int = 256, d: int = 3) -> str:
+    def side(table_sql: str, key: str, prefix: str, out: str) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT {i} AS i, ({_km_pos_sql(i, w)}) AS pos, c FROM {out}s"
+            for i in range(d)
+        )
+        return f"""
+    {out} AS (SELECT {key} AS key, COUNT(*) AS c FROM {table_sql}
+              GROUP BY key),
+    {out}u AS (SELECT key, c, {_unsigned('key', prefix)} AS u FROM {out}),
+    {out}s AS (SELECT c, CAST(u % 4294967296 AS BIGINT) AS lo,
+                      CAST(u // 4294967296 AS BIGINT) | 1 AS hi FROM {out}u),
+    {out}k AS (SELECT i, pos, CAST(SUM(c) AS BIGINT) AS t
+               FROM ({rows}) GROUP BY i, pos)"""
+
+    return f"""
+    WITH {side('orders', 'o_orderkey', 'jsa', 'ca')},
+    {side('lineitem', 'l_orderkey', 'jsa', 'cb')},
+    dots AS (SELECT a.i, CAST(SUM(a.t * b.t) AS BIGINT) AS dot
+             FROM cak a JOIN cbk b ON a.i = b.i AND a.pos = b.pos
+             GROUP BY a.i),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots),
+    ex AS (SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS exact_join_size
+           FROM ca JOIN cb USING (key))
+    SELECT est.est_join_size, ex.exact_join_size,
+           CAST(est.est_join_size - ex.exact_join_size AS DOUBLE)
+             / CAST(ex.exact_join_size AS DOUBLE) AS rel_overestimate
+    FROM est, ex
+    """
+
+
+@register(
+    "cms_join_size_estimate",
+    _cms_join_size_oracle(),
+    doc="AMS/Count-Min join-size estimation "
+    "(operators.sketches.cms_join_size): |orders JOIN lineitem| "
+    "predicted from two d x w sketches via the min-over-rows inner "
+    "product — the optimizer's 'how big is this join' question answered "
+    "WITHOUT executing the join, from mergeable per-partition sketches. "
+    "est >= exact always (collisions only add cross terms); the exact "
+    "size is computed beside it from the per-key COUNT tables (an "
+    "equi-join of key counts, never the row-level join) so the "
+    "overestimate is a visible number.  All-integer, xxhash64-replayed.",
+    tags=("sketch", "join"),
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sk.cms_join_size(
+        table(spark, sf_dir, "orders"),
+        "o_orderkey",
+        table(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+    )

@@ -875,3 +875,56 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from planet_dump_ng_spark.operators.text import bpe_encode_stats as enc
 
     return enc(table(spark, sf_dir, "documents"), n_merges=3)
+
+
+@register(
+    "corpus_health_report",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             len({_TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_unique_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT)
+             AS n_exact_dup_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           CAST(SUM(CASE WHEN n_tokens BETWEEN 5 AND 1000
+                          AND punct_ratio < 0.1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS keep_fraction
+    FROM f
+    """,
+    doc="One-row corpus health dashboard: doc count, exact-duplicate "
+    "mass, language cardinality, mean token length, and the fraction "
+    "passing the doc_quality_score keep gate — the summary a curation "
+    "run prints before and after to prove what changed.  Single "
+    "aggregate (multi-distinct via Spark's expand), map-side "
+    "combinable counts, exact integer ratios.",
+    tags=("text", "agg"),
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_tok = tx.token_count("text")
+    punct = (
+        F.size(F.regexp_extract_all("text", F.lit(tx.PUNCT_RE), 0)).cast(
+            "double"
+        )
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    keep = n_tok.between(5, 1000) & (punct < 0.1)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text"))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+        (
+            F.sum(keep.cast("int")).cast("double") / F.count(F.lit(1))
+        ).alias("keep_fraction"),
+    )
