@@ -748,3 +748,70 @@ def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return audited
+
+
+@register(
+    "event_transition_counts",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             LAG(event_type) OVER w AS prev_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tr AS (SELECT prev_type AS from_type, event_type AS to_type,
+                  COUNT(*) AS n
+           FROM seq
+           WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
+           GROUP BY from_type, to_type),
+    tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+            FROM tr GROUP BY from_type)
+    SELECT tr.from_type, tr.to_type, tr.n,
+           CAST(tr.n AS DOUBLE) / tot.n_from AS p_transition
+    FROM tr JOIN tot USING (from_type)
+    """,
+    doc="Session-scoped event-transition matrix (first-order Markov "
+    "counts): adjacent event pairs within a user's stream, broken at "
+    "30-minute gaps (the user_sessionization boundary), aggregated to "
+    "(from, to) counts with the per-source transition probability — "
+    "the behavioral sequence-mining table funnels and next-action "
+    "models start from.  One user-partitioned LAG window (state O(1) "
+    "per row), one map-side-combinable count, a broadcast-sized "
+    "row-normalization join; gap compares at exact microseconds per "
+    "the engine's time-gap convention.",
+    tags=("events", "window"),
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    tr = (
+        seq.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("gap_us") <= 1_800_000_000)
+        )
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tr.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return tr.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p_transition"),
+    )
