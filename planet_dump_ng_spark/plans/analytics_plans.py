@@ -815,3 +815,59 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_from")).alias("p_transition"),
     )
+
+
+@register(
+    "mad_outlier_bounds",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.50) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, med, quantile_disc(ad, 0.50) AS mad
+        FROM dev GROUP BY event_type, med
+    )
+    SELECT d.event_type, d.med, d.mad,
+           CAST(count(*) FILTER (d2.ad > 3.5 * d.mad) AS BIGINT)
+             AS n_outliers
+    FROM mad d JOIN dev d2 ON d2.event_type = d.event_type
+    GROUP BY d.event_type, d.med, d.mad
+    """,
+    doc="MAD (median-absolute-deviation) outlier gate per event type — "
+    "the robust-statistics complement to value_outlier_bounds' IQR "
+    "fence (MAD has a 50% breakdown point; IQR only 25%, so heavy "
+    "contamination shifts the IQR fence but not this one).  Two exact "
+    "discrete-quantile aggregates (median, then median of absolute "
+    "deviations — each an order statistic both engines pick "
+    "identically), each bound table broadcast back; |x - med| is one "
+    "IEEE op, the 3.5-MAD modified-z fence compares deterministic "
+    "doubles.  Three scans total, no global sort.",
+    tags=("agg", "quality"),
+)
+def mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias(
+            "med"
+        )
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY ad)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.drop("med")), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                (F.col("ad") > 3.5 * F.col("mad")).cast("bigint")
+            ).alias("n_outliers")
+        )
+    )
