@@ -35,18 +35,22 @@ def _centroids_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     )
 
 
-#: exact squared-L2 between the row vector ``v`` and the joined
-#: ``centroid`` — same strict fold (zip, per-dim square, left-to-right
-#: sum) the literal formulation used, so results are bit-identical.
-_DIST2 = F.aggregate(
-    F.zip_with(
-        F.col("v"),
-        F.col("centroid"),
-        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-    ),
-    F.lit(0.0),
-    lambda acc, x: acc + x,
-)
+def _dist2():
+    """Exact squared-L2 between the row vector ``v`` and the joined
+    ``centroid`` — same strict fold (zip, per-dim square, left-to-right
+    sum) the literal formulation used, so results are bit-identical.
+    Built lazily: constructing Column expressions needs an active
+    SparkContext, and this module must stay importable before one
+    exists (e.g. CLI arg-parse paths)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _assign(vecs: DataFrame, cdf: DataFrame) -> DataFrame:
@@ -60,7 +64,7 @@ def _assign(vecs: DataFrame, cdf: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "v",
-            F.struct(_DIST2.alias("dist"), F.col("cell").alias("cell")).alias(
+            F.struct(_dist2().alias("dist"), F.col("cell").alias("cell")).alias(
                 "dc"
             ),
         )
@@ -212,7 +216,7 @@ def ivf_cosine_topk(
             "query_id",
             F.col("v").alias("qv"),
             "cell",
-            _DIST2.alias("dist"),
+            _dist2().alias("dist"),
         )
         .withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") <= n_probe)
