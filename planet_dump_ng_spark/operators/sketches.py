@@ -337,7 +337,9 @@ def binned_quantiles(
         .groupBy("q", "target")
         .agg(F.min("bin").alias("bin"))
     )
-    filled = landed.join(cum, ["bin"]).select(
+    # both sides are <= n_bins rows; hint broadcast so the tiny lookup
+    # never plans a sort-merge join
+    filled = landed.join(F.broadcast(cum), ["bin"]).select(
         "q",
         "target",
         "bin",
