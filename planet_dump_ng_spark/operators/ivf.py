@@ -322,3 +322,71 @@ def semantic_dedup(
     out.count()
     a.unpersist()
     return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    n_cells: int = 8,
+    n_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each vector into ``n_sub`` subspaces,
+    train an independent k-means codebook per subspace, and encode every
+    vector as ``n_sub`` small codes plus its total reconstruction error
+    -> (vec_id, code0..code{n_sub-1}, recon_err).
+
+    The third ANN compression next to int8 quantization and the JL
+    projection: storage drops from dim floats to n_sub bytes while
+    asymmetric distance queries stay answerable from codebook lookup
+    tables.  Each subspace training is the same broadcast-Lloyd loop as
+    the IVF coarse quantizer over a dim/n_sub slice (codebooks are tiny
+    and independent — at scale they train concurrently from one cached
+    corpus scan); encoding is n_sub broadcast joins merged on the id.
+    recon_err is the sum of per-subspace squared distances to the chosen
+    centroid — exactly the quantity PQ minimizes, and a deterministic
+    left-to-right sum of exact fold results.
+    """
+    sub_dim = dim // n_sub
+    assert sub_dim * n_sub == dim, "dim must divide evenly into subspaces"
+    corpus = corpus.persist()
+    out = None
+    for s in range(n_sub):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
+        )
+        cdf = train_kmeans_df(
+            sub, sub_dim, n_cells, n_rounds, vec_col="sub", id_col="vec_id"
+        )
+        assigned = (
+            sub.withColumnRenamed("sub", "v")
+            .join(F.broadcast(cdf))
+            .select(
+                "vec_id",
+                F.struct(
+                    _dist2().alias("dist"), F.col("cell").alias("cell")
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("dc"))
+            .select(
+                "vec_id",
+                F.col("dc")["cell"].cast("int").alias(f"code{s}"),
+                F.col("dc")["dist"].alias(f"_d{s}"),
+            )
+        )
+        out = assigned if out is None else out.join(assigned, "vec_id")
+    err = F.col("_d0")
+    for s in range(1, n_sub):
+        err = err + F.col(f"_d{s}")
+    result = out.select(
+        "vec_id",
+        *[f"code{s}" for s in range(n_sub)],
+        err.alias("recon_err"),
+    ).persist()
+    result.count()
+    corpus.unpersist()
+    return result

@@ -132,12 +132,16 @@ _IVF_DIST = (
 )
 
 
-def _ivf_cte_prefix(dim: int = 64, n_cells: int = 8, n_rounds: int = 3
+def _ivf_cte_prefix(dim: int = 64, n_cells: int = 8, n_rounds: int = 3,
+                    vec_sql: str = "embedding::DOUBLE[]", p: str = ""
                     ) -> tuple[str, str]:
     """(CTE prefix, final-centroid CTE name) for the unrolled Lloyd
     rounds — shared by the IVF ANN oracle and the semantic-dedup
-    oracle.  The prefix defines ``emb(vec_id, v)`` plus centroid tables
-    ``c0..cN``; callers append their own assignment/probe CTEs.
+    oracle.  The prefix defines ``{p}emb(vec_id, v)`` plus centroid
+    tables ``{p}c0..cN``; callers append their own assignment/probe
+    CTEs.  ``vec_sql``/``p`` parameterize the vector expression and a
+    CTE name prefix so several independent quantizers (the PQ
+    subspaces) can coexist in one query.
 
     Every stage is engine-deterministic by construction: the k-means init
     orders by Spark's xxhash64(vec_id) (hashLong replica), assignments
@@ -149,28 +153,30 @@ def _ivf_cte_prefix(dim: int = 64, n_cells: int = 8, n_rounds: int = 3
     dist = _IVF_DIST
     rounds = []
     for r in range(n_rounds):
-        prev, cur = f"c{r}", f"c{r + 1}"
+        prev, cur = f"{p}c{r}", f"{p}c{r + 1}"
         rounds.append(f"""
-    a{r} AS (SELECT vec_id, v, cell FROM (
+    {p}a{r} AS (SELECT vec_id, v, cell FROM (
         SELECT e.vec_id, e.v, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
-        FROM emb e, {prev} c) WHERE rn = 1),
-    m{r} AS (SELECT cell, pos,
+        FROM {p}emb e, {prev} c) WHERE rn = 1),
+    {p}m{r} AS (SELECT cell, pos,
                     CAST(SUM(CAST(trunc(v[pos] * 1e12) AS BIGINT)) AS DOUBLE)
                       / 1e12 / COUNT(*) AS m
-             FROM a{r}, (SELECT unnest(range(1, {dim + 1})) AS pos)
+             FROM {p}a{r}, (SELECT unnest(range(1, {dim + 1})) AS pos)
              GROUP BY cell, pos),
-    g{r} AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m{r} GROUP BY cell),
+    {p}g{r} AS (SELECT cell, list(m ORDER BY pos) AS centroid
+                FROM {p}m{r} GROUP BY cell),
     {cur} AS (SELECT p.cell, COALESCE(g.centroid, p.centroid) AS centroid
-              FROM {prev} p LEFT JOIN g{r} g USING (cell))""")
-    final = f"c{n_rounds}"
+              FROM {prev} p LEFT JOIN {p}g{r} g USING (cell))""")
+    final = f"{p}c{n_rounds}"
     prefix = f"""
-    WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    seeds AS (SELECT vec_id, v, ROW_NUMBER() OVER (
-                ORDER BY {xxh64_long_inline('vec_id')}, vec_id) AS rn FROM emb),
-    c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, v AS centroid
-           FROM seeds WHERE rn <= {n_cells}),
+    {p}emb AS MATERIALIZED (SELECT vec_id, {vec_sql} AS v FROM embeddings),
+    {p}seeds AS (SELECT vec_id, v, ROW_NUMBER() OVER (
+                ORDER BY {xxh64_long_inline('vec_id')}, vec_id) AS rn
+                 FROM {p}emb),
+    {p}c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, v AS centroid
+           FROM {p}seeds WHERE rn <= {n_cells}),
     {','.join(rounds)}"""
     return prefix, final
 
@@ -183,7 +189,7 @@ def _ivf_oracle(dim: int = 64, k: int = 5, n_cells: int = 8, n_probe: int = 3,
     dist = _IVF_DIST
     prefix, final = _ivf_cte_prefix(dim, n_cells, n_rounds)
     return f"""
-    {prefix},
+    WITH {prefix},
     corpus AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
         SELECT e.vec_id, e.v, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -393,7 +399,7 @@ def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,
     na = _DOT.format(a='a.v', b='a.v')
     nb = _DOT.format(a='b.v', b='b.v')
     return f"""
-    {prefix},
+    WITH {prefix},
     assign AS (SELECT vec_id, v, cell FROM (
         SELECT e.vec_id, e.v, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -433,3 +439,59 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, dim=64, n_cells=8, threshold=0.35)
+
+
+def _pq_oracle(dim: int = 64, n_sub: int = 4, n_cells: int = 8,
+               n_rounds: int = 2) -> str:
+    """PQ replica: one parameterized Lloyd-prefix per subspace (prefixed
+    CTE names), per-subspace min-distance assignment, id-merged codes
+    and the left-assoc error sum."""
+    sub_dim = dim // n_sub
+    dist = _IVF_DIST
+    prefixes, assigns = [], []
+    for s in range(n_sub):
+        p = f"s{s}_"
+        vec_sql = f"(embedding::DOUBLE[])[{s * sub_dim + 1}:{(s + 1) * sub_dim}]"
+        prefix, final = _ivf_cte_prefix(
+            sub_dim, n_cells, n_rounds, vec_sql=vec_sql, p=p
+        )
+        prefixes.append(prefix)
+        assigns.append(f"""
+    {p}asg AS (SELECT vec_id, CAST(cell AS INT) AS code{s}, d AS d{s} FROM (
+        SELECT e.vec_id, c.cell,
+               {dist.format(v='e.v', c='c.centroid')} AS d,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
+        FROM {p}emb e, {final} c) WHERE rn = 1)""")
+    joins = " ".join(f"JOIN s{s}_asg USING (vec_id)" for s in range(1, n_sub))
+    codes = ", ".join(f"code{s}" for s in range(n_sub))
+    err = " + ".join(f"d{s}" for s in range(n_sub))
+    return f"""
+    WITH {','.join(prefixes)},
+    {','.join(assigns)}
+    SELECT vec_id, {codes}, {err} AS recon_err
+    FROM s0_asg {joins}
+    """
+
+
+@register(
+    "embedding_pq_codes",
+    _pq_oracle(),
+    doc="Product quantization (operators.ivf.pq_encode): 64 dims -> 4 "
+    "independent 16-dim subspace codebooks (k=8, two Lloyd rounds "
+    "each) -> 4 codes + reconstruction error per vector — the third "
+    "ANN compression next to int8 quantization and the JL projection "
+    "(dim floats become n_sub bytes; asymmetric-distance queries "
+    "answer from codebook lookup tables).  Subspace codebooks train "
+    "independently off one cached corpus scan; encoding is n_sub "
+    "broadcast joins merged on the id.  Oracle instantiates the "
+    "parameterized Lloyd CTE prefix once per subspace (prefixed "
+    "names) and replays the assignment and the left-assoc error sum "
+    "bit-for-bit.",
+    tags=("similarity", "iterative"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.ivf import pq_encode
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, dim=64, n_sub=4, n_cells=8, n_rounds=2)

@@ -435,3 +435,37 @@ def test_fit_group_trends_known_slope(spark):
     b = out["b"]
     assert b.slope == pytest.approx(0.0)
     assert b.intercept == pytest.approx(5000.0 - b.slope)
+
+
+def test_pq_encode_distinct_vectors_zero_error(spark):
+    """n_cells == n_vectors with all-distinct vectors: every vector is
+    its own codebook entry, so reconstruction error collapses to the
+    1e-12 mean-quantization epsilon; codes stay in range."""
+    from planet_dump_ng_spark.operators.ivf import pq_encode
+
+    rows = []
+    for i in range(6):
+        v = [0.0] * 8
+        v[i] = 1.0 + 0.125 * i
+        rows.append((i + 1, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in pq_encode(
+        df, dim=8, n_sub=2, n_cells=6, n_rounds=2
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    for r in out.values():
+        assert 0 <= r.code0 < 6 and 0 <= r.code1 < 6
+        assert r.recon_err < 1e-18
+
+
+def test_pq_encode_error_shrinks_with_codebook_size(spark, sf_dir):
+    """More codes per subspace can only lower total reconstruction
+    error (k-means with more centroids fits at least as well)."""
+    from planet_dump_ng_spark.operators.ivf import pq_encode
+    from planet_dump_ng_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(200)
+    def total(k):
+        out = pq_encode(emb, dim=64, n_sub=4, n_cells=k, n_rounds=2)
+        return sum(r.recon_err for r in out.collect())
+    assert total(8) <= total(1) * 1.0000001
