@@ -324,6 +324,34 @@ def semantic_dedup(
     return out
 
 
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    n_cells: int = 8,
+    n_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[DataFrame]:
+    """One trained (cell, centroid) codebook DataFrame per subspace —
+    shared by pq_encode (storage side) and pq_adc_topk (query side)."""
+    sub_dim = dim // n_sub
+    books = []
+    for s in range(n_sub):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
+        )
+        books.append(
+            train_kmeans_df(
+                sub, sub_dim, n_cells, n_rounds, vec_col="sub",
+                id_col="vec_id",
+            )
+        )
+    return books
+
+
 def pq_encode(
     corpus: DataFrame,
     dim: int,
@@ -352,15 +380,16 @@ def pq_encode(
     sub_dim = dim // n_sub
     assert sub_dim * n_sub == dim, "dim must divide evenly into subspaces"
     corpus = corpus.persist()
+    books = pq_codebooks(
+        corpus, dim, n_sub, n_cells, n_rounds, id_col=id_col, vec_col=vec_col
+    )
     out = None
     for s in range(n_sub):
         sub = corpus.select(
             F.col(id_col).alias("vec_id"),
             F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
         )
-        cdf = train_kmeans_df(
-            sub, sub_dim, n_cells, n_rounds, vec_col="sub", id_col="vec_id"
-        )
+        cdf = books[s]
         assigned = (
             sub.withColumnRenamed("sub", "v")
             .join(F.broadcast(cdf))
@@ -390,3 +419,77 @@ def pq_encode(
     result.count()
     corpus.unpersist()
     return result
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_sub: int = 4,
+    n_cells: int = 8,
+    n_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: approximate nearest neighbours from
+    CODES ONLY — the query path product quantization exists for.
+
+    Per query and subspace, a lookup table of squared distances from the
+    query's sub-vector to each codebook centroid (n_queries x n_cells
+    rows — tiny, broadcast); each corpus vector's approximate distance
+    is then the sum of ``n_sub`` LUT lookups keyed by its stored codes,
+    so the scan over the corpus touches ONLY the code columns (n_sub
+    bytes/vector at scale), never the original floats.  Ranking is a
+    per-query window with (dist, id) tie-break, exactly like the other
+    ANN paths.
+
+    Cache discipline mirrors ivf_cosine_topk: the corpus persists only
+    through training + encoding; the returned plan reads the much
+    smaller code table.
+    """
+    sub_dim = dim // n_sub
+    corpus = corpus.persist()
+    books = pq_codebooks(
+        corpus, dim, n_sub, n_cells, n_rounds, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        corpus, dim, n_sub, n_cells, n_rounds, id_col=id_col, vec_col=vec_col
+    )  # persisted + materialized inside
+    corpus.unpersist()
+
+    adc = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[f"code{s}" for s in range(n_sub)],
+    )
+    for s in range(n_sub):
+        lut = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("v"),
+            )
+            .join(F.broadcast(books[s]))
+            .select(
+                "query_id",
+                F.col("cell").alias(f"code{s}"),
+                _dist2().alias(f"_d{s}"),
+            )
+        )
+        join_on = (
+            [f"code{s}"] if s == 0 else ["query_id", f"code{s}"]
+        )
+        adc = adc.join(F.broadcast(lut), join_on)
+    dist = F.col("_d0")
+    for s in range(1, n_sub):
+        dist = dist + F.col(f"_d{s}")
+    scored = adc.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", dist.alias("adc_dist")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -495,3 +495,78 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return pq_encode(emb, dim=64, n_sub=4, n_cells=8, n_rounds=2)
+
+
+def _pq_adc_oracle(dim: int = 64, n_sub: int = 4, n_cells: int = 8,
+                   n_rounds: int = 2, k: int = 5) -> str:
+    """ADC replica on top of the PQ chains: per-subspace query LUTs from
+    the same prefixed centroid tables, code-keyed joins, left-assoc
+    distance sum, per-query rank."""
+    sub_dim = dim // n_sub
+    dist = _IVF_DIST
+    prefixes, assigns, luts = [], [], []
+    for s in range(n_sub):
+        p = f"s{s}_"
+        vec_sql = f"(embedding::DOUBLE[])[{s * sub_dim + 1}:{(s + 1) * sub_dim}]"
+        prefix, final = _ivf_cte_prefix(
+            sub_dim, n_cells, n_rounds, vec_sql=vec_sql, p=p
+        )
+        prefixes.append(prefix)
+        assigns.append(f"""
+    {p}asg AS (SELECT vec_id, CAST(cell AS INT) AS code{s} FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
+        FROM {p}emb e, {final} c) WHERE rn = 1)""")
+        luts.append(f"""
+    l{s} AS (SELECT q.vec_id AS query_id, CAST(c.cell AS INT) AS code{s},
+                    {dist.format(v='q.v', c='c.centroid')} AS d{s}
+             FROM {p}emb q, {final} c WHERE q.vec_id % 100 = 0)""")
+    code_joins = " ".join(
+        f"JOIN s{s}_asg USING (vec_id)" for s in range(1, n_sub)
+    )
+    lut_joins = " ".join(
+        f"JOIN l{s} ON l{s}.query_id = l0.query_id"
+        f" AND l{s}.code{s} = codes.code{s}"
+        for s in range(1, n_sub)
+    )
+    codes_cols = ", ".join(f"code{s}" for s in range(n_sub))
+    err = " + ".join(f"d{s}" for s in range(n_sub))
+    return f"""
+    WITH {','.join(prefixes)},
+    {','.join(assigns)},
+    codes AS (SELECT vec_id, {codes_cols} FROM s0_asg {code_joins}),
+    {','.join(luts)}
+    SELECT query_id, neighbor_id, rank, adc_dist FROM (
+      SELECT l0.query_id, codes.vec_id AS neighbor_id,
+             {err} AS adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY l0.query_id
+               ORDER BY {err}, codes.vec_id) AS rank
+      FROM codes
+      JOIN l0 ON l0.code0 = codes.code0
+      {lut_joins}
+      WHERE codes.vec_id <> l0.query_id)
+    WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    _pq_adc_oracle(),
+    doc="PQ asymmetric-distance top-5 (operators.ivf.pq_adc_topk): the "
+    "query path product quantization exists for — per-query lookup "
+    "tables of sub-distances to each codebook centroid (tiny, "
+    "broadcast), approximate distance = sum of n_sub LUT lookups "
+    "keyed by the STORED CODES, so the corpus scan touches n_sub "
+    "bytes per vector, never the floats.  Completes the ANN family "
+    "(brute / LSH / IVF / PQ-ADC).  Oracle reuses the per-subspace "
+    "Lloyd chains plus LUT CTEs; left-assoc distance sums and "
+    "(dist, id) tie-breaks keep both engines bit-identical.",
+    tags=("similarity", "iterative"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.ivf import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_adc_topk(emb, queries, dim=64, k=5, n_sub=4, n_cells=8)
