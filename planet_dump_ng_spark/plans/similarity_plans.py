@@ -570,3 +570,22 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return pq_adc_topk(emb, queries, dim=64, k=5, n_sub=4, n_cells=8)
+
+
+@register(
+    "ann_pq_recall",
+    _recall_oracle(_pq_adc_oracle()),
+    doc="ANN quality evaluation for the PQ-ADC path: recall@5 of the "
+    "codes-only asymmetric-distance index against exact brute-force "
+    "top-5 per query — the compression-vs-quality tuning signal "
+    "(n_sub/n_cells), same composition as ann_lsh_recall and "
+    "ann_ivf_recall.",
+    tags=("similarity", "eval", "iterative"),
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.ivf import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    pq = pq_adc_topk(emb, queries, dim=64, k=_RECALL_K, n_sub=4, n_cells=8)
+    return _recall_vs_exact(emb, queries, pq)
