@@ -379,6 +379,75 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def superset_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 50,
+) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| — the near-superset
+    detector (Broder's containment): a short document quoted or wrapped
+    inside a longer one scores containment ~1.0 while its symmetric
+    Jaccard stays far below any dedup threshold, so this is the signal
+    that catches quote-expansion and boilerplate-wrapper duplicates
+    ``ngram_jaccard_pairs`` structurally cannot.
+
+    Plan: hashed distinct shingles (31-bit folded xxhash64 — 8-byte
+    shuffle keys), a document-frequency cap dropping shingles present in
+    more than ``max_df`` docs (stop-shingles are both semantically
+    uninformative and the quadratic blow-up risk of any inverted index;
+    the cap bounds per-shingle pair fan-out at max_df^2 and is applied
+    identically in the oracle), then the inverted-index self-join; the
+    capped per-doc size is joined onto the A side only (it must be
+    counted post-cap, so it cannot ride along from the explode the way
+    ngram_jaccard_pairs' pre-cap size does).  Both directions
+    (a,b)/(b,a) emit — containment is asymmetric.
+    Denominator = A's CAPPED shingle count, so a doc of pure boilerplate
+    doesn't dilute its own score.  Pairs sharing no informative shingle
+    never materialize.
+    """
+    assert threshold > 0, "inverted-index path requires a positive threshold"
+    ex = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingle_hashes(text_col, k))).alias("h"),
+        )
+        .persist()  # feeds the df-cap count AND the capped index
+    )
+    dfc = ex.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    # rows are (id, h)-distinct, so COUNT(*) per h IS the doc frequency
+    capped = ex.join(dfc.filter(F.col("ndocs") <= max_df), "h").select("id", "h")
+    sized = capped.join(
+        capped.groupBy("id").agg(F.count(F.lit(1)).alias("sz")), "id"
+    )
+    ca, cb = sized.alias("a"), capped.alias("b")
+    pairs = (
+        ca.join(
+            cb,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first(F.col("a.sz")).alias("size_a"),
+        )
+    )
+    out = pairs.select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        "size_a",
+        (F.col("shared").cast("double") / F.col("size_a")).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+    out = out.persist()
+    out.count()
+    ex.unpersist()
+    return out
+
+
 # -- SimHash ------------------------------------------------------------------
 
 

@@ -493,3 +493,148 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    coarse_rounds: int = 2,
+    n_sub: int = 4,
+    pq_cells: int = 8,
+    pq_rounds: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ asymmetric-distance top-k — the composed index (FAISS's
+    IVFADC): a coarse quantizer routes each vector to a cell, product
+    quantization encodes the RESIDUAL (vector minus its coarse
+    centroid — residuals are far better centered than raw vectors, the
+    reason real systems compose the two), and queries probe only the
+    ``n_probe`` nearest cells, ranking candidates by the sum of
+    per-subspace LUT lookups on the residual codes.
+
+    Scale shape = the product of the two parents': the corpus shuffles
+    once by coarse cell; per query the candidate scan covers
+    n_probe/n_cells of the code table (n_sub bytes per vector, never
+    the floats); all LUTs are (queries x probed cells x pq_cells)
+    rows — broadcast.  Every stage is the deterministic machinery the
+    separate IVF and PQ paths already hash-verify: exact-fold L2,
+    1e-12-truncated Lloyd means, (dist, id) tie-breaks.
+    """
+    sub_dim = dim // n_sub
+    assert sub_dim * n_sub == dim, "dim must divide evenly into subspaces"
+    corpus = corpus.persist()
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    coarse = train_kmeans_df(
+        corpus, dim, n_cells, coarse_rounds, vec_col=vec_col, id_col=id_col
+    )
+    # residual table: v - centroid(cell) — float64 subtraction of exact
+    # operands, deterministic on both engines
+    resid = (
+        _assign(vecs, coarse)
+        .join(F.broadcast(coarse), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "v", "centroid", lambda a, b: a.cast("double") - b
+            ).alias("rv"),
+        )
+        .persist()
+    )
+    resid.count()
+    corpus.unpersist()
+    books = pq_codebooks(
+        resid, dim, n_sub, pq_cells, pq_rounds, id_col="vec_id", vec_col="rv"
+    )
+    codes = None
+    for s in range(n_sub):
+        sub = resid.select(
+            "vec_id", F.slice("rv", s * sub_dim + 1, sub_dim).alias("v")
+        )
+        assigned = (
+            sub.join(F.broadcast(books[s]))
+            .select(
+                "vec_id",
+                F.struct(
+                    _dist2().alias("dist"), F.col("cell").alias("cell")
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc")["cell"].cast("int").alias(f"code{s}"))
+        )
+        codes = assigned if codes is None else codes.join(assigned, "vec_id")
+    codes = (
+        resid.select("vec_id", "cell").join(codes, "vec_id").persist()
+    )
+    codes.count()
+    resid.unpersist()
+
+    # query side: n_probe nearest coarse cells, query residual per probe
+    pw = W.partitionBy("query_id").orderBy("dist", "cell")
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+        )
+        .join(F.broadcast(coarse))
+        .select(
+            "query_id", "v", "cell", "centroid", _dist2().alias("dist")
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                "v", "centroid", lambda a, b: a.cast("double") - b
+            ).alias("qres"),
+        )
+    )
+    adc = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        *[f"code{s}" for s in range(n_sub)],
+    )
+    for s in range(n_sub):
+        lut = (
+            probes.select(
+                "query_id",
+                "cell",
+                F.slice("qres", s * sub_dim + 1, sub_dim).alias("v"),
+            )
+            .join(
+                F.broadcast(books[s].withColumnRenamed("cell", f"code{s}")),
+            )
+            .select(
+                "query_id",
+                "cell",
+                F.col(f"code{s}").cast("int").alias(f"code{s}"),
+                _dist2().alias(f"_d{s}"),
+            )
+        )
+        join_on = (
+            ["cell", f"code{s}"]
+            if s == 0
+            else ["query_id", "cell", f"code{s}"]
+        )
+        adc = adc.join(F.broadcast(lut), join_on)
+    dist = F.col("_d0")
+    for s in range(1, n_sub):
+        dist = dist + F.col(f"_d{s}")
+    scored = adc.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", dist.alias("adc_dist")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -58,29 +58,64 @@ def hll_distinct(
     Scale: two map-side-combinable aggregations; shuffle volume is
     O(groups * m), independent of input rows.
     """
-    m = 1 << p
+    est = hll_estimate_from_registers(
+        hll_registers(df, [group_col], value_col, p=p), [group_col], p=p
+    )
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).alias("exact_distinct")
+    )
+    return est.join(exact, group_col)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HLL register table ``(group..., j, rho)`` — the sketch's
+    mergeable state.  Registers merge across groups (or time buckets, or
+    partial files) with a plain ``MAX(rho)`` re-aggregation, which is what
+    makes the sketch a fixed-size *partial aggregate*: daily registers
+    roll up to weekly without touching raw rows (see
+    plans/sketch_plans.hll_merge_weekly for the merge == recount proof).
+    """
     wbits = 64 - p
-    scale = hll_alpha(m) * m * m * float(2**62)
     j, w = _unsigned_split(F.xxhash64(F.col(value_col)), wbits)
-    regs = (
-        df.select(F.col(group_col), j.alias("j"), w.alias("w"))
+    return (
+        df.select(*[F.col(g) for g in group_cols], j.alias("j"), w.alias("w"))
         .withColumn(
             "rho",
             F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
                 F.lit(wbits + 1) - F.length(F.bin(F.col("w")))
             ),
         )
-        .groupBy(group_col, "j")
+        .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("rho"))
     )
-    sums = regs.groupBy(group_col).agg(
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+    out_col: str = "hll_estimate",
+) -> DataFrame:
+    """Finalize a register table into ``(group..., hll_registers, out_col)``.
+
+    Exact-integer harmonic sum (each term ``2^(62-rho)`` summed as
+    DECIMAL(38,0), absent registers contributing ``2^62``), then the one
+    double division of the raw HLL formula — bit-deterministic, so two
+    register tables that are setwise equal finalize to the identical
+    double.
+    """
+    m = 1 << p
+    scale = hll_alpha(m) * m * m * float(2**62)
+    sums = regs.groupBy(*group_cols).agg(
         F.sum(
             F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 62 - rho) AS DECIMAL(38,0))")
         ).alias("s_present"),
         F.count(F.lit(1)).alias("hll_registers"),
     )
-    est = sums.select(
-        F.col(group_col),
+    return sums.select(
+        *group_cols,
         F.col("hll_registers"),
         (
             F.lit(scale)
@@ -89,12 +124,8 @@ def hll_distinct(
                 + (F.lit(m) - F.col("hll_registers")).cast("decimal(38,0)")
                 * F.lit(2**62).cast("decimal(38,0)")
             ).cast("double")
-        ).alias("hll_estimate"),
+        ).alias(out_col),
     )
-    exact = df.groupBy(group_col).agg(
-        F.count_distinct(F.col(value_col)).alias("exact_distinct")
-    )
-    return est.join(exact, group_col)
 
 
 def kmv_distinct(

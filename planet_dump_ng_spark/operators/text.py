@@ -78,6 +78,59 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: fasttext-style linear quality model: (feature, weight) with a bias.
+#: Weights are plan literals — the trained artifact a production pipeline
+#: would broadcast; swapping them is a config change, not a plan change.
+#: Feature order is FIXED (the score folds left-to-right so Spark and the
+#: SQL oracle land on the bit-identical IEEE double).
+QUALITY_MODEL_BIAS = -1.5
+QUALITY_MODEL_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("stop_ratio", 3.2),
+    ("punct_ratio", -8.0),
+    ("digit_ratio", -6.0),
+    ("len_feat", 2.0),
+)
+
+
+def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Weighted-linear quality classifier (the learned-model stage of an
+    LLM data pipeline, cf. GPT-3/LLaMA logistic quality filters) over
+    map-only integer features: stopword ratio, punctuation density,
+    digit density, and a capped length feature.
+
+    The decision value is the raw margin (no sigmoid — monotone in it,
+    and ``exp`` is libm-dependent so the margin is what stays
+    bit-deterministic across engines); ``keep`` is ``margin > 0``.
+    Ratios are single double divisions of exact integer counts and the
+    dot product folds in the fixed ``QUALITY_MODEL_WEIGHTS`` order, so
+    the score is hash-exact against the SQL oracle.  Map-only: scales
+    linearly with input splits, no shuffle.
+    """
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    n_char = F.length(c)
+    feats = {
+        "stop_ratio": stopword_hits(c, LANG_STOPWORDS["en"]).cast("double")
+        / F.greatest(n_tok, F.lit(1)),
+        "punct_ratio": F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0)).cast(
+            "double"
+        )
+        / F.greatest(n_char, F.lit(1)),
+        "digit_ratio": F.size(F.regexp_extract_all(c, F.lit("[0-9]"), 0)).cast(
+            "double"
+        )
+        / F.greatest(n_char, F.lit(1)),
+        "len_feat": F.least(n_tok, F.lit(300)).cast("double") / F.lit(300.0),
+    }
+    score = F.lit(QUALITY_MODEL_BIAS)
+    for name, w in QUALITY_MODEL_WEIGHTS:
+        score = score + F.lit(w) * feats[name]
+    out = df.withColumns(feats)
+    return out.withColumns(
+        {"quality_margin": score, "keep": score > F.lit(0.0)}
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-count language heuristic with deterministic tie-break.
 

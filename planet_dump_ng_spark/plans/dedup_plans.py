@@ -498,3 +498,129 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 4)
         .select("part1", "part2", "edit_dist")
     )
+
+
+def _containment_oracle(threshold: float = 0.8, max_df: int = 50) -> str:
+    from planet_dump_ng_spark.operators.dedup import _MERSENNE_31
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_pmod_inline
+
+    hash_expr = xxh64_pmod_inline("s", _MERSENNE_31)
+    return f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+    hh AS MATERIALIZED (SELECT DISTINCT doc_id, {hash_expr} AS h FROM sh),
+    keepers AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) <= {max_df}),
+    cap AS MATERIALIZED (SELECT hh.doc_id, hh.h FROM hh JOIN keepers USING (h)),
+    sz AS (SELECT doc_id, COUNT(*) AS size_a FROM cap GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          FROM cap a JOIN cap b USING (h)
+          WHERE a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+    SELECT p.doc_a, p.doc_b, p.shared, sz.size_a,
+           CAST(p.shared AS DOUBLE) / sz.size_a AS containment
+    FROM p JOIN sz ON sz.doc_id = p.doc_a
+    WHERE CAST(p.shared AS DOUBLE) / sz.size_a >= {threshold}
+    """
+
+
+@register(
+    "ngram_containment_pairs",
+    _containment_oracle(),
+    doc="Asymmetric shingle containment |A∩B|/|A| >= 0.8 "
+    "(operators.dedup.superset_containment_pairs): the near-SUPERSET detector "
+    "that catches a short doc quoted/wrapped inside a longer one — "
+    "containment ~1.0 where symmetric Jaccard is far under any dedup "
+    "threshold.  Hashed inverted index with a document-frequency cap "
+    "(df > 50 stop-shingles dropped on both engines: uninformative AND "
+    "the quadratic fan-out risk), denominator = A's capped shingle "
+    "count.  Oracle replays the 31-bit xxhash64 fold exactly.",
+    tags=("dedup", "text"),
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.superset_containment_pairs(
+        table(spark, sf_dir, "documents"), k=3, threshold=0.8, max_df=50
+    )
+
+
+def _substring_dup_oracle(w: int = 50, stride: int = 10) -> str:
+    from planet_dump_ng_spark.operators.dedup import _MERSENNE_31
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_pmod_inline
+
+    hash_expr = xxh64_pmod_inline("s", _MERSENNE_31)
+    return f"""
+    WITH g AS (SELECT doc_id,
+                      list_transform(range(1, length(text) - {w - 2}, {stride}),
+                                     p -> substr(text, p, {w})) AS grams
+               FROM documents WHERE length(text) >= {w}),
+    ex AS (SELECT doc_id, unnest(grams) AS s FROM g),
+    hh AS MATERIALIZED (SELECT doc_id, {hash_expr} AS h FROM ex),
+    c AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM hh GROUP BY h)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_gram_fraction,
+           CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) * {stride}
+             AS BIGINT) AS est_dup_chars
+    FROM hh JOIN c USING (h)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "exact_substring_duplication",
+    _substring_dup_oracle(),
+    doc="Character-level exact-substring duplication (the Lee et al. "
+    "'Deduplicating Training Data Makes Language Models Better' signal, "
+    "suffix-array semantics approximated by strided fingerprints): "
+    "every 50-char window at stride 10 is fingerprinted (31-bit folded "
+    "xxhash64); a window whose gram occurs in ANOTHER document marks "
+    "~stride duplicated chars.  Token shingles miss verbatim reuse that "
+    "crosses token boundaries or reflows whitespace differently-cased "
+    "fragments; char grams catch the literal copy-paste.  Plan is the "
+    "duplicated_ngram_fraction shape on char windows: explode via a "
+    "pure-SQL transform(sequence(...), substring) (no UDF), corpus "
+    "COUNT(DISTINCT doc_id) per fingerprint, join back, one per-doc "
+    "aggregate — at 100 TB the stride divides index size by 10 vs "
+    "stride-1 suffix hashing while bounding the miss to one window.  "
+    "Docs under 50 chars carry no window and drop (exact-dedup "
+    "territory).",
+    tags=("dedup", "text"),
+)
+def exact_substring_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, stride = 50, 10
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= w)
+    grams = F.expr(
+        f"transform(sequence(1, length(text) - {w - 1}, {stride}), "
+        f"p -> substring(text, p, {w}))"
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(grams).alias("s"),
+    ).select(
+        "doc_id",
+        F.pmod(F.xxhash64("s"), F.lit(dd._MERSENNE_31)).alias("h"),
+    ).persist()  # feeds the corpus count AND the join-back
+    cnt = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    dup = (F.col("ndocs") > 1).cast("bigint")
+    out = (
+        sh.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias(
+                "dup_gram_fraction"
+            ),
+            (F.col("n_dup_grams") * stride).cast("bigint").alias("est_dup_chars"),
+        )
+        .persist()
+    )
+    out.count()
+    sh.unpersist()
+    return out

@@ -133,15 +133,16 @@ _IVF_DIST = (
 
 
 def _ivf_cte_prefix(dim: int = 64, n_cells: int = 8, n_rounds: int = 3,
-                    vec_sql: str = "embedding::DOUBLE[]", p: str = ""
-                    ) -> tuple[str, str]:
+                    vec_sql: str = "embedding::DOUBLE[]", p: str = "",
+                    from_sql: str = "embeddings") -> tuple[str, str]:
     """(CTE prefix, final-centroid CTE name) for the unrolled Lloyd
     rounds — shared by the IVF ANN oracle and the semantic-dedup
     oracle.  The prefix defines ``{p}emb(vec_id, v)`` plus centroid
     tables ``{p}c0..cN``; callers append their own assignment/probe
     CTEs.  ``vec_sql``/``p`` parameterize the vector expression and a
     CTE name prefix so several independent quantizers (the PQ
-    subspaces) can coexist in one query.
+    subspaces) can coexist in one query; ``from_sql`` points the input
+    at another CTE (the IVFPQ residual table) instead of embeddings.
 
     Every stage is engine-deterministic by construction: the k-means init
     orders by Spark's xxhash64(vec_id) (hashLong replica), assignments
@@ -171,7 +172,7 @@ def _ivf_cte_prefix(dim: int = 64, n_cells: int = 8, n_rounds: int = 3,
               FROM {prev} p LEFT JOIN {p}g{r} g USING (cell))""")
     final = f"{p}c{n_rounds}"
     prefix = f"""
-    {p}emb AS MATERIALIZED (SELECT vec_id, {vec_sql} AS v FROM embeddings),
+    {p}emb AS MATERIALIZED (SELECT vec_id, {vec_sql} AS v FROM {from_sql}),
     {p}seeds AS (SELECT vec_id, v, ROW_NUMBER() OVER (
                 ORDER BY {xxh64_long_inline('vec_id')}, vec_id) AS rn
                  FROM {p}emb),
@@ -589,3 +590,127 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     pq = pq_adc_topk(emb, queries, dim=64, k=_RECALL_K, n_sub=4, n_cells=8)
     return _recall_vs_exact(emb, queries, pq)
+
+
+def _ivfpq_oracle(dim: int = 64, n_cells: int = 8, coarse_rounds: int = 2,
+                  n_sub: int = 4, pq_cells: int = 8, pq_rounds: int = 2,
+                  n_probe: int = 2, k: int = 5) -> str:
+    """IVFPQ replica: coarse Lloyd prefix -> residual CTE -> one PQ Lloyd
+    prefix per subspace trained FROM the residual CTE (the from_sql
+    parameterization) -> code assignment, probe selection, residual
+    LUTs, rank."""
+    sub_dim = dim // n_sub
+    dist = _IVF_DIST
+    cprefix, cfinal = _ivf_cte_prefix(dim, n_cells, coarse_rounds, p="cq_")
+    prefixes, assigns, luts = [], [], []
+    for s in range(n_sub):
+        p = f"s{s}_"
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        prefix, final = _ivf_cte_prefix(
+            sub_dim, pq_cells, pq_rounds,
+            vec_sql=f"rv[{lo}:{hi}]", p=p, from_sql="resid",
+        )
+        prefixes.append(prefix)
+        assigns.append(f"""
+    {p}asg AS (SELECT vec_id, CAST(cell AS INT) AS code{s} FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
+        FROM {p}emb e, {final} c) WHERE rn = 1)""")
+        luts.append(f"""
+    l{s} AS (SELECT q.query_id, q.cell, CAST(c.cell AS INT) AS code{s},
+                    {dist.format(v=f'q.qres[{lo}:{hi}]', c='c.centroid')} AS d{s}
+             FROM qp q, {final} c)""")
+    code_joins = " ".join(
+        f"JOIN s{s}_asg USING (vec_id)" for s in range(n_sub)
+    )
+    codes_cols = ", ".join(f"code{s}" for s in range(n_sub))
+    lut_joins = " ".join(
+        f"JOIN l{s} ON l{s}.query_id = l0.query_id"
+        f" AND l{s}.cell = codes.cell AND l{s}.code{s} = codes.code{s}"
+        for s in range(1, n_sub)
+    )
+    err = " + ".join(f"d{s}" for s in range(n_sub))
+    return f"""
+    WITH {cprefix},
+    cq_asg AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
+        FROM cq_emb e, {cfinal} c) WHERE rn = 1),
+    resid AS MATERIALIZED (SELECT a.vec_id, a.cell,
+        list_transform(range(1, {dim + 1}), i -> a.v[i] - c.centroid[i]) AS rv
+        FROM cq_asg a JOIN {cfinal} c USING (cell)),
+    {','.join(prefixes)},
+    {','.join(assigns)},
+    codes AS (SELECT r.vec_id, r.cell, {codes_cols}
+              FROM resid r {code_joins}),
+    qp AS MATERIALIZED (SELECT query_id, cell,
+        list_transform(range(1, {dim + 1}), i -> qv[i] - centroid[i]) AS qres
+        FROM (SELECT e.vec_id AS query_id, e.v AS qv, c.cell, c.centroid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
+              FROM cq_emb e, {cfinal} c WHERE e.vec_id % 100 = 0)
+        WHERE rn <= {n_probe}),
+    {','.join(luts)}
+    SELECT query_id, neighbor_id, rank, adc_dist FROM (
+      SELECT l0.query_id, codes.vec_id AS neighbor_id,
+             {err} AS adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY l0.query_id
+               ORDER BY {err}, codes.vec_id) AS rank
+      FROM codes
+      JOIN l0 ON l0.cell = codes.cell AND l0.code0 = codes.code0
+      {lut_joins}
+      WHERE codes.vec_id <> l0.query_id)
+    WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    _ivfpq_oracle(),
+    doc="IVF+PQ asymmetric-distance top-5 (operators.ivf.ivfpq_adc_topk) "
+    "— the COMPOSED index (FAISS IVFADC): coarse quantizer routes "
+    "vectors to cells, product quantization encodes the RESIDUAL "
+    "(vector minus coarse centroid — better-centered than raw "
+    "vectors, which is why real systems compose the two), queries "
+    "probe the 2 nearest cells and rank candidates by summed "
+    "residual-LUT lookups.  Candidate scan per query = n_probe/"
+    "n_cells of the code table at n_sub bytes/vector; every LUT is "
+    "broadcast-tiny.  Oracle chains the coarse Lloyd prefix, a "
+    "residual CTE, and four PQ Lloyd prefixes trained FROM that "
+    "residual CTE (the from_sql parameterization) — ten unrolled "
+    "k-means chains in one hash-exact query.",
+    tags=("similarity", "iterative"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.ivf import ivfpq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_adc_topk(
+        emb, queries, dim=64, k=5, n_cells=8, coarse_rounds=2,
+        n_sub=4, pq_cells=8, pq_rounds=2, n_probe=2,
+    )
+
+
+@register(
+    "ann_ivfpq_recall",
+    _recall_oracle(_ivfpq_oracle()),
+    doc="ANN quality evaluation for the composed IVFPQ index: recall@5 "
+    "against exact brute-force top-5 per query — the metric that "
+    "exposes the compression-plus-probe quality tradeoff (n_probe x "
+    "n_sub x pq_cells) that neither parent eval (ann_ivf_recall, "
+    "ann_pq_recall) captures alone.",
+    tags=("similarity", "eval", "iterative"),
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.ivf import ivfpq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = ivfpq_adc_topk(
+        emb, queries, dim=64, k=_RECALL_K, n_cells=8, coarse_rounds=2,
+        n_sub=4, pq_cells=8, pq_rounds=2, n_probe=2,
+    )
+    return _recall_vs_exact(emb, queries, idx)

@@ -412,3 +412,101 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem"),
         "l_orderkey",
     )
+
+
+def _hll_merge_oracle(p: int = 8) -> str:
+    m = 1 << p
+    wbits = 64 - p
+    wmod = 1 << wbits
+    scale = sk.hll_alpha(m) * m * m * float(2**62)
+    empty = f"CAST(1::BIGINT << 62 AS HUGEINT)"
+    final = (
+        "{scale!r} / CAST(a.s_present + ({m} - a.hll_registers) * {empty} "
+        "AS DOUBLE)"
+    ).format(scale=scale, m=m, empty=empty)
+    return f"""
+    WITH h AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                      CAST(ts AS DATE) AS day,
+                      {_unsigned('user_id', 'hm')} AS u
+               FROM events),
+    r AS MATERIALIZED (SELECT week, day,
+                 CAST(u // {wmod} AS BIGINT) AS j,
+                 CAST(u % {wmod} AS BIGINT) AS w FROM h),
+    daily AS (SELECT week, day, j,
+                     MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                         ELSE {wbits + 1} - length(bin(w)) END) AS rho
+              FROM r GROUP BY week, day, j),
+    merged AS (SELECT week, j, MAX(rho) AS rho FROM daily GROUP BY week, j),
+    am AS (SELECT week,
+                  SUM(CAST(1::BIGINT << (62 - rho) AS HUGEINT)) AS s_present,
+                  COUNT(*) AS hll_registers
+           FROM merged GROUP BY week),
+    direct AS (SELECT week, j,
+                      MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                          ELSE {wbits + 1} - length(bin(w)) END) AS rho
+               FROM r GROUP BY week, j),
+    ad AS (SELECT week,
+                  SUM(CAST(1::BIGINT << (62 - rho) AS HUGEINT)) AS s_present,
+                  COUNT(*) AS hll_registers
+           FROM direct GROUP BY week),
+    ex AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                  COUNT(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY week)
+    SELECT am.week, am.hll_registers,
+           {final.replace('a.', 'am.')} AS est_merged,
+           {final.replace('a.', 'ad.')} AS est_direct,
+           {final.replace('a.', 'am.')} = {final.replace('a.', 'ad.')}
+             AS merge_equals_direct,
+           ex.exact_distinct
+    FROM am JOIN ad USING (week) JOIN ex USING (week)
+    """
+
+
+@register(
+    "hll_merge_weekly",
+    _hll_merge_oracle(),
+    doc="Sketch mergeability proof on the clock dimension: daily HLL(p=8) "
+    "register tables (operators.sketches.hll_registers — the partial-"
+    "aggregate state a 100 TB pipeline would persist per ingest day) "
+    "roll up to weekly distinct-user estimates with a plain MAX(rho) "
+    "re-aggregation, NEVER re-reading raw events; the same finalize run "
+    "directly on the raw week (est_direct) lands on the bit-identical "
+    "double, pinned per-row as merge_equals_direct.  This is the "
+    "incremental_event_rollup story applied to a fixed-size sketch: "
+    "O(days * m) persisted state replaces a week-scale distinct shuffle.",
+    tags=("sketch", "agg", "incremental"),
+)
+def hll_merge_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = sk.hll_registers(e, ["week", "day"], "user_id", p=8)
+    merged = daily.groupBy("week", "j").agg(F.max("rho").alias("rho"))
+    est_m = sk.hll_estimate_from_registers(
+        merged, ["week"], p=8, out_col="est_merged"
+    )
+    est_d = sk.hll_estimate_from_registers(
+        sk.hll_registers(e, ["week"], "user_id", p=8),
+        ["week"],
+        p=8,
+        out_col="est_direct",
+    ).select("week", "est_direct")
+    exact = e.groupBy("week").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est_m.join(est_d, "week")
+        .join(exact, "week")
+        .select(
+            "week",
+            "hll_registers",
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).alias(
+                "merge_equals_direct"
+            ),
+            "exact_distinct",
+        )
+    )

@@ -928,3 +928,61 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(keep.cast("int")).cast("double") / F.count(F.lit(1))
         ).alias("keep_fraction"),
     )
+
+
+def _quality_classifier_oracle() -> str:
+    feats_sql = {
+        "stop_ratio": f"{_hits_sql(tx.LANG_STOPWORDS['en'])}::DOUBLE"
+        f" / greatest(len({_TOKS}), 1)",
+        "punct_ratio": "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE"
+        " / greatest(length(text), 1)",
+        "digit_ratio": "len(regexp_extract_all(text, '[0-9]'))::DOUBLE"
+        " / greatest(length(text), 1)",
+        "len_feat": f"least(len({_TOKS}), 300)::DOUBLE / 300.0",
+    }
+    # identical fold order to operators.text.linear_quality_score:
+    # bias, then + w_i * f_i left to right — bit-identical IEEE result
+    margin = str(tx.QUALITY_MODEL_BIAS) + "".join(
+        f" + {w!r} * {name}" for name, w in tx.QUALITY_MODEL_WEIGHTS
+    )
+    cols = ",\n             ".join(
+        f"{sql} AS {name}" for name, sql in feats_sql.items()
+    )
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             {cols}
+      FROM documents
+    )
+    SELECT doc_id, stop_ratio, punct_ratio, digit_ratio, len_feat,
+           {margin} AS quality_margin,
+           ({margin}) > 0.0 AS keep
+    FROM feats
+    """
+
+
+@register(
+    "quality_classifier_score",
+    _quality_classifier_oracle(),
+    doc="Learned-model quality gate (operators.text.linear_quality_score): "
+    "a fasttext/logistic-style linear classifier with plan-literal "
+    "weights over map-only features — stopword ratio, punct + digit "
+    "density, capped length — reporting the raw margin and the keep "
+    "decision.  Complements the rule-gate doc_quality_score: this is "
+    "the 'trained artifact applied at scan time' shape (weights "
+    "broadcast, zero shuffle); the margin stays hash-exact because the "
+    "dot product folds in a fixed order over exact-integer ratios and "
+    "no transcendental (sigmoid deliberately omitted — monotone).",
+    tags=("text", "filter"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = tx.linear_quality_score(table(spark, sf_dir, "documents"))
+    return scored.select(
+        "doc_id",
+        "stop_ratio",
+        "punct_ratio",
+        "digit_ratio",
+        "len_feat",
+        "quality_margin",
+        "keep",
+    )
