@@ -1,0 +1,167 @@
+"""Unit tests for the round-5 operators: asymmetric containment,
+char-level substring duplication, HLL register mergeability, the linear
+quality classifier, and the composed IVFPQ index — each pinned on
+crafted inputs where the expected answer is hand-computable."""
+
+from pyspark.sql import functions as F
+
+
+def test_superset_containment_detects_quote_expansion(spark):
+    """B wraps A verbatim: containment(A in B) = 1.0 while the symmetric
+    Jaccard is well below it; the reverse direction scores < 1."""
+    from planet_dump_ng_spark.operators.dedup import superset_containment_pairs
+
+    a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    b = a + " india juliet kilo lima mike november oscar papa quebec romeo"
+    rows = [(1, a), (2, b), (3, "zulu yankee xray whiskey victor uniform")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in superset_containment_pairs(df, threshold=0.1).collect()
+    }
+    # every 3-shingle of A appears in B
+    assert out[(1, 2)].containment == 1.0
+    # B has strictly more shingles, so B-in-A is strictly below 1
+    assert out[(2, 1)].containment < 1.0
+    assert out[(2, 1)].containment > 0.0
+    # the unrelated doc shares nothing
+    assert (3, 1) not in out and (1, 3) not in out
+
+
+def test_superset_containment_df_cap_drops_boilerplate(spark):
+    """A shingle present in MORE than max_df docs is dropped from the
+    index entirely: docs that share only boilerplate yield no pair."""
+    from planet_dump_ng_spark.operators.dedup import superset_containment_pairs
+
+    boiler = "terms of service apply here"
+    rows = [(i, boiler) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 4 docs share every shingle; cap at 3 removes them all -> no pairs
+    assert (
+        superset_containment_pairs(df, threshold=0.1, max_df=3).count() == 0
+    )
+    # cap at 4 keeps them: every ordered pair has containment 1.0
+    out = superset_containment_pairs(df, threshold=0.1, max_df=4).collect()
+    assert len(out) == 12 and all(r.containment == 1.0 for r in out)
+
+
+def test_exact_substring_duplication_shared_prefix(spark):
+    """Two docs sharing a verbatim 100-char prefix mark their strided
+    windows inside it as duplicated; a unique doc marks none."""
+    from planet_dump_ng_spark.plans.registry import table  # noqa: F401
+    import planet_dump_ng_spark.plans.dedup_plans  # noqa: F401 (registers)
+    from planet_dump_ng_spark.plans.registry import QUERIES
+
+    prefix = ("the quick brown fox jumps over the lazy dog again and again "
+              "until the sentence is one hundred chars long!!")[:100]
+    assert len(prefix) == 100
+    rows = [
+        (1, prefix + " tail one ends differently here"),
+        (2, prefix + " a wholly different continuation text"),
+        (3, "entirely unique content with no shared character windows at all"
+            " padded to be comfortably over fifty characters"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    # drive the operator body directly (same expression the plan uses)
+    w, stride = 50, 10
+    grams = F.expr(
+        f"transform(sequence(1, length(text) - {w - 1}, {stride}), "
+        f"p -> substring(text, p, {w}))"
+    )
+    sh = df.filter(F.length("text") >= w).select(
+        "doc_id", F.explode(grams).alias("s")
+    )
+    cnt = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = (
+        sh.join(cnt, "s")
+        .groupBy("doc_id")
+        .agg(F.sum((F.col("nd") > 1).cast("long")).alias("n_dup"))
+    )
+    out = {r.doc_id: r.n_dup for r in dup.collect()}
+    # positions 1,11,21,31,41,51 have the full window inside the shared
+    # 100-char prefix (51+49 <= 100); later windows cross into the tails
+    assert out[1] >= 6 and out[2] >= 6
+    assert out[3] == 0
+
+
+def test_hll_registers_merge_equals_direct(spark):
+    """MAX-merging per-partition register tables yields the identical
+    estimate double as building registers over the union directly."""
+    from planet_dump_ng_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 2).alias("part"), (F.col("id") * 37 % 1999).alias("v")
+    )
+    per_part = hll_registers(df, ["part"], "v", p=6)
+    merged = per_part.groupBy("j").agg(F.max("rho").alias("rho"))
+    direct = hll_registers(df.select(F.lit(1).alias("g"), "v"), ["g"], "v", p=6)
+    est_m = hll_estimate_from_registers(
+        merged.select(F.lit(1).alias("g"), "j", "rho"), ["g"], p=6
+    ).collect()[0]
+    est_d = hll_estimate_from_registers(direct, ["g"], p=6).collect()[0]
+    assert est_m.hll_estimate == est_d.hll_estimate  # bit-identical
+    assert est_m.hll_registers == est_d.hll_registers
+
+
+def test_linear_quality_score_hand_computed(spark):
+    """Margin replays by hand for a crafted doc; digit spam is dropped."""
+    from planet_dump_ng_spark.operators.text import (
+        QUALITY_MODEL_BIAS,
+        QUALITY_MODEL_WEIGHTS,
+        linear_quality_score,
+    )
+
+    good = "the cat sat on the mat and it is a fine day in the sun"
+    spam = "4915162342 8675309999 0123456789 9999999999"
+    df = spark.createDataFrame(
+        [(1, good), (2, spam)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in linear_quality_score(df).collect()}
+    w = dict(QUALITY_MODEL_WEIGHTS)
+    r = out[1]
+    expect = QUALITY_MODEL_BIAS
+    for name, wt in QUALITY_MODEL_WEIGHTS:
+        expect = expect + wt * getattr(r, name)
+    assert r.quality_margin == expect
+    assert out[1].keep  # stopword-rich English prose passes
+    assert not out[2].keep  # digit spam fails
+    assert out[2].digit_ratio > 0.8
+    assert w["digit_ratio"] < 0  # model direction sanity
+
+
+def test_ivfpq_finds_own_cluster(spark):
+    """Clustered corpus: each query's top-1 ADC neighbour lies in its
+    own cluster, ranks are 1..k, k rows per query."""
+    from planet_dump_ng_spark.operators.ivf import ivfpq_adc_topk
+
+    import itertools
+
+    rows = []
+    vid = 0
+    for c, base in enumerate([0, 4]):
+        for i in range(10):
+            v = [0.0] * 8
+            v[base] = 10.0
+            v[base + 1] = float(i) * 0.01
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id").isin(0, 10))
+    out = ivfpq_adc_topk(
+        df, queries, dim=8, k=3, n_cells=2, coarse_rounds=2,
+        n_sub=2, pq_cells=4, pq_rounds=2, n_probe=1,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 10}
+    for q, rs in by_q.items():
+        assert sorted(x.rank for x in rs) == [1, 2, 3]
+        cluster = set(range(10)) if q == 0 else set(range(10, 20))
+        # with n_probe=1 every candidate comes from the query's own cell
+        assert all(x.neighbor_id in cluster for x in rs)
+        assert all(x.adc_dist >= 0.0 for x in rs)
