@@ -424,3 +424,44 @@ def histogram_stream(
         .groupBy(bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def hll_registers_stream(
+    events: DataFrame,
+    value_col: str = "user_id",
+    p: int = 8,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming HyperLogLog register maintenance: the continuously-
+    updated distinct-count sketch (state = 2^p MAX registers,
+    independent of stream length — the smallest possible stateful
+    aggregation for a distinct estimate a plain streaming groupBy
+    cannot express).
+
+    This is the streaming half of the hll_merge_weekly story: batch
+    ingest days persist register tables, the live tail maintains this
+    stream, and the two MAX-merge losslessly because registers are a
+    commutative monoid.  Register math is identical to
+    operators.sketches.hll_registers (same xxhash64 split, same rho),
+    so the streamed registers — and therefore the finalized estimate
+    double — converge bit-for-bit to the batch sketch (pinned in
+    tests/test_streaming.py).  Finalization
+    (hll_estimate_from_registers) stays a cheap batch query over the
+    2^p-row result; the one-pass-over-the-data part is what streams.
+    """
+    from planet_dump_ng_spark.operators.sketches import _unsigned_split
+
+    wbits = 64 - p
+    j, w = _unsigned_split(F.xxhash64(F.col(value_col)), wbits)
+    return (
+        events.withWatermark("ts", watermark)
+        .select(j.alias("j"), w.alias("w"))
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+                F.lit(wbits + 1) - F.length(F.bin(F.col("w")))
+            ),
+        )
+        .groupBy("j")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -540,3 +540,36 @@ def test_histogram_stream_matches_batch(spark, sf_dir, events_dir):
     }
     assert got == expected
     assert sum(got.values()) == ev.count()  # every event in some bin
+
+
+def test_hll_registers_stream_matches_batch(spark, sf_dir, events_dir):
+    """The streamed HLL registers (and the finalized estimate double)
+    are bit-identical to the batch sketch over the same events."""
+    from planet_dump_ng_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from planet_dump_ng_spark.plans.registry import table
+
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    jobs.run_to_memory(
+        jobs.hll_registers_stream(stream, p=8), "hll_mem",
+        output_mode="complete",
+    )
+    got = {r.j: r.rho for r in spark.table("hll_mem").collect()}
+
+    ev = table(spark, sf_dir, "events").select(
+        F.lit(1).alias("g"), "user_id"
+    )
+    batch = hll_registers(ev, ["g"], "user_id", p=8)
+    expected = {r.j: r.rho for r in batch.collect()}
+    assert got == expected
+
+    est_s = hll_estimate_from_registers(
+        spark.table("hll_mem").select(F.lit(1).alias("g"), "j", "rho"),
+        ["g"], p=8,
+    ).collect()[0]
+    est_b = hll_estimate_from_registers(batch, ["g"], p=8).collect()[0]
+    assert est_s.hll_estimate == est_b.hll_estimate  # bit-identical
+    # sanity: estimate in the right regime for 150 distinct users
+    assert 100.0 < est_b.hll_estimate < 250.0
