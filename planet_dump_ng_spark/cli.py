@@ -9,9 +9,10 @@ Differences from the reference, by design:
 - ``--dump-file`` takes a PLAIN-format dump (``pg_restore -f -`` output);
   pg_restore against the custom format is one subprocess away and kept
   outside the engine.
-- ``--compress-command`` is accepted for drop-in compatibility but only
-  its default (bzip2) semantics are honored: .bz2 outputs are compressed
-  cluster-parallel by the XML sink — no executor shells out, so an
+- ``--compress-command`` is accepted for drop-in compatibility but
+  only bzip2 and gzip semantics are honored, selected by output suffix:
+  .bz2/.gz outputs are compressed cluster-parallel by the XML sink
+  (multistream bz2 / multi-member gz) — no executor shells out, so an
   arbitrary compressor command cannot run and is rejected loudly rather
   than silently producing differently-encoded files.
 - ``--max-concurrency`` maps to shuffle partitions (the Spark analog of
@@ -89,24 +90,28 @@ def build_parser() -> argparse.ArgumentParser:
         "-c",
         default="bzip2 -c",
         help="compression filter (reference planet-dump.cpp:34-35); only "
-        "bzip2 is honored — compression runs cluster-parallel in the sink, "
+        "bzip2/gzip are honored — compression runs cluster-parallel in the sink, "
         "not through a shell",
     )
     return p
 
 
 def check_compress_command(cmd: str) -> None:
-    """Reject non-bzip2 compressors instead of silently mis-encoding.
+    """Reject unknown compressors instead of silently mis-encoding.
 
     The reference pipes every XML writer through an arbitrary shell
     command; this engine compresses inside the executors (parallel
-    multistream bz2), so only the reference's default semantics exist."""
+    multistream bz2 / multi-member gz — both formats concatenate
+    legally), so only the two compressors reference users actually
+    pass are honored, selected by the OUTPUT SUFFIX (.bz2/.gz)."""
     prog = (cmd or "").strip().split()
-    if not prog or prog[0].rsplit("/", 1)[-1] not in ("bzip2", "pbzip2", "lbzip2"):
+    known = ("bzip2", "pbzip2", "lbzip2", "gzip", "pigz")
+    if not prog or prog[0].rsplit("/", 1)[-1] not in known:
         raise SystemExit(
             f"--compress-command {cmd!r} is not supported: compression is "
-            "cluster-parallel bzip2 inside the sink (no shell); use bzip2 "
-            "or emit an uncompressed path and recompress downstream"
+            "cluster-parallel inside the sink (no shell); use bzip2 or "
+            "gzip (suffix-selected: .bz2/.gz), or emit an uncompressed "
+            "path and recompress downstream"
         )
 
 

@@ -323,7 +323,15 @@ def write_xml_file(
     frames (and typically persisted them so several output variants share
     one sort) — skip the per-call shuffle.
     """
-    compressed = out_path.endswith(".bz2")
+    # multistream concatenation is legal for BOTH formats: bzip2 streams
+    # and gzip members (RFC 1952 §2.2) concatenate into one valid file,
+    # so per-partition executor-compressed parts + driver-side pure-I/O
+    # concat covers the reference's two usual --compress-command targets
+    codec = (
+        "bzip2"
+        if out_path.endswith(".bz2")
+        else "gzip" if out_path.endswith(".gz") else None
+    )
     tmp_dir = tmp_dir or out_path + ".parts"
 
     def write_one(i: int, df: DataFrame, sort_cols: list[str]) -> str:
@@ -332,8 +340,8 @@ def write_xml_file(
             cols = [F.col(c) for c in sort_cols]
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         writer = df.select("xml").write.mode("overwrite")
-        if compressed:
-            writer = writer.option("compression", "bzip2")
+        if codec:
+            writer = writer.option("compression", codec)
         writer.text(d)
         return d
 
@@ -353,12 +361,21 @@ def write_xml_file(
         )
 
     def comp(data: bytes) -> bytes:
-        return bz2.compress(data) if compressed else data
+        if codec == "bzip2":
+            return bz2.compress(data)
+        if codec == "gzip":
+            import gzip
+
+            # mtime=0: deterministic member bytes (gzip headers embed a
+            # timestamp; golden compares decompress first, but identical
+            # reruns should still produce identical files)
+            return gzip.compress(data, mtime=0)
+        return data
 
     with open(out_path, "wb") as out:
         out.write(comp(format_osm_header(generator, max_ts, meta).encode()))
         for d in part_dirs:
-            suffix = ".bz2" if compressed else ""
+            suffix = {"bzip2": ".bz2", "gzip": ".gz"}.get(codec, "")
             names = sorted(
                 n
                 for n in os.listdir(d)

@@ -111,3 +111,25 @@ def test_bz2_output_roundtrip(spark, work):
     )
     dec = subprocess.run(["bzcat", str(out)], capture_output=True, check=True)
     assert dec.stdout == _golden("changesets-badchar.xml.case", "changesets.osm.bz2")
+
+
+def test_gz_output_roundtrip(spark, work):
+    """.gz outputs are valid multi-member gzip (RFC 1952 concatenation,
+    the reference's ``--compress-command gzip`` target) decompressing to
+    the same golden bytes as the bz2/plain variants."""
+    import gzip
+
+    sql = _extract(work, "bad-character")
+    out = work / "cs.osm.gz"
+    pipeline.run_dump(
+        spark,
+        sql,
+        [pipeline.OutputSpec(str(out), "changesets")],
+        str(work / "w-gz"),
+        generator=GENERATOR,
+    )
+    with gzip.open(out, "rb") as fh:
+        assert fh.read() == _golden("changesets-badchar.xml.case", "changesets.osm.bz2")
+    # zcat agrees (the file is standard gzip, not just python-readable)
+    dec = subprocess.run(["zcat", str(out)], capture_output=True, check=True)
+    assert dec.stdout == _golden("changesets-badchar.xml.case", "changesets.osm.bz2")
