@@ -337,19 +337,24 @@ def pq_codebooks(
     """One trained (cell, centroid) codebook DataFrame per subspace —
     shared by pq_encode (storage side) and pq_adc_topk (query side)."""
     sub_dim = dim // n_sub
-    books = []
-    for s in range(n_sub):
+
+    def train_one(s: int) -> DataFrame:
         sub = corpus.select(
             F.col(id_col).alias("vec_id"),
             F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
         )
-        books.append(
-            train_kmeans_df(
-                sub, sub_dim, n_cells, n_rounds, vec_col="sub",
-                id_col="vec_id",
-            )
+        return train_kmeans_df(
+            sub, sub_dim, n_cells, n_rounds, vec_col="sub", id_col="vec_id"
         )
-    return books
+
+    # subspace trainings are independent Lloyd loops over the same cached
+    # corpus — submit them concurrently so their per-round driver
+    # materializations overlap (the dominant cost is round latency, not
+    # executor work; measured ~2x on the IVFPQ pipeline at sf0.1)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_sub) as pool:
+        return list(pool.map(train_one, range(n_sub)))
 
 
 def pq_encode(

@@ -10,6 +10,7 @@ def load_all() -> None:
         analytics_plans,
         breadth_plans,
         dedup_plans,
+        drift_plans,
         graph_plans,
         linalg_plans,
         multimodal_plans,
