@@ -65,6 +65,7 @@ def curate(
     pack_capacity: int | None = None,
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.9,
+    classifier_margin: float | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -144,6 +145,21 @@ def curate(
     docs = docs.join(keep, "doc_id", "left_semi")
     report.log("quality", docs.count())
 
+    # 5b. optional learned quality gate: the weighted linear classifier
+    # (operators.text.linear_quality_score) ON TOP of the rule bands —
+    # the rule gate removes degenerate text, the model ranks the rest;
+    # docs keep iff margin > classifier_margin.  Map-only + one semi join.
+    if classifier_margin is not None:
+        scored = tx.linear_quality_score(docs)
+        docs = docs.join(
+            scored.filter(
+                F.col("quality_margin") > F.lit(float(classifier_margin))
+            ).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        report.log("classifier", docs.count())
+
     # 6. optional dataset mixing: per-source keep fractions
     if mix_weights:
         docs = weighted_mix(docs, "doc_id", "source", mix_weights).drop("bucket")
@@ -215,6 +231,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also write a <output>_pack manifest of global token "
         "offsets at this bin capacity (e.g. 2048)",
     )
+    p.add_argument(
+        "--classifier-margin",
+        type=float,
+        help="enable the learned linear quality gate: keep docs whose "
+        "classifier margin exceeds this value (0.0 = the model's own "
+        "decision boundary; off when omitted)",
+    )
     args = p.parse_args(argv)
     mix = None
     if args.mix_weights:
@@ -251,6 +274,7 @@ def main(argv: list[str] | None = None) -> int:
         pack_capacity=args.pack_capacity,
         embeddings=embeddings,
         semantic_threshold=args.semantic_threshold,
+        classifier_margin=args.classifier_margin,
     )
     if n_quarantined:
         print(f"{'quarantined':16s} {n_quarantined}")

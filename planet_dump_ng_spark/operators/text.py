@@ -83,7 +83,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: would broadcast; swapping them is a config change, not a plan change.
 #: Feature order is FIXED (the score folds left-to-right so Spark and the
 #: SQL oracle land on the bit-identical IEEE double).
-QUALITY_MODEL_BIAS = -1.5
+QUALITY_MODEL_BIAS = -0.5
 QUALITY_MODEL_WEIGHTS: tuple[tuple[str, float], ...] = (
     ("stop_ratio", 3.2),
     ("punct_ratio", -8.0),

@@ -231,3 +231,28 @@ def test_curate_cli_jsonl_input(spark, sf_dir, tmp_path, capsys):
     q = spark.read.json(out + "_quarantine")
     assert q.count() == 1
     assert spark.read.parquet(out).count() > 0
+
+
+def test_curate_classifier_stage(spark, sf_dir, tmp_path):
+    """The optional learned quality gate drops exactly the docs at or
+    below the margin threshold, after the rule gate."""
+    from planet_dump_ng_spark.operators.text import linear_quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "curated-clf")
+    margin = 0.0
+    manifest, report = curate(docs, out, classifier_margin=margin)
+    stages = dict(report.stages)
+    assert list(dict(report.stages)) == [
+        "raw", "exact_dedup", "near_dedup", "quality", "classifier"
+    ]
+    assert stages["classifier"] <= stages["quality"]
+
+    written = spark.read.parquet(out)
+    assert written.count() == stages["classifier"]
+    # every survivor clears the margin (scored on the SCRUBBED text that
+    # entered the gate, which is what was materialized)
+    scored = linear_quality_score(written.select("doc_id", "text"))
+    assert scored.filter(F.col("quality_margin") <= margin).count() == 0
+    # the gate actually discriminates at this threshold on sf0.01
+    assert 0 < stages["classifier"] < stages["quality"]
