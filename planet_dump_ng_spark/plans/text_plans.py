@@ -986,3 +986,58 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_margin",
         "keep",
     )
+
+
+@register(
+    "doc_unigram_surprisal",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(length(bin(tot.n_total)) - length(bin(cnt.c)))
+             AS BIGINT) AS total_surprisal_bits,
+           CAST(SUM(length(bin(tot.n_total)) - length(bin(cnt.c)))
+             AS DOUBLE) / COUNT(*) AS mean_surprisal_bits
+    FROM tok JOIN cnt USING (w), tot
+    GROUP BY tok.doc_id
+    """,
+    doc="Integer-exact unigram surprisal scoring — the LM-free "
+    "perplexity proxy on a log scale: each token instance contributes "
+    "floor-log2(N_total) - floor-log2(count(w)) bits (bit-length "
+    "arithmetic, the same length(bin(x)) primitive the HLL rho uses — "
+    "NO libm log, so the score is bit-exact across engines where a "
+    "float ln() could never be).  Docs of common boilerplate score "
+    "low mean bits, hapax/garbage-heavy docs score high — the log "
+    "scale separates the distribution tails that doc_rarity_score's "
+    "linear mean compresses.  Same inverted-index plan as "
+    "doc_rarity_score: tokenize once (persisted), vocab-sized count "
+    "agg, broadcast-scale join-back, one per-doc aggregate.",
+    tags=("text", "agg"),
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tx.tokens("text")).alias("w")
+    ).persist()
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n_total"))
+    bits = F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("c")))
+    out = (
+        tok.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits).cast("bigint").alias("total_surprisal_bits"),
+            (F.sum(bits).cast("double") / F.count(F.lit(1))).alias(
+                "mean_surprisal_bits"
+            ),
+        )
+        .persist()
+    )
+    out.count()
+    tok.unpersist()
+    return out
