@@ -165,3 +165,54 @@ def test_ivfpq_finds_own_cluster(spark):
         # with n_probe=1 every candidate comes from the query's own cell
         assert all(x.neighbor_id in cluster for x in rs)
         assert all(x.adc_dist >= 0.0 for x in rs)
+
+
+def test_superset_containment_matches_python_reference(spark):
+    """Randomized corpus: the distributed inverted-index + df-cap + ratio
+    logic agrees pairwise with a brute-force Python reference computed
+    from the same hashed shingle sets (shingle/hash primitives are
+    property-tested separately in test_xxh64_property)."""
+    import random
+
+    from planet_dump_ng_spark.operators.dedup import (
+        shingle_hashes,
+        superset_containment_pairs,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for doc_id in range(30):
+        n = rng.randint(0, 12)
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant a guaranteed superset pair
+    rows.append((100, rows[3][1] + " extra tail tokens here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    max_df, thr = 5, 0.3
+    sets = {
+        r.doc_id: set(r.h)
+        for r in df.select(
+            "doc_id", shingle_hashes("text", 3).alias("h")
+        ).collect()
+    }
+    from collections import Counter
+    dfreq = Counter(h for s in sets.values() for h in set(s))
+    capped = {d: {h for h in s if dfreq[h] <= max_df} for d, s in sets.items()}
+    expected = {}
+    for a, sa in capped.items():
+        for b, sb in capped.items():
+            if a == b or not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= thr:
+                expected[(a, b)] = (len(sa & sb), len(sa), c)
+
+    got = {
+        (r.doc_a, r.doc_b): (r.shared, r.size_a, r.containment)
+        for r in superset_containment_pairs(
+            df, k=3, threshold=thr, max_df=max_df
+        ).collect()
+    }
+    assert got == expected
+    assert any(a == 3 or b == 3 for a, b in got), "planted pair missing"
