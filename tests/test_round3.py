@@ -226,10 +226,11 @@ def test_pbf_strict_changeset_check(spark, node_frames, tmp_path):
     assert [n[0] for n in got["nodes"]] == [2]
 
 
-def test_compress_command_accepts_bzip2_rejects_others():
+def test_compress_command_accepts_bzip2_gzip_rejects_others():
     """--compress-command drop-in surface: the reference's default (and
-    bzip2 variants) pass; arbitrary shell compressors are rejected loudly
-    (compression is cluster-parallel in the sink, no shell exists)."""
+    bzip2/gzip variants) pass; arbitrary shell compressors are rejected
+    loudly (compression is cluster-parallel in the sink, no shell
+    exists)."""
     import pytest
 
     from planet_dump_ng_spark.cli import build_parser, check_compress_command
@@ -237,8 +238,9 @@ def test_compress_command_accepts_bzip2_rejects_others():
     assert build_parser().parse_args(
         ["--dump-file", "x.sql", "--xml", "o.bz2"]
     ).compress_command == "bzip2 -c"
-    for ok in ("bzip2 -c", "pbzip2", "/usr/bin/lbzip2 -9 -c"):
+    for ok in ("bzip2 -c", "pbzip2", "/usr/bin/lbzip2 -9 -c",
+               "gzip -c", "pigz -p8"):
         check_compress_command(ok)
-    for bad in ("gzip -c", "xz", "", "zstd -T0"):
+    for bad in ("xz", "", "zstd -T0", "cat"):
         with pytest.raises(SystemExit):
             check_compress_command(bad)
