@@ -585,7 +585,7 @@ def _substring_dup_oracle(w: int = 50, stride: int = 10) -> str:
     "stride-1 suffix hashing while bounding the miss to one window.  "
     "Docs under 50 chars carry no window and drop (exact-dedup "
     "territory).",
-    tags=("dedup", "text"),
+    tags=("dedup", "text", "bench"),
 )
 def exact_substring_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, stride = 50, 10

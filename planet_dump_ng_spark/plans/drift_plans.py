@@ -119,7 +119,7 @@ def _bin_sql(col: str = "value") -> str:
     "difference| is truncated to 1e-12 and summed as an exact integer, "
     "so the distance is order-independent and hash-exact.  Two "
     "aggregations, O(bins) shuffle state.",
-    tags=("drift", "sketch", "agg"),
+    tags=("drift", "sketch", "agg", "bench"),
 )
 def value_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(

@@ -973,7 +973,7 @@ def _quality_classifier_oracle() -> str:
     "broadcast, zero shuffle); the margin stays hash-exact because the "
     "dot product folds in a fixed order over exact-integer ratios and "
     "no transcendental (sigmoid deliberately omitted — monotone).",
-    tags=("text", "filter"),
+    tags=("text", "filter", "bench"),
 )
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tx.linear_quality_score(table(spark, sf_dir, "documents"))
