@@ -216,3 +216,32 @@ def test_superset_containment_matches_python_reference(spark):
     }
     assert got == expected
     assert any(a == 3 or b == 3 for a, b in got), "planted pair missing"
+
+
+def test_value_drift_tv_hand_computed(spark):
+    """TV distance replays by hand on a crafted two-cohort histogram."""
+    import planet_dump_ng_spark.plans.drift_plans as dp
+
+    # cohort a (even event_id): values in bin 0; cohort b: half bin 0,
+    # half bin 255 -> TV = 0.5 * (|1 - 0.5| + |0 - 0.5|) = 0.5
+    rows = []
+    for i in range(100):
+        rows.append((2 * i, 1.0))                       # a, bin 0
+        rows.append((2 * i + 1, 1.0 if i < 50 else 999.0))  # b, bins 0/255
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    df.createOrReplaceTempView("_drift_events")
+
+    out = dp.value_drift_tv.__wrapped__ if hasattr(dp.value_drift_tv, "__wrapped__") else dp.value_drift_tv
+    # drive the plan body against the crafted frame via a monkeypatched table
+    import planet_dump_ng_spark.plans.registry as reg
+    orig = reg.table
+    try:
+        reg.table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+        dp.table = reg.table
+        r = dp.value_drift_tv(spark, "unused").collect()[0]
+    finally:
+        reg.table = orig
+        dp.table = orig
+    assert r.n_a == 100 and r.n_b == 100
+    assert r.n_bins_hit == 2
+    assert r.tv_distance == 0.5
