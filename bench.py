@@ -90,6 +90,41 @@ def pipeline_bench(spark, dump: str = _LIECHTENSTEIN,
     }
 
 
+def curation_bench(spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench") -> dict:
+    """Time the end-to-end LLM curation pipeline (llm_pipeline.curate) at
+    the bench SF: dedup chain -> decontamination -> scrub -> rule +
+    classifier quality gates -> split materialization + pack manifest.
+    The second end-to-end throughput number beside the OSM pipeline —
+    sink/stage regressions in the curation path show up here per round.
+    Returns {"total": sec, "rows_in": N, "rows_out": N}; {} if the
+    documents table is unavailable."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(docs_path):
+        return {}
+    from planet_dump_ng_spark.llm_pipeline import curate
+
+    shutil.rmtree(work, ignore_errors=True)
+    docs = spark.read.parquet(docs_path)
+    bench_set = docs.filter((docs.doc_id % 97) == 0).select("doc_id", "text")
+    t0 = time.perf_counter()
+    _, report = curate(
+        docs,
+        work,
+        bench=bench_set,
+        classifier_margin=0.0,
+        pack_capacity=2048,
+    )
+    total = round(time.perf_counter() - t0, 2)
+    stages = dict(report.stages)
+    out = {
+        "total": total,
+        "rows_in": stages.get("raw", 0),
+        "rows_out": min(stages.values()) if stages else 0,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -157,6 +192,7 @@ def main() -> int:
         }
 
     pipe = pipeline_bench(spark)
+    cur = curation_bench(spark, sf_dir)
 
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
@@ -171,6 +207,7 @@ def main() -> int:
                 "queries": timings,
                 "scale_ratio": scale_ratio,
                 "pipeline": pipe,
+                "curation": cur,
                 "sf": sf,
             }
         )
