@@ -465,3 +465,73 @@ def hll_registers_stream(
         .groupBy("j")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def corpus_lsh_buckets(
+    corpus: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bh) bucket table of the standing corpus — the
+    precomputed artifact the streaming near-dup join probes.  Batch-side:
+    compute once per corpus snapshot, persist (or at real scale, keep as
+    a table bucketed by (band, bh))."""
+    from planet_dump_ng_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures_df,
+    )
+
+    rows = num_hashes // bands
+    sigs = minhash_signatures_df(
+        corpus, num_hashes=num_hashes, k=k, seed=seed
+    )
+    return sigs.select(
+        "id", F.explode(lsh_bands("sig", bands, rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def lsh_dedup_stream(
+    docs: DataFrame,
+    corpus_buckets: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming near-dup candidate detection: incoming documents LSH-join
+    the STANDING corpus — the live tail of dedup_incremental_lsh.
+
+    Per document the signature is the map-only single-expression MinHash
+    (operators.dedup.minhash_signature — the explode+agg formulation
+    needs a grouped aggregate, which would force update-mode state; a
+    streaming micro-batch is small, so the expression form's per-row
+    cost is the right trade here), bands explode, and a STREAM-STATIC
+    equi-join on (band, bh) probes the corpus bucket table — stateless,
+    so any candidate emits in append mode with zero watermark
+    bookkeeping.  A (doc, corpus_id) pair sharing several bands emits
+    once per shared band, exactly like the batch join before its
+    DISTINCT: candidate dedup + exact-Jaccard verify belong to the
+    downstream batch verifier either way (stream-batch equivalence on
+    the distinct candidate set is pinned in tests/test_streaming.py).
+    """
+    from planet_dump_ng_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signature,
+    )
+
+    rows = num_hashes // bands
+    sig = minhash_signature("text", num_hashes=num_hashes, k=k, seed=seed)
+    bb = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(lsh_bands(sig, bands, rows)).alias("bb"),
+    ).select("id_a", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cb = corpus_buckets.select(
+        F.col("id").alias("id_b"), "band", "bh"
+    )
+    return (
+        bb.join(cb, ["band", "bh"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "band")
+    )

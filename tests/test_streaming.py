@@ -573,3 +573,37 @@ def test_hll_registers_stream_matches_batch(spark, sf_dir, events_dir):
     assert est_s.hll_estimate == est_b.hll_estimate  # bit-identical
     # sanity: estimate in the right regime for 150 distinct users
     assert 100.0 < est_b.hll_estimate < 250.0
+
+
+def test_lsh_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed candidate set (distinct over per-band emissions)
+    equals the batch incremental-LSH candidate join for the same
+    new-batch/corpus split."""
+    from planet_dump_ng_spark.operators.dedup import minhash_lsh_join
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    buckets = jobs.corpus_lsh_buckets(corpus).persist()
+    buckets.count()
+
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+    docs_dir = str(tmp_path / "docs_stream")
+    docs.select(cols).repartition(4).write.mode("overwrite").parquet(docs_dir)
+    stream = jobs.read_documents_stream(spark, docs_dir, max_files_per_trigger=2)
+    new_stream = stream.filter(F.col("doc_id") % 10 == 0)
+    jobs.run_to_memory(
+        jobs.lsh_dedup_stream(new_stream, buckets), "lshdedup_mem",
+        output_mode="append",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.table("lshdedup_mem").select("id_a", "id_b").collect()
+    }
+    expected = {
+        (r.id_a, r.id_b) for r in minhash_lsh_join(new, corpus).collect()
+    }
+    assert got == expected
+    assert expected, "fixture should contain at least one near-dup pair"
+    buckets.unpersist()
