@@ -11,7 +11,7 @@ plans.load_all()
 
 #: queries whose oracle SQL is ANSI enough to execute on Spark verbatim
 #: (probed over the full registry: every oracle that parses and matches
-#: the DataFrame plan's rows at sf0.001 is pinned here — 53 of 123; the
+#: the DataFrame plan's rows is pinned here — 58 of 167 (printf/interpolation value skews exclude two more); the
 #: rest use DuckDB-specific list/lambda/quantile syntax)
 ANSI_QUERIES = [
     "q01_pricing_summary",
@@ -67,6 +67,11 @@ ANSI_QUERIES = [
     "q16_supplier_part_cnt",
     "q20_excess_shippers",
     "q21_waiting_supplier",
+    "snapshot_diff_users",
+    "rolling_zscore_anomalies",
+    "kcore_suppliers",
+    "label_propagation_communities",
+    "bfs_supplier_hops",
 ]
 
 
