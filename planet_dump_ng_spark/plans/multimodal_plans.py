@@ -185,3 +185,55 @@ def _audio_energy_sql(n_windows: int = 8) -> str:
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return mm.audio_energy_stats(mm.attach_binary_payload(docs))
+
+
+@register(
+    "modality_coverage",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (SELECT vec_id FROM embeddings)
+    SELECT CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+           CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_docs_missing_vector,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_orphan_vectors,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / greatest(COUNT(d.doc_id), 1) AS coverage
+    FROM d FULL OUTER JOIN e ON e.vec_id = d.doc_id
+    """,
+    doc="Cross-modality integrity audit: full-outer reconciliation of the "
+    "text corpus against the embedding store (vec_id = doc_id contract) "
+    "— paired mass, docs missing a vector (semantic stages silently "
+    "skip them: llm_pipeline.curate's left_anti contract), and orphan "
+    "vectors (stale embeddings for deleted docs — wasted index space "
+    "and a staleness signal).  One full-outer join on the id + one "
+    "aggregate; at scale both sides are id-bucketed so the join "
+    "co-locates.",
+    tags=("multimodal", "agg"),
+)
+def modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(e, d.doc_id == e.vec_id, "full_outer")
+    paired = (F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull()).cast(
+        "int"
+    )
+    return j.agg(
+        F.count("doc_id").cast("bigint").alias("n_docs"),
+        F.count("vec_id").cast("bigint").alias("n_vectors"),
+        F.sum(paired).cast("bigint").alias("n_paired"),
+        F.sum(F.col("vec_id").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_docs_missing_vector"),
+        F.sum(F.col("doc_id").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_orphan_vectors"),
+        (
+            F.sum(paired).cast("double")
+            / F.greatest(F.count("doc_id"), F.lit(1))
+        ).alias("coverage"),
+    )

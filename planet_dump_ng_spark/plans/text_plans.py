@@ -1041,3 +1041,60 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     tok.unpersist()
     return out
+
+
+@register(
+    "corpus_health_by_source",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source, lang, text,
+             len({_TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_unique_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT)
+             AS n_exact_dup_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           CAST(SUM(CASE WHEN n_tokens BETWEEN 5 AND 1000
+                          AND punct_ratio < 0.1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS keep_fraction
+    FROM f GROUP BY source
+    """,
+    doc="Per-source corpus governance: the corpus_health_report grouped "
+    "by origin — dup mass, language spread, token volume, and rule-"
+    "gate keep fraction PER SOURCE, which is the table a curation "
+    "owner actually acts on (drop a dirty feed, reweight a clean one; "
+    "the mix_weights input of llm_pipeline.curate comes from exactly "
+    "this view).  Same one-aggregate shape, keyed by source, so the "
+    "shuffle carries one row per source.",
+    tags=("text", "agg"),
+)
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_tok = tx.token_count("text")
+    punct = (
+        F.size(F.regexp_extract_all("text", F.lit(tx.PUNCT_RE), 0)).cast(
+            "double"
+        )
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    keep = n_tok.between(5, 1000) & (punct < 0.1)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text"))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+        (
+            F.sum(keep.cast("int")).cast("double") / F.count(F.lit(1))
+        ).alias("keep_fraction"),
+    )
