@@ -530,6 +530,32 @@ def ivfpq_adc_topk(
     separate IVF and PQ paths already hash-verify: exact-fold L2,
     1e-12-truncated Lloyd means, (dist, id) tie-breaks.
     """
+    coarse, books, codes = ivfpq_build(
+        corpus, dim, n_cells, coarse_rounds, n_sub, pq_cells, pq_rounds,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return ivfpq_query(
+        coarse, books, codes, queries, dim, k=k, n_sub=n_sub,
+        n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    coarse_rounds: int = 2,
+    n_sub: int = 4,
+    pq_cells: int = 8,
+    pq_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """Train the IVFPQ index -> (coarse centroids, per-subspace residual
+    codebooks, code table).  These three tables ARE the index artifact:
+    persist them (write_ivfpq_index) and serve queries without ever
+    touching the raw vectors again — the build-once/query-many shape of
+    a production vector store."""
     sub_dim = dim // n_sub
     assert sub_dim * n_sub == dim, "dim must divide evenly into subspaces"
     corpus = corpus.persist()
@@ -580,7 +606,58 @@ def ivfpq_adc_topk(
     )
     codes.count()
     resid.unpersist()
+    return coarse, books, codes
 
+
+def write_ivfpq_index(
+    coarse: DataFrame, books: list[DataFrame], codes: DataFrame, out_dir: str
+) -> None:
+    """Persist the trained index as three parquet tables (coarse /
+    codebooks / codes).  Codebooks stack into one table with a
+    ``subspace`` key.  The codes table is the only corpus-sized piece
+    (n_sub small ints + cell per vector)."""
+    d = out_dir.rstrip("/")
+    coarse.write.mode("overwrite").parquet(f"{d}/coarse")
+    stacked = None
+    for s, b in enumerate(books):
+        bs = b.select(F.lit(s).alias("subspace"), "cell", "centroid")
+        stacked = bs if stacked is None else stacked.unionByName(bs)
+    stacked.write.mode("overwrite").parquet(f"{d}/codebooks")
+    codes.write.mode("overwrite").parquet(f"{d}/codes")
+
+
+def read_ivfpq_index(
+    spark, index_dir: str, n_sub: int = 4
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """Load an index written by write_ivfpq_index."""
+    d = index_dir.rstrip("/")
+    coarse = spark.read.parquet(f"{d}/coarse")
+    stacked = spark.read.parquet(f"{d}/codebooks")
+    books = [
+        stacked.filter(F.col("subspace") == s).select("cell", "centroid")
+        for s in range(n_sub)
+    ]
+    codes = spark.read.parquet(f"{d}/codes")
+    return coarse, books, codes
+
+
+def ivfpq_query(
+    coarse: DataFrame,
+    books: list[DataFrame],
+    codes: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_sub: int = 4,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from a (possibly loaded-from-disk) IVFPQ index: probe
+    the n_probe nearest coarse cells, rank by summed residual-LUT
+    lookups over the stored codes.  Reads only the code table plus the
+    broadcast-sized centroid/codebook tables — never raw vectors."""
+    sub_dim = dim // n_sub
     # query side: n_probe nearest coarse cells, query residual per probe
     pw = W.partitionBy("query_id").orderBy("dist", "cell")
     probes = (

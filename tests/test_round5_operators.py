@@ -245,3 +245,46 @@ def test_value_drift_tv_hand_computed(spark):
     assert r.n_a == 100 and r.n_b == 100
     assert r.n_bins_hit == 2
     assert r.tv_distance == 0.5
+
+
+def test_ivfpq_index_artifact_roundtrip(spark, sf_dir, tmp_path):
+    """write_ivfpq_index / read_ivfpq_index: serving from the persisted
+    artifact returns EXACTLY the direct build+query result (same params,
+    deterministic training), and the loaded query path touches only the
+    artifact tables."""
+    from planet_dump_ng_spark.operators.ivf import (
+        ivfpq_adc_topk,
+        ivfpq_build,
+        ivfpq_query,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from planet_dump_ng_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    params = dict(n_cells=8, coarse_rounds=2, n_sub=4, pq_cells=8,
+                  pq_rounds=2)
+
+    direct = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in ivfpq_adc_topk(
+            emb, queries, dim=64, k=5, n_probe=2, **params
+        ).collect()
+    }
+
+    idx_dir = str(tmp_path / "ivfpq_index")
+    coarse, books, codes = ivfpq_build(emb, dim=64, **params)
+    write_ivfpq_index(coarse, books, codes, idx_dir)
+    codes.unpersist()
+
+    lcoarse, lbooks, lcodes = read_ivfpq_index(spark, idx_dir, n_sub=4)
+    served = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in ivfpq_query(
+            lcoarse, lbooks, lcodes, queries, dim=64, k=5, n_sub=4,
+            n_probe=2,
+        ).collect()
+    }
+    assert served == direct
+    assert len(served) > 0
