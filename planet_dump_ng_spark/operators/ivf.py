@@ -720,3 +720,58 @@ def ivfpq_query(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivfpq_add(
+    coarse: DataFrame,
+    books: list[DataFrame],
+    new_vectors: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index ingest (the FAISS ``add()`` shape): encode NEW
+    vectors against the FROZEN quantizers — assign each to its nearest
+    existing coarse cell, encode its residual with the existing
+    per-subspace codebooks — and return their code-table rows to append
+    (same schema as ivfpq_build's codes).  No retraining: per-batch
+    cost is the batch size x broadcast-tiny centroid tables, never the
+    corpus, which is what makes continuous ingest viable; periodic
+    re-trains when drift accumulates (embedding_drift_by_dim is the
+    trigger signal) swap the artifact wholesale.
+    """
+    sub_dim = dim // n_sub
+    assert sub_dim * n_sub == dim, "dim must divide evenly into subspaces"
+    vecs = new_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    resid = (
+        _assign(vecs, coarse)
+        .join(F.broadcast(coarse), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "v", "centroid", lambda a, b: a.cast("double") - b
+            ).alias("rv"),
+        )
+    )
+    codes = None
+    for s in range(n_sub):
+        sub = resid.select(
+            "vec_id", F.slice("rv", s * sub_dim + 1, sub_dim).alias("v")
+        )
+        assigned = (
+            sub.join(F.broadcast(books[s]))
+            .select(
+                "vec_id",
+                F.struct(
+                    _dist2().alias("dist"), F.col("cell").alias("cell")
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc")["cell"].cast("int").alias(f"code{s}"))
+        )
+        codes = assigned if codes is None else codes.join(assigned, "vec_id")
+    return resid.select("vec_id", "cell").join(codes, "vec_id")

