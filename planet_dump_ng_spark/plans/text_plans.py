@@ -1098,3 +1098,97 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(keep.cast("int")).cast("double") / F.count(F.lit(1))
         ).alias("keep_fraction"),
     )
+
+
+_BM25_TERMS = ("vector", "hash", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+           WHERE w IN ({terms}) GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             (length(bin(s.n_docs)) - length(bin(df.df)))
+               * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1!r} + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + {_BM25_K1!r}
+                  * (1.0 - {_BM25_B!r}
+                     + {_BM25_B!r} * (CAST(dl.dl AS DOUBLE) / s.avgdl)))
+               AS term_score
+      FROM tf JOIN df USING (w) JOIN dl ON dl.doc_id = tf.doc_id, stats s)
+    SELECT doc_id,
+           COUNT(*) AS n_matched_terms,
+           CAST(SUM(CAST(trunc(term_score * 1e9) AS BIGINT)) AS BIGINT)
+             AS score_q,
+           CAST(SUM(CAST(trunc(term_score * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 AS bm25_score
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register(
+    "bm25_keyword_search",
+    _bm25_oracle(),
+    doc="BM25 keyword retrieval over the corpus (query terms as plan "
+    "literals — the curation-time 'find documents about X' primitive): "
+    "classic tf-saturation term (k1=1.2, b=0.75, doc-length "
+    "normalized) weighted by a bit-length log2 IDF (floor-log2(N) - "
+    "floor-log2(df), the HLL-rho primitive) — NO libm log, so the "
+    "score is engine-exact; per-term scores are 1e-9-truncated and "
+    "summed as integers, so the doc score is order-independent.  "
+    "Plan: the tf table only materializes rows for the 3 query terms "
+    "(filter pushed into the explode scan), df/avgdl are tiny "
+    "broadcast aggregates — per-query cost is proportional to docs "
+    "CONTAINING a term, not the corpus.",
+    tags=("text", "agg", "search"),
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tx.tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl")).persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = list(_BM25_TERMS)
+    tok = toks.select("doc_id", F.explode("toks").alias("w")).filter(
+        F.col("w").isin(terms)
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf_bits = F.length(F.bin(F.col("n_docs"))) - F.length(F.bin(F.col("df")))
+    sat = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    term_score = idf_bits * sat
+    out = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (term_score * 1e9).cast("long").alias("tsq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.sum("tsq").cast("bigint").alias("score_q"),
+            (F.sum("tsq").cast("double") / F.lit(1e9)).alias("bm25_score"),
+        )
+        .persist()
+    )
+    out.count()
+    dl.unpersist()
+    return out
