@@ -1192,3 +1192,101 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     dl.unpersist()
     return out
+
+
+def _hybrid_rrf_oracle(qid: int = 0, k_cand: int = 20, k_out: int = 10,
+                       c_rrf: int = 60) -> str:
+    from planet_dump_ng_spark.plans.similarity_plans import _DOT
+
+    cos = (
+        f"{_DOT.format(a='e.embedding', b='vq.qv')}"
+        f" / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})"
+        f" * sqrt({_DOT.format(a='vq.qv', b='vq.qv')}))"
+    )
+    return f"""
+    WITH bm AS ({_bm25_oracle()}),
+    btop AS (SELECT doc_id, CAST(rnk AS INT) AS rank_bm25 FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id ASC)
+          AS rnk FROM bm) WHERE rnk <= {k_cand}),
+    vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+    vsc AS (SELECT e.vec_id AS doc_id, {cos} AS c
+            FROM embeddings e CROSS JOIN vq WHERE e.vec_id <> {qid}),
+    vtop AS (SELECT doc_id, CAST(rnk AS INT) AS rank_vec FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY c DESC, doc_id ASC) AS rnk
+        FROM vsc)
+        WHERE rnk <= {k_cand}),
+    f AS (SELECT COALESCE(btop.doc_id, vtop.doc_id) AS doc_id,
+                 vtop.rank_vec, btop.rank_bm25,
+                 COALESCE(1.0 / ({c_rrf} + vtop.rank_vec), 0.0)
+                   + COALESCE(1.0 / ({c_rrf} + btop.rank_bm25), 0.0) AS rrf
+          FROM btop FULL OUTER JOIN vtop ON vtop.doc_id = btop.doc_id)
+    SELECT doc_id, rank_vec, rank_bm25, rrf,
+           CAST(hybrid_rank AS INT) AS hybrid_rank
+    FROM (SELECT f.*, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC)
+            AS hybrid_rank FROM f)
+    WHERE hybrid_rank <= {k_out}
+    """
+
+
+@register(
+    "hybrid_rrf_search",
+    _hybrid_rrf_oracle(),
+    doc="Hybrid retrieval: reciprocal-rank fusion (rrf = sum 1/(60+rank), "
+    "the standard-constant Cormack et al. formulation) of the BM25 "
+    "keyword ranking and the exact embedding-cosine ranking for one "
+    "query (vec_id 0 + the literal term set) — the two-tower corpus "
+    "search pattern: lexical catches what the embedding misses and vice "
+    "versa, and rank-space fusion needs no score calibration between "
+    "incomparable scales.  Ranks are exact ints (BM25 ties break on the "
+    "quantized integer score), the fused value is a fixed-order sum of "
+    "two exact-operand divisions, so the final ranking hash-matches.  "
+    "Both candidate lists are top-20 (TakeOrdered-sized), the fusion a "
+    "20-row full outer join — cost lives in the two parent rankings.",
+    tags=("text", "similarity", "search"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from planet_dump_ng_spark.operators import similarity as sim
+
+    qid, k_cand, k_out, c_rrf = 0, 20, 10, 60
+    emb = table(spark, sf_dir, "embeddings")
+    vtop = (
+        sim.cosine_topk(emb, emb.filter(F.col("vec_id") == qid), k=k_cand)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("int").alias("rank_vec"),
+        )
+    )
+    bm = bm25_keyword_search(spark, sf_dir)
+    # top-k FIRST (TakeOrderedAndProject), then rank the <=20 survivors
+    # under a spark_partition_id() spec — the q10 pattern; a global
+    # row_number over the corpus-sized BM25 table would be a single-task
+    # window at scale
+    border = [F.col("score_q").desc(), F.col("doc_id").asc()]
+    bw = W.partitionBy(F.spark_partition_id()).orderBy(*border)
+    btop = (
+        bm.orderBy(*border)
+        .limit(k_cand)
+        .withColumn("rnk", F.row_number().over(bw))
+        .select("doc_id", F.col("rnk").cast("int").alias("rank_bm25"))
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(c_rrf) + F.col("rank_vec")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(c_rrf) + F.col("rank_bm25")), F.lit(0.0)
+    )
+    f = btop.join(vtop, "doc_id", "full_outer").select(
+        "doc_id", "rank_vec", "rank_bm25", rrf.alias("rrf")
+    )
+    # the fused set is <= 2*k_cand rows by construction: collapse to one
+    # partition so the spark_partition_id() rank is global
+    hw = W.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        f.coalesce(1)
+        .withColumn("hybrid_rank", F.row_number().over(hw).cast("int"))
+        .filter(F.col("hybrid_rank") <= k_out)
+    )
