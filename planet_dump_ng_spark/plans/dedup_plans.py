@@ -715,3 +715,71 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     sigs.unpersist()
     return out
+
+
+def _cross_source_oracle() -> str:
+    base = _minhash_lsh_oracle()
+    return f"""
+    WITH lshp AS ({base}),
+    lab AS (SELECT lshp.*, da.source AS source_a, db.source AS source_b
+            FROM lshp
+            JOIN documents da ON da.doc_id = lshp.id_a
+            JOIN documents db ON db.doc_id = lshp.id_b)
+    SELECT least(source_a, source_b) AS source_lo,
+           greatest(source_a, source_b) AS source_hi,
+           COUNT(*) AS n_dup_pairs,
+           CAST(SUM(CAST(trunc(jaccard * 1e12) AS BIGINT)) AS DOUBLE)
+             / 1e12 / COUNT(*) AS mean_jaccard
+    FROM lab
+    GROUP BY least(source_a, source_b), greatest(source_a, source_b)
+    """
+
+
+@register(
+    "cross_source_dup_matrix",
+    _cross_source_oracle(),
+    doc="Cross-source duplication matrix: verified near-dup pairs "
+    "(MinHash-LSH candidates, exact Jaccard >= 0.1, NO source "
+    "blocking — cross-feed copies are exactly what source blocking "
+    "hides) aggregated per unordered source pair with pair count and "
+    "truncation-quantized mean Jaccard.  The provenance governance "
+    "table: a hot (feedA, feedB) cell means one feed syndicates the "
+    "other, so dropping/reweighting one side (mix_weights) removes the "
+    "duplication wholesale — cheaper than pairwise dedup of two full "
+    "feeds.  Cost rides the existing banded-LSH shape; the matrix "
+    "itself is a sources^2-bounded aggregate.",
+    tags=("dedup", "agg"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("source_a")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("source_b")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        lab.groupBy(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            (
+                F.sum((F.col("jaccard") * 1e12).cast("long")).cast("double")
+                / F.lit(1e12)
+                / F.count(F.lit(1))
+            ).alias("mean_jaccard"),
+        )
+    )
