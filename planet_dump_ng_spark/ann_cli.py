@@ -1,0 +1,130 @@
+"""ANN index lifecycle CLI — build, incrementally extend, and query the
+persisted IVFPQ artifact (operators.ivf):
+
+    python -m planet_dump_ng_spark.ann_cli build \\
+        --embeddings emb.parquet --index-dir ./idx
+    python -m planet_dump_ng_spark.ann_cli add \\
+        --embeddings new_batch.parquet --index-dir ./idx
+    python -m planet_dump_ng_spark.ann_cli query \\
+        --index-dir ./idx --queries q.parquet --k 5 --out topk.parquet
+
+The index is three parquet tables (coarse centroids, stacked residual
+codebooks, code table) — build once, serve many; ``add`` encodes new
+vectors against the FROZEN quantizers (per-batch cost, no retrain) and
+appends their code rows.  ``query`` reads only the artifact: n_sub
+bytes per corpus vector ever touch the scan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="planet-dump-ng-spark-ann")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--index-dir", required=True)
+        sp.add_argument("--id-col", default="vec_id")
+        sp.add_argument("--vec-col", default="embedding")
+        sp.add_argument("--n-sub", type=int, default=4)
+
+    b = sub.add_parser("build", help="train the index from a corpus")
+    b.add_argument("--embeddings", required=True)
+    common(b)
+    b.add_argument("--n-cells", type=int, default=8)
+    b.add_argument("--coarse-rounds", type=int, default=2)
+    b.add_argument("--pq-cells", type=int, default=8)
+    b.add_argument("--pq-rounds", type=int, default=2)
+
+    a = sub.add_parser("add", help="encode a new batch against the frozen index")
+    a.add_argument("--embeddings", required=True)
+    common(a)
+
+    q = sub.add_parser("query", help="top-k from the persisted index")
+    common(q)
+    q.add_argument("--queries", required=True, help="parquet of query vectors")
+    q.add_argument("--k", type=int, default=5)
+    q.add_argument("--n-probe", type=int, default=2)
+    q.add_argument("--out", required=True, help="output parquet path")
+    return p
+
+
+def _dim_of(df, vec_col: str) -> int:
+    head = df.select(vec_col).first()
+    assert head is not None, "empty embeddings input"
+    return len(head[0])
+
+
+def main(argv: list[str] | None = None) -> int:
+    from planet_dump_ng_spark.operators.ivf import (
+        ivfpq_add,
+        ivfpq_build,
+        ivfpq_query,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from planet_dump_ng_spark.session import get_spark
+
+    args = build_parser().parse_args(argv)
+    spark = get_spark("planet-dump-ng-spark-ann")
+
+    if args.cmd == "build":
+        emb = spark.read.parquet(args.embeddings)
+        dim = _dim_of(emb, args.vec_col)
+        coarse, books, codes = ivfpq_build(
+            emb, dim, n_cells=args.n_cells, coarse_rounds=args.coarse_rounds,
+            n_sub=args.n_sub, pq_cells=args.pq_cells,
+            pq_rounds=args.pq_rounds, id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+        write_ivfpq_index(coarse, books, codes, args.index_dir)
+        n = codes.count()
+        codes.unpersist()
+        print(json.dumps({"built": args.index_dir, "n_vectors": n,
+                          "dim": dim, "n_sub": args.n_sub}))
+        return 0
+
+    if args.cmd == "add":
+        emb = spark.read.parquet(args.embeddings)
+        dim = _dim_of(emb, args.vec_col)
+        coarse, books, _ = read_ivfpq_index(
+            spark, args.index_dir, n_sub=args.n_sub
+        )
+        added = ivfpq_add(
+            coarse, books, emb, dim, n_sub=args.n_sub,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        # append the new code rows to the artifact's codes table
+        added.write.mode("append").parquet(
+            f"{args.index_dir.rstrip('/')}/codes"
+        )
+        print(json.dumps({"added": added.count(), "index": args.index_dir}))
+        return 0
+
+    # query
+    queries = spark.read.parquet(args.queries)
+    dim = _dim_of(queries, args.vec_col)
+    coarse, books, codes = read_ivfpq_index(
+        spark, args.index_dir, n_sub=args.n_sub
+    )
+    out = ivfpq_query(
+        coarse, books, codes, queries, dim, k=args.k, n_sub=args.n_sub,
+        n_probe=args.n_probe, id_col=args.id_col, vec_col=args.vec_col,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "queried": queries.count(), "k": args.k,
+        "result_rows": spark.read.parquet(args.out).count(),
+        "out": args.out,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

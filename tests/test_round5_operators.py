@@ -333,3 +333,52 @@ def test_ivfpq_add_matches_full_build_encoding(spark, sf_dir):
     assert len(out) > 0
     assert {r.rank for r in out} <= {1, 2, 3}
     codes.unpersist()
+
+
+def test_ann_cli_build_add_query(spark, sf_dir, tmp_path, capsys):
+    """CLI lifecycle: build an index, add a held-out batch, query — the
+    result equals the library-call path over the same union."""
+    import json as _json
+
+    from planet_dump_ng_spark.ann_cli import main
+    from planet_dump_ng_spark.operators.ivf import (
+        ivfpq_add,
+        ivfpq_build,
+        ivfpq_query,
+    )
+    from planet_dump_ng_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    base_p = str(tmp_path / "base.parquet")
+    batch_p = str(tmp_path / "batch.parquet")
+    q_p = str(tmp_path / "queries.parquet")
+    emb.filter(F.col("vec_id") % 7 != 0).write.parquet(base_p)
+    emb.filter(F.col("vec_id") % 7 == 0).write.parquet(batch_p)
+    emb.filter(F.col("vec_id") % 100 == 0).write.parquet(q_p)
+    idx = str(tmp_path / "idx")
+    out_p = str(tmp_path / "topk.parquet")
+
+    assert main(["build", "--embeddings", base_p, "--index-dir", idx]) == 0
+    built = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["dim"] == 64
+
+    assert main(["add", "--embeddings", batch_p, "--index-dir", idx]) == 0
+    assert main([
+        "query", "--index-dir", idx, "--queries", q_p, "--out", out_p,
+    ]) == 0
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in spark.read.parquet(out_p).collect()
+    }
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    coarse, books, codes = ivfpq_build(base, dim=64)
+    union = codes.unionByName(ivfpq_add(coarse, books, batch, dim=64))
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in ivfpq_query(coarse, books, union, queries, dim=64).collect()
+    }
+    codes.unpersist()
+    assert got == want and len(got) > 0
