@@ -251,6 +251,13 @@ def main(argv: list[str] | None = None) -> int:
         "offsets at this bin capacity (e.g. 2048)",
     )
     p.add_argument(
+        "--export-jsonl",
+        help="after materializing the parquet dataset, also export it as "
+        "split-partitioned JSONL (gzip) to this directory — the format "
+        "most training loaders ingest directly; the parquet layout "
+        "stays the canonical dataset",
+    )
+    p.add_argument(
         "--classifier-margin",
         type=float,
         help="enable the learned linear quality gate: keep docs whose "
@@ -295,6 +302,14 @@ def main(argv: list[str] | None = None) -> int:
         semantic_threshold=args.semantic_threshold,
         classifier_margin=args.classifier_margin,
     )
+    if args.export_jsonl:
+        (
+            spark.read.parquet(args.output)
+            .write.mode("overwrite")
+            .partitionBy("split")
+            .option("compression", "gzip")
+            .json(args.export_jsonl)
+        )
     if n_quarantined:
         print(f"{'quarantined':16s} {n_quarantined}")
     for stage, n in report.stages:

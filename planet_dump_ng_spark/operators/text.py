@@ -131,6 +131,64 @@ def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval scores for ``terms`` over a document frame
+    -> (id, n_matched_terms, score_q, bm25_score).
+
+    Classic tf-saturation term (doc-length normalized) weighted by a
+    bit-length log2 IDF (floor-log2(N) - floor-log2(df) — no libm log,
+    engine-exact); per-term scores are 1e-9-truncated and summed as
+    integers so the doc score is order-independent.  The tf table only
+    materializes rows for the query terms (the isin filter pushes into
+    the explode scan), df/avgdl are broadcast-tiny aggregates — cost is
+    proportional to docs CONTAINING a term, not the corpus.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl")).persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tok = toks.select("doc_id", F.explode("toks").alias("w")).filter(
+        F.col("w").isin(list(terms))
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    idf_bits = F.length(F.bin(F.col("n_docs"))) - F.length(F.bin(F.col("df")))
+    sat = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    term_score = idf_bits * sat
+    out = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (term_score * 1e9).cast("long").alias("tsq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.sum("tsq").cast("bigint").alias("score_q"),
+            (F.sum("tsq").cast("double") / F.lit(1e9)).alias("bm25_score"),
+        )
+        .persist()
+    )
+    out.count()
+    dl.unpersist()
+    return out
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-count language heuristic with deterministic tie-break.
 

@@ -1152,46 +1152,12 @@ def _bm25_oracle() -> str:
     tags=("text", "agg", "search"),
 )
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tx.tokens("text").alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").alias("dl")).persist()
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    return tx.bm25_scores(
+        table(spark, sf_dir, "documents"),
+        list(_BM25_TERMS),
+        k1=_BM25_K1,
+        b=_BM25_B,
     )
-    terms = list(_BM25_TERMS)
-    tok = toks.select("doc_id", F.explode("toks").alias("w")).filter(
-        F.col("w").isin(terms)
-    )
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    k1, b = _BM25_K1, _BM25_B
-    idf_bits = F.length(F.bin(F.col("n_docs"))) - F.length(F.bin(F.col("df")))
-    sat = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
-        )
-    )
-    term_score = idf_bits * sat
-    out = (
-        tf.join(F.broadcast(dfq), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", (term_score * 1e9).cast("long").alias("tsq"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_matched_terms"),
-            F.sum("tsq").cast("bigint").alias("score_q"),
-            (F.sum("tsq").cast("double") / F.lit(1e9)).alias("bm25_score"),
-        )
-        .persist()
-    )
-    out.count()
-    dl.unpersist()
-    return out
 
 
 def _hybrid_rrf_oracle(qid: int = 0, k_cand: int = 20, k_out: int = 10,

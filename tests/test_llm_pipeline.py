@@ -256,3 +256,30 @@ def test_curate_classifier_stage(spark, sf_dir, tmp_path):
     assert scored.filter(F.col("quality_margin") <= margin).count() == 0
     # the gate actually discriminates at this threshold on sf0.01
     assert 0 < stages["classifier"] < stages["quality"]
+
+
+def test_curate_cli_export_jsonl(spark, sf_dir, tmp_path, capsys):
+    """--export-jsonl writes a split-partitioned gzip JSONL mirror of the
+    materialized dataset with identical rows."""
+    import glob
+    import gzip
+    import json as _json
+
+    from planet_dump_ng_spark.llm_pipeline import main
+
+    out = str(tmp_path / "curated")
+    jl = str(tmp_path / "jsonl")
+    src = str(tmp_path / "docs.parquet")
+    table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).write.parquet(src)
+    assert main(["--input", src, "--output", out, "--export-jsonl", jl]) == 0
+
+    rows = []
+    for path in glob.glob(f"{jl}/split=*/*.json.gz"):
+        with gzip.open(path, "rt") as fh:
+            rows += [_json.loads(line) for line in fh if line.strip()]
+    assert {r["doc_id"] for r in rows} == {
+        r.doc_id for r in spark.read.parquet(out).collect()
+    }
+    assert len(rows) > 0

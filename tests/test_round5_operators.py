@@ -382,3 +382,31 @@ def test_ann_cli_build_add_query(spark, sf_dir, tmp_path, capsys):
     }
     codes.unpersist()
     assert got == want and len(got) > 0
+
+
+def test_search_cli_ranks_by_bm25(spark, sf_dir, tmp_path, capsys):
+    """search_cli: top-k JSON lines are ordered by the quantized score
+    with deterministic id tie-breaks, matching the operator directly."""
+    import json as _json
+
+    from planet_dump_ng_spark.operators.text import bm25_scores
+    from planet_dump_ng_spark.plans.registry import table
+    from planet_dump_ng_spark.search_cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    table(spark, sf_dir, "documents").write.parquet(src)
+    assert main(["--input", src, "--terms", "vector", "hash", "--k", "5"]) == 0
+    got = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(got) == 5
+
+    direct = (
+        bm25_scores(spark.read.parquet(src), ["vector", "hash"])
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(5)
+        .collect()
+    )
+    assert [r.doc_id for r in direct] == [g["doc_id"] for g in got]
+    assert [r.bm25_score for r in direct] == [g["bm25_score"] for g in got]
