@@ -410,3 +410,50 @@ def test_search_cli_ranks_by_bm25(spark, sf_dir, tmp_path, capsys):
     )
     assert [r.doc_id for r in direct] == [g["doc_id"] for g in got]
     assert [r.bm25_score for r in direct] == [g["bm25_score"] for g in got]
+
+
+def test_bm25_matches_python_reference(spark):
+    """Randomized corpus: bm25_scores agrees bit-for-bit with a plain
+    Python evaluation of the same formula (same IEEE op order, same
+    1e-9 truncation)."""
+    import math
+    import random
+
+    from planet_dump_ng_spark.operators.text import bm25_scores
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms, k1, b = ["alpha", "gamma"], 1.2, 0.75
+
+    docs = {i: t.split() for i, t in rows}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    dfreq = {
+        w: sum(1 for t in docs.values() if w in t) for w in terms
+    }
+    expected = {}
+    for i, toks in docs.items():
+        tsqs = []
+        for w in terms:
+            tf = toks.count(w)
+            if tf == 0:
+                continue
+            idf_bits = n_docs.bit_length() - dfreq[w].bit_length()
+            sat = (float(tf) * (k1 + 1.0)) / (
+                float(tf) + k1 * ((1.0 - b) + b * (float(len(toks)) / avgdl))
+            )
+            tsqs.append(int(idf_bits * sat * 1e9))
+        if tsqs:
+            sq = sum(tsqs)
+            expected[i] = (len(tsqs), sq, float(sq) / 1e9)
+
+    got = {
+        r.doc_id: (r.n_matched_terms, r.score_q, r.bm25_score)
+        for r in bm25_scores(df, terms, k1=k1, b=b).collect()
+    }
+    assert got == expected and len(got) > 0
