@@ -283,3 +283,28 @@ def test_curate_cli_export_jsonl(spark, sf_dir, tmp_path, capsys):
         r.doc_id for r in spark.read.parquet(out).collect()
     }
     assert len(rows) > 0
+
+
+def test_dataset_card_generation(spark, sf_dir, tmp_path):
+    """dataset_card: the card's numbers agree with direct queries over
+    the materialized dataset."""
+    from planet_dump_ng_spark.dataset_card import main
+    from planet_dump_ng_spark.llm_pipeline import curate
+    from planet_dump_ng_spark.operators.text import token_count
+
+    out = str(tmp_path / "ds")
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    curate(docs, out)
+    card_path = str(tmp_path / "CARD.md")
+    assert main(["--dataset", out, "--out", card_path]) == 0
+    card = open(card_path).read()
+
+    ds = spark.read.parquet(out)
+    n = ds.count()
+    toks = ds.agg(F.sum(token_count("text"))).collect()[0][0]
+    assert f"documents: **{n:,}**" in card
+    assert f"tokens (whitespace): **{toks:,}**" in card
+    for split in ("train", "val", "test"):
+        assert split in card
+    assert "## Sources" in card and "## Languages" in card
+    assert "PII pattern hits" in card
