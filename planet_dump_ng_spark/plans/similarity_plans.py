@@ -714,3 +714,104 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sub=4, pq_cells=8, pq_rounds=2, n_probe=2,
     )
     return _recall_vs_exact(emb, queries, idx)
+
+
+def _matryoshka_oracle(sub: int = 16, k: int = 5) -> str:
+    """Brute-force cosine top-k over the FIRST ``sub`` dims only."""
+    sl = f"(embedding::DOUBLE[])[1:{sub}]"
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, {sl} AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, {sl} AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT.format(a='qv', b='cv')}
+               / (sqrt({_DOT.format(a='qv', b='qv')})
+                  * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine
+      FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_matryoshka_recall",
+    _recall_oracle(_matryoshka_oracle()),
+    doc="Matryoshka-truncation retrieval eval: recall@5 of brute-force "
+    "cosine over ONLY the first 16 of 64 dims against the full-width "
+    "exact top-5 — the MRL (matryoshka representation learning) "
+    "question 'how much retrieval quality do truncated prefixes keep', "
+    "which decides whether a store can serve 4x-smaller vectors.  "
+    "Fourth compression eval beside int8 / JL projection / PQ; same "
+    "deterministic recall composition as the other ann_*_recall "
+    "queries (exact folds, (cosine, id) tie-breaks).",
+    tags=("similarity", "eval"),
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    queries_t = trunc.filter(F.col("vec_id") % 100 == 0)
+    idx = sim.cosine_topk(trunc, queries_t, k=_RECALL_K)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return _recall_vs_exact(emb, queries, idx)
+
+
+def _int8_topk_oracle(k: int = 5) -> str:
+    """Brute-force cosine top-k over the int8-quantized vectors (cosine
+    is invariant to the per-vector positive scale, so the int arrays
+    compare directly)."""
+    qv = ("CASE WHEN s = 0 THEN list_transform(embedding::DOUBLE[], x -> 0.0) "
+          "ELSE list_transform(embedding::DOUBLE[], "
+          "x -> CAST(CAST(trunc(x / s * 127) AS INT) AS DOUBLE)) END")
+    return f"""
+    WITH iq AS (SELECT vec_id, {qv} AS v
+                FROM (SELECT vec_id, embedding,
+                             list_max(list_transform(embedding::DOUBLE[],
+                                                     x -> abs(x))) AS s
+                      FROM embeddings)),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM iq WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM iq),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT.format(a='qv', b='cv')}
+               / (sqrt({_DOT.format(a='qv', b='qv')})
+                  * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine
+      FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_int8_recall",
+    _recall_oracle(_int8_topk_oracle()),
+    doc="Int8-quantization retrieval eval: recall@5 of brute-force cosine "
+    "over the symmetric-int8 vectors (quantize_int8's exact truncation; "
+    "cosine is scale-invariant so the int arrays compare directly — a "
+    "nonzero vector always keeps its max element at +-127, so int8 "
+    "introduces no new zero norms) against the full-precision exact "
+    "top-5 — the eval that "
+    "says whether the 4x storage cut costs retrieval quality.  Fifth "
+    "compression eval; same deterministic recall composition.",
+    tags=("similarity", "eval"),
+)
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.similarity import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    iq = emb.select("vec_id", *quantize_int8(F.col("embedding"))).select(
+        "vec_id",
+        F.transform("q", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries_q = iq.filter(F.col("vec_id") % 100 == 0)
+    idx = sim.cosine_topk(iq, queries_q, k=_RECALL_K)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return _recall_vs_exact(emb, queries, idx)
