@@ -783,3 +783,102 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_jaccard"),
         )
     )
+
+
+def _leakage_free_split_oracle() -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    h = xxh64_long_inline("component")
+    return f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+    ),
+    sym AS (SELECT src AS u, dst AS v FROM pairs
+            UNION SELECT dst, src FROM pairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.u, r.lab FROM reach r JOIN sym s ON s.v = r.id
+    ),
+    comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+    asg AS (SELECT id, component,
+                   CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT id, component,
+                         (({h}) % 10000 + 10000) % 10000 AS bucket
+                  FROM comp)),
+    leak AS (SELECT COUNT(*) AS n_cross_split_dup_pairs
+             FROM pairs p
+             JOIN asg x ON x.id = p.src
+             JOIN asg y ON y.id = p.dst
+             WHERE x.split <> y.split)
+    SELECT asg.split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT asg.component) AS n_clusters,
+           leak.n_cross_split_dup_pairs
+    FROM asg, leak
+    GROUP BY asg.split, leak.n_cross_split_dup_pairs
+    """
+
+
+@register(
+    "leakage_free_split",
+    _leakage_free_split_oracle(),
+    doc="Leakage-free train/val/test assignment: split on the near-dup "
+    "CLUSTER representative (connected components over the Jaccard "
+    "pair graph, then the content-stable xxhash bucket of the "
+    "component id), so every member of a near-dup group lands in the "
+    "SAME split — closing the train/test contamination channel a "
+    "row-level random split leaves open (eval items with a near-"
+    "duplicate in train measure memorization, not generalization).  "
+    "The audit column proves it: n_cross_split_dup_pairs is computed, "
+    "not asserted, and is 0 by construction.  Cost over the plain "
+    "split: the components pass the dedup stage already ran.",
+    tags=("sampling", "dedup", "graph", "iterative"),
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.graph import connected_components
+    from planet_dump_ng_spark.operators.sampling import xxhash_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.1, block_col="source"
+    ).persist()
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    ).persist()
+    asg = xxhash_split(
+        comp, "component", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("id", "component", "split")
+    leak = (
+        pairs.join(
+            asg.select(F.col("id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            asg.select(F.col("id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("n_cross_split_dup_pairs"))
+    )
+    out = (
+        asg.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .persist()
+    )
+    out.count()
+    pairs.unpersist()
+    comp.unpersist()
+    return out
