@@ -66,6 +66,8 @@ def curate(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.9,
     classifier_margin: float | None = None,
+    leakage_free: bool = False,
+    split_jaccard: float = 0.3,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -182,8 +184,33 @@ def curate(
             weighted_mix(docs, "doc_id", "source", mix_weights).drop("bucket"),
         )
 
-    # 7. split + materialize (partitioned parquet, per-split manifest)
-    manifest = materialize_splits(docs, out_dir, "doc_id", fractions)
+    # 7. split + materialize (partitioned parquet, per-split manifest).
+    # leakage_free: hash the near-dup CLUSTER representative instead of the
+    # doc id, so surviving docs that are still similar (the band between
+    # split_jaccard and the dedup threshold) can never straddle
+    # train/test — the eval-contamination channel a row-level split
+    # leaves open.  Reuses the LSH+components machinery on the survivors.
+    if leakage_free:
+        from planet_dump_ng_spark.operators.graph import connected_components
+
+        cands2 = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+        pairs2 = dd.ngram_jaccard_pairs(
+            docs, k=3, threshold=split_jaccard, candidates=cands2
+        )
+        comp = connected_components(
+            docs.select(F.col("doc_id").alias("id")),
+            pairs2.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ),
+        )
+        docs = docs.join(
+            comp.select(F.col("id").alias("doc_id"), "component"), "doc_id"
+        )
+        manifest = materialize_splits(
+            docs, out_dir, "doc_id", fractions, split_key="component"
+        )
+    else:
+        manifest = materialize_splits(docs, out_dir, "doc_id", fractions)
 
     # 8. optional packing manifest over the materialized train split:
     # global token offsets in deterministic order, written beside the
@@ -258,6 +285,19 @@ def main(argv: list[str] | None = None) -> int:
         "stays the canonical dataset",
     )
     p.add_argument(
+        "--leakage-free-split",
+        action="store_true",
+        help="assign splits on the near-dup cluster representative so "
+        "similar docs never straddle train/test (see --split-jaccard)",
+    )
+    p.add_argument(
+        "--split-jaccard",
+        type=float,
+        default=0.3,
+        help="similarity level that must not cross splits when "
+        "--leakage-free-split is on (default 0.3)",
+    )
+    p.add_argument(
         "--classifier-margin",
         type=float,
         help="enable the learned linear quality gate: keep docs whose "
@@ -301,6 +341,8 @@ def main(argv: list[str] | None = None) -> int:
         embeddings=embeddings,
         semantic_threshold=args.semantic_threshold,
         classifier_margin=args.classifier_margin,
+        leakage_free=args.leakage_free_split,
+        split_jaccard=args.split_jaccard,
     )
     if args.export_jsonl:
         (

@@ -25,16 +25,23 @@ def materialize_splits(
     key: str,
     fractions: dict[str, float] | None = None,
     shards_per_split: int | None = None,
+    split_key: str | None = None,
 ) -> DataFrame:
     """Assign xxhash splits and write ``out_dir/split=<name>/`` parquet.
 
     Returns the per-split manifest (split, n_rows, n_ids) the caller can
     persist or assert on.  ``shards_per_split`` caps output files per
-    split (default: cluster default parallelism).
+    split (default: cluster default parallelism).  ``split_key`` hashes
+    a DIFFERENT column than ``key`` for the split decision (e.g. a
+    near-dup cluster representative for leakage-free splits) while
+    sharding/manifesting still run on ``key``; it is dropped from the
+    written dataset.
     """
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     n = shards_per_split or df.sparkSession.sparkContext.defaultParallelism
-    assigned = xxhash_split(df, key, fractions)
+    assigned = xxhash_split(df, split_key or key, fractions)
+    if split_key:
+        assigned = assigned.drop(split_key)
     (
         assigned
         # range-shard on the key inside each split: deterministic file

@@ -308,3 +308,60 @@ def test_dataset_card_generation(spark, sf_dir, tmp_path):
         assert split in card
     assert "## Sources" in card and "## Languages" in card
     assert "PII pattern hits" in card
+
+
+def test_curate_leakage_free_split(spark, sf_dir, tmp_path):
+    """leakage_free=True: no near-dup pair (at split_jaccard) crosses a
+    split boundary in the materialized dataset, and the component helper
+    column does not leak into the output."""
+    from planet_dump_ng_spark.llm_pipeline import curate
+
+    out = str(tmp_path / "lf")
+    base = table(spark, sf_dir, "documents")
+    # plant a mid-similarity pair (jaccard ~0.56: above the split fence,
+    # below the 0.8 dedup threshold, so both SURVIVE dedup but must land
+    # in the same split) with enough tokens to clear the quality gate
+    shared = " ".join(f"common{i}" for i in range(22))
+    planted = spark.createDataFrame(
+        [
+            (900001, shared + " tail one goes here with extra words now",
+             "en", "planted", 0),
+            (900002, shared + " different ending tokens close the text",
+             "en", "planted", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = base.unionByName(planted)
+    curate(docs, out, leakage_free=True, split_jaccard=0.3,
+           max_stopword_ratio=1.0)
+    ds = spark.read.parquet(out)
+    assert "component" not in ds.columns
+
+    pairs = dd.ngram_jaccard_pairs(
+        ds.select("doc_id", "text"), k=3, threshold=0.3, block_col=None
+    ).persist()
+    sp = ds.select("doc_id", "split")
+    crossed = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossed == 0
+    planted_pair = pairs.filter(
+        (F.col("id_a") == 900001) & (F.col("id_b") == 900002)
+    ).count()
+    assert planted_pair == 1, "planted mid-similarity pair must survive"
+    # the planted pair shares one split by construction
+    got = {r.doc_id: r.split for r in sp.filter(
+        F.col("doc_id").isin(900001, 900002)).collect()}
+    assert len(got) == 2 and len(set(got.values())) == 1
+    # all three splits still populated
+    assert ds.select("split").distinct().count() == 3
+    pairs.unpersist()
