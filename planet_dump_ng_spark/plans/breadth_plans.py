@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from planet_dump_ng_spark.plans.registry import register, table
+from planet_dump_ng_spark.plans.registry import QUERIES, register, table
 
 
 @register(
@@ -1235,4 +1235,46 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "hval",
         F.expr("hval div 1024").alias("hbucket"),
+    )
+
+
+@register(
+    "pack_boundary_stats",
+    f"""
+    WITH p AS ({{pack}})
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MAX(last_bin) + 1 AS BIGINT) AS n_bins,
+           CAST(SUM(CASE WHEN first_bin <> last_bin THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_boundary_crossing,
+           CAST(SUM(CASE WHEN first_bin <> last_bin THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) AS crossing_fraction,
+           CAST(SUM(CASE WHEN first_bin <> last_bin THEN n_tok ELSE 0 END)
+             AS BIGINT) AS crossing_tokens
+    FROM p
+    """.replace("{pack}", _pack_oracle()),
+    doc="Sequence-packing quality report over training_order_pack's "
+    "layout: concatenate-then-chunk packs with ZERO padding by "
+    "construction, so the metric that matters is the boundary-crossing "
+    "mass — documents split across 2048-token bin edges (attention-"
+    "contamination sites a trainer either masks or accepts) — plus "
+    "bins/tokens totals.  One aggregate over the distributed pack "
+    "manifest; the knob it tunes is capacity vs median doc length "
+    "(crossing_fraction falls as capacity grows).",
+    tags=("curation", "agg"),
+)
+def pack_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = QUERIES["training_order_pack"].spark(spark, sf_dir)
+    crossing = (F.col("first_bin") != F.col("last_bin")).cast("bigint")
+    return p.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (F.max("last_bin") + 1).cast("bigint").alias("n_bins"),
+        F.sum(crossing).cast("bigint").alias("n_boundary_crossing"),
+        (F.sum(crossing).cast("double") / F.count(F.lit(1))).alias(
+            "crossing_fraction"
+        ),
+        F.sum(F.when(crossing == 1, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("crossing_tokens"),
     )
