@@ -873,9 +873,10 @@ def _multiprobe_oracle(dim: int = 64, k: int = 5, n_planes: int = 8,
     _multiprobe_oracle(),
     doc="Multi-probe LSH top-5 (operators.similarity.lsh_multiprobe_topk, "
     "Lv et al.): 2 tables + every 1-bit-perturbed query bucket probed — "
-    "recall comparable to the 8-table plain path at 1/4 the CORPUS "
-    "index entries, trading cheap query-side fan-out for the index "
-    "storage that dominates at 100 TB.  Oracle expands the query side "
+    "measured recall@5 0.24 vs the plain 8-table path's 0.12 at sf0.01 "
+    "with 1/4 the CORPUS index entries — cheap query-side fan-out buys "
+    "back the index storage that dominates at 100 TB.  Oracle expands "
+    "the query side "
     "over the XOR masks against the same hyperplane bucket literals.",
     tags=("similarity",),
 )
