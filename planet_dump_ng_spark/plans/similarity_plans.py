@@ -903,3 +903,68 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, dim=64, k=_RECALL_K, n_planes=8, n_tables=2
     )
     return _recall_vs_exact(emb, queries, idx)
+
+
+def _rp_topk_oracle(dim: int = 64, out_dim: int = 16, seed: int = 7,
+                    k: int = 5) -> str:
+    """Brute-force cosine top-k in the JL-projected space: project with
+    the same '<repr>'::DOUBLE literal matrix, then the standard scored/
+    ranked shape over the 16-dim lists."""
+    from planet_dump_ng_spark.operators.similarity import _hyperplanes
+
+    dims = []
+    for plane in _hyperplanes(dim, out_dim, seed):
+        lits = ", ".join(f"'{x!r}'::DOUBLE" for x in plane)
+        dims.append(
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"list_zip(embedding::DOUBLE[], [{lits}]), p -> p[1] * p[2])),"
+            f" (acc, x) -> acc + x)"
+        )
+    vec = "[" + ", ".join(dims) + "]"
+    return f"""
+    WITH pr AS MATERIALIZED (SELECT vec_id, {vec} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM pr WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM pr),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT.format(a='qv', b='cv')}
+               / (sqrt({_DOT.format(a='qv', b='qv')})
+                  * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine
+      FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_rp_recall",
+    _recall_oracle(_rp_topk_oracle()),
+    doc="JL-projection retrieval eval: recall@5 of brute-force cosine in "
+    "the 16-dim randomly-projected space (embedding_rp_project's exact "
+    "literal matrix and strict folds) against the full 64-dim exact "
+    "top-5 — read beside ann_matryoshka_recall: a LEARNED prefix "
+    "(matryoshka) vs an OBLIVIOUS projection at the same 4x "
+    "compression.  Completes six compression evals (int8 / prefix / "
+    "RP / LSH / IVF / PQ) under one deterministic recall composition.",
+    tags=("similarity", "eval"),
+)
+def ann_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.similarity import rp_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                c.cast("double")
+                for c in rp_project(F.col("embedding"), 64, 16, seed=7)
+            ]
+        ).alias("embedding"),
+    )
+    queries_p = proj.filter(F.col("vec_id") % 100 == 0)
+    idx = sim.cosine_topk(proj, queries_p, k=_RECALL_K)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return _recall_vs_exact(emb, queries, idx)
