@@ -208,6 +208,12 @@ def main() -> int:
                 "scale_ratio": scale_ratio,
                 "pipeline": pipe,
                 "curation": cur,
+                "registry": {
+                    "n_queries": len(plans.QUERIES),
+                    "n_oracled": sum(
+                        1 for s in plans.QUERIES.values() if s.oracle
+                    ),
+                },
                 "sf": sf,
             }
         )
