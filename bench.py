@@ -34,18 +34,22 @@ def pipeline_bench(spark, dump: str = _LIECHTENSTEIN,
     if not os.path.exists(dump):
         return {}
     from planet_dump_ng_spark import pipeline, staging
-    from planet_dump_ng_spark.sources import extract_custom_dump, split_dump_file
+    from planet_dump_ng_spark.sources import (
+        extract_tables_parallel,
+        split_dump_file,
+    )
 
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     phases: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    src = dump
-    if src.endswith(".dmp"):
-        src = extract_custom_dump(src, os.path.join(work, "extracted.sql"))
     copy_dir = os.path.join(work, "copy")
-    split_dump_file(src, copy_dir, list(pipeline.ELEMENT_TABLES))
+    if dump.endswith(".dmp"):
+        # per-table concurrent pg_restore fan-out (reference strategy)
+        extract_tables_parallel(dump, copy_dir, list(pipeline.ELEMENT_TABLES))
+    else:
+        split_dump_file(dump, copy_dir, list(pipeline.ELEMENT_TABLES))
     phases["extract_split"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()

@@ -15,6 +15,7 @@ n_probe/n_cells of it — the classic IVF cost model.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve via module globals
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from planet_dump_ng_spark.operators.similarity import cosine
@@ -53,26 +54,97 @@ def _dist2():
     )
 
 
+def _dist2_fold(V, C):
+    """Exact-fold squared-L2 distance matrix (B x K) between row
+    vectors V (B x d, float64) and centroids C (K x d, float64).
+
+    BIT-IDENTICAL to the Catalyst :func:`_dist2` fold and the DuckDB
+    ``list_reduce`` replica: the accumulator starts at +0.0 and adds
+    the per-dimension squared difference left-to-right, one vectorized
+    float64 add per dimension — the same IEEE operation sequence per
+    (row, cell), just batched across the B x K plane instead of
+    interpreted per element.  (No einsum/BLAS here on purpose: those
+    reassociate the sum and break last-ulp parity with the oracle.)
+    """
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], C.shape[0]))
+    for j in range(V.shape[1]):
+        d = V[:, j, None] - C[None, :, j]
+        acc = acc + d * d
+    return acc
+
+
+def _fold_self_dot(V):
+    """Exact-fold dot(v, v) per row — bit-identical to
+    ``similarity._dot_exact(v, v)`` (float64 element products summed
+    left-to-right from a +0.0 seed)."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0])
+    for j in range(V.shape[1]):
+        acc = acc + V[:, j] * V[:, j]
+    return acc
+
+
+#: rows per chunk inside the Arrow assignment kernels — bounds the
+#: (chunk x n_cells) float64 distance plane to a few tens of MB.
+_ASSIGN_CHUNK = 2048
+
+
+def _assign_np(
+    vecs: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, v) -> (vec_id, v, cell) by nearest centroid under the
+    exact-fold squared L2, ties to the lower cell id (argmin over the
+    cell-id-sorted centroid matrix picks the FIRST minimum — identical
+    to the oracle's ROW_NUMBER ORDER BY dist, cell).
+
+    MAP-ONLY: the centroid matrix rides the task closure (n_cells x dim
+    doubles — the same payload the previous broadcast-join formulation
+    shipped), each Arrow batch computes a vectorized distance plane, and
+    no shuffle or groupBy happens at all.  This replaced a broadcast
+    crossJoin + fold-per-(row, cell) + min-struct groupBy that spent
+    ~10us per distance in interpreted Catalyst lambdas; the numpy fold
+    is ~100x cheaper per element while remaining bit-identical (see
+    _dist2_fold).
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+    cells_arr = np.array([c for c, _ in cent], dtype=np.int64)
+    C = np.array([v for _, v in cent], dtype=np.float64)
+    base = vecs.select("vec_id", "v")
+    schema = StructType(
+        list(base.schema.fields) + [StructField("cell", IntegerType(), False)]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            idx = np.empty(len(pdf), dtype=np.int64)
+            for lo in range(0, len(pdf), _ASSIGN_CHUNK):
+                hi = min(lo + _ASSIGN_CHUNK, len(pdf))
+                idx[lo:hi] = np.argmin(_dist2_fold(V[lo:hi], C), axis=1)
+            out = pdf.copy()
+            out["cell"] = cells_arr[idx].astype(np.int32)
+            yield out
+
+    return base.mapInPandas(assign, schema=schema)
+
+
 def _assign(vecs: DataFrame, cdf: DataFrame) -> DataFrame:
-    """(vec_id, v) x broadcast centroids -> (vec_id, v, cell): nearest
-    cell by exact squared L2, ties to the lower cell id via the
-    lexicographic struct MIN (identical to ROW_NUMBER ORDER BY dist,
-    cell of the oracle).  any_value(v) is deterministic here — every
-    candidate row of a vec_id carries the same v."""
-    return (
-        vecs.join(F.broadcast(cdf))
-        .select(
-            "vec_id",
-            "v",
-            F.struct(_dist2().alias("dist"), F.col("cell").alias("cell")).alias(
-                "dc"
-            ),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.any_value("v").alias("v"),
-            F.min("dc")["cell"].alias("cell"),
-        )
+    """(vec_id, v) x centroid table -> (vec_id, v, cell): nearest cell
+    by exact squared L2, ties to the lower cell id.  The centroid table
+    is always tiny and already materialized (train_kmeans collects per
+    round), so collect it and dispatch to the map-only Arrow kernel
+    :func:`_assign_np` — bit-identical to the old broadcast-join +
+    min-struct formulation it replaced, without the shuffle."""
+    return _assign_np(
+        vecs, [(r["cell"], r["centroid"]) for r in cdf.collect()]
     )
 
 
@@ -264,61 +336,269 @@ def assign_cells(
     )
 
 
-def semantic_dedup(
-    corpus: DataFrame,
-    dim: int,
-    n_cells: int = 8,
-    threshold: float = 0.35,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+#: auto-scaling targets for the semantic-dedup coarse quantizer: when
+#: ``n_cells`` is not given, size it so the MEAN cell holds about this
+#: many vectors (the cell-blocked pair space is sum(cell^2), so a
+#: bounded mean cell keeps total pair work ~linear in the corpus) but
+#: never drop below the minimum (tiny corpora still get a real
+#: clustering, and the DuckDB oracle's unrolled Lloyd prefix stays at
+#: the floor for every test scale <= min_cells * target rows).
+SEMANTIC_TARGET_CELL_ROWS = 250
+SEMANTIC_MIN_CELLS = 8
+
+
+def derive_n_cells(
+    n_rows: int,
+    target_cell_rows: int = SEMANTIC_TARGET_CELL_ROWS,
+    min_cells: int = SEMANTIC_MIN_CELLS,
+) -> int:
+    """Corpus-derived coarse-quantizer size: ceil(n / target) with a
+    floor of ``min_cells`` — but never more than n // 32 cells (a tiny
+    corpus must not shatter into near-singleton cells, where the
+    cell-blocked pair join degenerates to "no pairs at all" and every
+    near-dup survives).  Shared by the operator and the oracle-SQL
+    generator so both sides of the correctness gate parameterize on the
+    SAME count."""
+    import math
+
+    n = max(int(n_rows), 1)
+    derived = max(min_cells, math.ceil(n / target_cell_rows))
+    return max(1, min(derived, n // 32)) if n // 32 < derived else derived
+
+
+#: training-sample budget per derived cell: the Lloyd loops only ever
+#: scan min(n, TRAIN_ROWS_PER_CELL * n_cells) rows (the FAISS-style
+#: "train the quantizer on a sample" discipline), so training cost stops
+#: growing with the corpus once the cap engages.
+TRAIN_ROWS_PER_CELL = 64
+
+
+def derive_super_cells(n_cells: int) -> int:
+    """Super-cell count for the two-level quantizer: ceil(sqrt(n_cells))
+    keeps per-row assignment work at ~2*sqrt(n_cells) distance
+    evaluations instead of n_cells."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n_cells)))
+
+
+def _train_sample(vecs: DataFrame, cap: int) -> DataFrame:
+    """Deterministic bounded training sample: the ``cap`` rows with the
+    smallest (xxhash64(vec_id), vec_id) — the same total order the
+    k-means seeds already use, so the oracle replays it with its
+    xxhash64 replica.  TakeOrdered-shaped (per-partition heap + merge),
+    no full sort."""
+    return (
+        vecs.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h", "vec_id")
+        .limit(cap)
+        .drop("_h")
+    )
+
+
+def _fine_to_super(
+    fine: list[tuple[int, list[float]]], sup: list[tuple[int, list[float]]]
+) -> dict[int, int]:
+    """Map each fine centroid to its nearest super centroid (exact-fold
+    L2, ties to the lower super id) — n_cells x k1 distances, driver-
+    side numpy on two tiny matrices."""
+    import numpy as np
+
+    fine = sorted(fine)
+    sup = sorted(sup)
+    d = _dist2_fold(
+        np.array([v for _, v in fine], dtype=np.float64),
+        np.array([v for _, v in sup], dtype=np.float64),
+    )
+    pick = np.argmin(d, axis=1)
+    return {int(fc): int(sup[i][0]) for (fc, _), i in zip(fine, pick)}
+
+
+def _hier_assign_np(
+    vecs: DataFrame,
+    fine: list[tuple[int, list[float]]],
+    sup: list[tuple[int, list[float]]],
+    f2s: dict[int, int],
 ) -> DataFrame:
-    """SemDeDup-shaped semantic deduplication: cluster embeddings with
-    the IVF coarse quantizer, then inside each cell mark every vector
-    that has a lower-id neighbour with cosine >= threshold as a
-    duplicate (the kept vector of each near-dup group is the lowest
-    id — deterministic canonical election without a components pass).
+    """Two-level cell assignment -> (vec_id, v, cell, norm): nearest
+    super centroid first (k1 distances), then nearest fine centroid
+    among those mapped to that super (~n_cells/k1 distances) — per-row
+    work ~2*sqrt(n_cells) instead of the flat quantizer's n_cells,
+    which is what keeps assignment linear-ish when n_cells itself grows
+    with the corpus.  Supers that attracted no fine centroid are
+    excluded from the first argmin (a vector must land in a super with
+    candidates).  Also emits the exact-fold self-dot ``norm`` in the
+    same Arrow pass so the pair stage never recomputes per-vector norms
+    per pair.  Every argmin uses the exact fold with lower-id ties, so
+    the DuckDB oracle replays the assignment bit-for-bit."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    Scale shape: the k-means is the usual broadcast-Lloyd loop; the
-    candidate pair space is blocked by cell (sum of squared cell sizes,
-    not corpus^2) via one equi-join on the cell id; the final verdict
-    is one per-vector aggregate.  At 100 TB the cell count rises to
-    keep cells bounded and AQE splits any skewed mega-cell.
+    by_super: dict[int, list[tuple[int, list[float]]]] = {}
+    for fc, fv in sorted(fine):
+        by_super.setdefault(f2s[fc], []).append((fc, fv))
+    sup_ids = sorted(by_super)
+    sup_map = dict(sorted(sup))
+    S = np.array([sup_map[sc] for sc in sup_ids], dtype=np.float64)
+    groups = [
+        (
+            np.array([fc for fc, _ in by_super[sc]], dtype=np.int64),
+            np.array([fv for _, fv in by_super[sc]], dtype=np.float64),
+        )
+        for sc in sup_ids
+    ]
+    base = vecs.select("vec_id", "v")
+    schema = StructType(
+        list(base.schema.fields)
+        + [
+            StructField("cell", IntegerType(), False),
+            StructField("norm", DoubleType(), False),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            cell = np.empty(len(pdf), dtype=np.int64)
+            norm = np.empty(len(pdf), dtype=np.float64)
+            for lo in range(0, len(pdf), _ASSIGN_CHUNK):
+                hi = min(lo + _ASSIGN_CHUNK, len(pdf))
+                Vc = V[lo:hi]
+                norm[lo:hi] = _fold_self_dot(Vc)
+                si = np.argmin(_dist2_fold(Vc, S), axis=1)
+                cc = np.empty(hi - lo, dtype=np.int64)
+                for gi, (fids, Fm) in enumerate(groups):
+                    mask = si == gi
+                    if mask.any():
+                        cc[mask] = fids[
+                            np.argmin(_dist2_fold(Vc[mask], Fm), axis=1)
+                        ]
+                cell[lo:hi] = cc
+            out = pdf.copy()
+            out["cell"] = cell.astype(np.int32)
+            out["norm"] = norm
+            yield out
+
+    return base.mapInPandas(assign, schema=schema)
+
+
+def _pair_verdict(a: DataFrame, threshold: float) -> DataFrame:
+    """Cell-blocked near-dup verdict over an assignment table
+    (vec_id, v, cell, norm) -> (vec_id, cell, n_close_lower, kept).
+
+    One equi-join on cell bounds the pair space to sum(cell^2); the
+    per-pair cosine is ONE exact-fold dot (Arrow pandas UDF, float64
+    products summed left-to-right — bit-identical to the oracle's
+    list_reduce) over the precomputed per-vector norms.
+
+    Zero-norm guard: a failed-encode all-zeros vector yields cosine =
+    0/0 = NaN, and both engines order NaN ABOVE any number, so NaN >=
+    threshold would mark every higher-id cell-mate as a duplicate of a
+    vector it has no similarity to.  Zero vectors simply never
+    participate in pairs (they stay kept themselves).
     """
-    corpus = corpus.select(id_col, vec_col).persist()
-    a = assign_cells(
-        corpus, dim, n_cells, id_col=id_col, vec_col=vec_col
-    ).persist()
-    a.count()
-    corpus.unpersist()
-    from planet_dump_ng_spark.operators.similarity import _dot_exact, cosine
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    # zero-norm guard: a failed-encode all-zeros vector yields
-    # cosine = 0/0 = NaN, and both engines order NaN ABOVE any number,
-    # so NaN >= threshold would mark every higher-id cell-mate as a
-    # duplicate of a vector it has no similarity to.  Zero vectors
-    # simply never participate in pairs (they stay kept themselves).
-    pos = _dot_exact(F.col("v"), F.col("v")) > 0
+    @pandas_udf("double")
+    def fold_dot(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.stack(x.to_numpy()).astype(np.float64)
+        Y = np.stack(y.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(X))
+        for j in range(X.shape[1]):
+            acc = acc + X[:, j] * Y[:, j]
+        return pd.Series(acc)
+
+    pos = F.col("norm") > 0
     b = a.filter(pos).select(
-        F.col("vec_id").alias("nid"), F.col("v").alias("nv"), "cell"
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nv"),
+        "cell",
+        F.col("norm").alias("nnorm"),
     )
     close_lower = (
         a.filter(pos)
         .join(b, "cell")
         .filter(F.col("nid") < F.col("vec_id"))
-        .filter(cosine(F.col("v"), F.col("nv")) >= threshold)
+        .filter(
+            fold_dot("v", "nv") / (F.sqrt("norm") * F.sqrt("nnorm"))
+            >= threshold
+        )
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("n_close_lower"))
     )
-    out = (
-        a.join(close_lower, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce("n_close_lower", F.lit(0)).alias("n_close_lower"),
-            F.col("n_close_lower").isNull().alias("kept"),
-        )
-        .persist()
+    return a.join(close_lower, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce("n_close_lower", F.lit(0)).alias("n_close_lower"),
+        F.col("n_close_lower").isNull().alias("kept"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int | None = None,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster embeddings with
+    an IVF coarse quantizer, then inside each cell mark every vector
+    that has a lower-id neighbour with cosine >= threshold as a
+    duplicate (the kept vector of each near-dup group is the lowest
+    id — deterministic canonical election without a components pass).
+
+    ``n_cells=None`` (the default) is the SCALED path, every knob
+    derived from one corpus count():
+
+    - ``n_cells = derive_n_cells(n)`` bounds the mean cell (pair space
+      sum(cell^2) stays ~linear in n);
+    - Lloyd training runs on a deterministic sample of at most
+      ``TRAIN_ROWS_PER_CELL * n_cells`` rows (smallest xxhash64 — the
+      FAISS discipline; training cost stops tracking corpus size);
+    - assignment is TWO-LEVEL (:func:`_hier_assign_np`): k1 =
+      ceil(sqrt(n_cells)) super centroids trained on the same sample,
+      each fine centroid mapped to its nearest super, every vector
+      probing super-then-fine — ~2*sqrt(n_cells) exact-fold distances
+      per row instead of n_cells, so per-row assignment work grows as
+      sqrt(n) rather than n when the cell count scales with the corpus.
+
+    An explicit ``n_cells`` keeps the original single-level path
+    (full-corpus training, flat assignment) for callers that want a
+    fixed, small quantizer.  Both paths end in the same cell-blocked
+    pair stage (:func:`_pair_verdict`); AQE splits any residual skewed
+    mega-cell.  Every stage is exact-fold deterministic, so the DuckDB
+    oracle replays sample, both Lloyd chains, the fine->super map, the
+    two-stage argmin, and the pair cosines bit-for-bit.
+    """
+    corpus = corpus.select(id_col, vec_col).persist()
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    if n_cells is None:
+        n_cells = derive_n_cells(corpus.count())
+        k1 = derive_super_cells(n_cells)
+        sample = _train_sample(vecs, TRAIN_ROWS_PER_CELL * n_cells).persist()
+        fine = train_kmeans(sample, dim, n_cells, vec_col="v", id_col="vec_id")
+        sup = train_kmeans(sample, dim, k1, vec_col="v", id_col="vec_id")
+        sample.unpersist()
+        a = _hier_assign_np(vecs, fine, sup, _fine_to_super(fine, sup))
+    else:
+        from planet_dump_ng_spark.operators.similarity import _dot_exact
+
+        a = assign_cells(
+            corpus, dim, n_cells, id_col=id_col, vec_col=vec_col
+        ).withColumn("norm", _dot_exact(F.col("v"), F.col("v")))
+    a = a.persist()
+    a.count()
+    corpus.unpersist()
+    out = _pair_verdict(a, threshold).persist()
     out.count()
     a.unpersist()
     return out

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from planet_dump_ng_spark.operators import assembly, history
 from planet_dump_ng_spark.sinks import pbf_sink, xml_sink
 from planet_dump_ng_spark.sources import (
-    extract_custom_dump,
+    extract_custom_dump,  # noqa: F401 — kept public for single-pass callers
+    extract_tables_parallel,
     read_copy_table,
     split_dump_file,
 )
@@ -316,11 +317,13 @@ def run_dump(
         }
     else:
         if dump_file.endswith(".dmp"):  # custom-format archive: S1 front-end
+            # per-table parallel pg_restore fan-out (the reference's 12
+            # concurrent extraction passes) — no monolithic .sql
+            # intermediate, no single-core split pass
             os.makedirs(work_dir, exist_ok=True)
-            dump_file = extract_custom_dump(
-                dump_file, os.path.join(work_dir, "extracted.sql")
-            )
-        split_dump_file(dump_file, copy_dir, list(ELEMENT_TABLES))
+            extract_tables_parallel(dump_file, copy_dir, list(ELEMENT_TABLES))
+        else:
+            split_dump_file(dump_file, copy_dir, list(ELEMENT_TABLES))
         tables = load_copy_tables(spark, copy_dir)
         if stage:
             # stage all 12 tables CONCURRENTLY: independent write jobs,

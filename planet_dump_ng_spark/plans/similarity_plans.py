@@ -388,10 +388,29 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,
                            threshold: float = 0.35) -> str:
-    """Semantic-dedup replica: Lloyd-round prefix, one assignment CTE,
-    cell-blocked lower-id pair count, left join back."""
+    """Semantic-dedup replica of the SCALED operator path
+    (operators.ivf.semantic_dedup with derived knobs): bounded
+    training sample (smallest xxhash64, the Spark replica), TWO Lloyd
+    prefixes over the sample (fine cells + k1 = ceil(sqrt(n_cells))
+    super cells), the fine->super nearest map, the two-stage
+    super-then-fine assignment argmin, then the cell-blocked lower-id
+    pair count and left join back.  Every argmin orders by (exact-fold
+    dist, lower id), matching the numpy kernels bit-for-bit."""
+    from planet_dump_ng_spark.operators.ivf import (
+        TRAIN_ROWS_PER_CELL,
+        derive_super_cells,
+    )
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    k1 = derive_super_cells(n_cells)
+    cap = TRAIN_ROWS_PER_CELL * n_cells
     dist = _IVF_DIST
-    prefix, final = _ivf_cte_prefix(dim, n_cells)
+    fprefix, ffinal = _ivf_cte_prefix(
+        dim, n_cells, vec_sql="v", p="f_", from_sql="tr"
+    )
+    sprefix, sfinal = _ivf_cte_prefix(
+        dim, k1, vec_sql="v", p="s_", from_sql="tr"
+    )
     cos = (
         f"{_DOT.format(a='a.v', b='b.v')}"
         f" / (sqrt({_DOT.format(a='a.v', b='a.v')})"
@@ -400,12 +419,31 @@ def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,
     na = _DOT.format(a='a.v', b='a.v')
     nb = _DOT.format(a='b.v', b='b.v')
     return f"""
-    WITH {prefix},
-    assign AS (SELECT vec_id, v, cell FROM (
-        SELECT e.vec_id, e.v, c.cell,
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tr AS MATERIALIZED (SELECT vec_id, v FROM (
+        SELECT vec_id, v, ROW_NUMBER() OVER (
+            ORDER BY {xxh64_long_inline('vec_id')}, vec_id) AS rn
+        FROM emb) WHERE rn <= {cap}),
+    {fprefix},
+    {sprefix},
+    fmap AS (SELECT fcell, scell FROM (
+        SELECT f.cell AS fcell, s.cell AS scell,
+               ROW_NUMBER() OVER (PARTITION BY f.cell
+                 ORDER BY {dist.format(v='f.centroid', c='s.centroid')}, s.cell) AS rn
+        FROM {ffinal} f, {sfinal} s) WHERE rn = 1),
+    asup AS (SELECT vec_id, v, scell FROM (
+        SELECT e.vec_id, e.v, s.cell AS scell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY {dist.format(v='e.v', c='c.centroid')}, c.cell) AS rn
-        FROM emb e, {final} c) WHERE rn = 1),
+                 ORDER BY {dist.format(v='e.v', c='s.centroid')}, s.cell) AS rn
+        FROM emb e, {sfinal} s
+        WHERE s.cell IN (SELECT scell FROM fmap)) WHERE rn = 1),
+    assign AS (SELECT vec_id, v, cell FROM (
+        SELECT a.vec_id, a.v, m.fcell AS cell,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {dist.format(v='a.v', c='f.centroid')}, m.fcell) AS rn
+        FROM asup a JOIN fmap m ON m.scell = a.scell
+        JOIN {ffinal} f ON f.cell = m.fcell) WHERE rn = 1),
     cl AS (SELECT a.vec_id, COUNT(*) AS n_close_lower
            FROM assign a JOIN assign b
              ON a.cell = b.cell AND b.vec_id < a.vec_id
@@ -418,9 +456,33 @@ def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,
     """
 
 
+def _oracle_n_cells() -> int:
+    """The cell count ``semantic_dedup`` will DERIVE on the oracle
+    dataset: the driver's gate runs at sf0.01, so read that table's
+    parquet row count (metadata only — no scan) and push it through the
+    same :func:`~planet_dump_ng_spark.operators.ivf.derive_n_cells` the
+    operator uses.  Both sides of the correctness gate therefore
+    parameterize on the SAME corpus-derived count; the fallback (table
+    unreadable at import time) is the derivation's floor."""
+    from planet_dump_ng_spark.operators.ivf import (
+        SEMANTIC_MIN_CELLS,
+        derive_n_cells,
+    )
+
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).metadata.num_rows
+    except Exception:
+        return SEMANTIC_MIN_CELLS
+    return derive_n_cells(n)
+
+
 @register(
     "dedup_semantic_ivf",
-    _semantic_dedup_oracle(),
+    _semantic_dedup_oracle(n_cells=_oracle_n_cells()),
     doc="SemDeDup-shaped semantic deduplication "
     "(operators.ivf.semantic_dedup): embeddings cluster under the IVF "
     "coarse quantizer (deterministic Lloyd rounds), then inside each "
@@ -429,17 +491,20 @@ def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,
     "lowest id, elected without a connected-components pass.  The pair "
     "space is cell-blocked (sum of squared cell sizes, the SemDeDup "
     "cost model), the verdict is one per-vector count + left join, and "
-    "at scale the cell count grows to bound cells while AQE splits "
-    "skewed mega-cells.  Oracle unrolls the same Lloyd rounds as the "
-    "IVF ANN oracle (shared CTE prefix) and replays the exact-fold "
-    "cosine, so both engines agree bit-for-bit.",
+    "the cell count is DERIVED from the corpus row count "
+    "(derive_n_cells: ceil(n/250), floor 8) so mean cell size — and "
+    "with it total pair work per row — stays bounded with no hand-tuned "
+    "knob while AQE splits skewed mega-cells.  Oracle unrolls the same "
+    "Lloyd rounds as the IVF ANN oracle (shared CTE prefix) with the "
+    "same derived cell count and replays the exact-fold cosine, so "
+    "both engines agree bit-for-bit.",
     tags=("dedup", "similarity", "iterative", "bench"),
 )
 def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from planet_dump_ng_spark.operators.ivf import semantic_dedup
 
     emb = table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, dim=64, n_cells=8, threshold=0.35)
+    return semantic_dedup(emb, dim=64, threshold=0.35)
 
 
 def _pq_oracle(dim: int = 64, n_sub: int = 4, n_cells: int = 8,

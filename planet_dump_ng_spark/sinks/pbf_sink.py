@@ -320,6 +320,12 @@ def write_pbf_file(
             )
         )
 
+    import shutil
+
+    # stream part files through a bounded buffer (matches xml_sink's
+    # fragment concat): a fat range partition at planet scale is a
+    # multi-GB file, and part.read() would allocate all of it on the
+    # driver at once.
     with open(out_path, "wb") as out:
         out.write(
             encode_header_block(generator, history, max_ts, source, dense_nodes)
@@ -327,8 +333,7 @@ def write_pbf_file(
         for paths in part_lists:
             for p in paths:
                 with open(p, "rb") as part:
-                    out.write(part.read())
-    import shutil
+                    shutil.copyfileobj(part, out, 1 << 20)
 
     shutil.rmtree(out_dir, ignore_errors=True)
 

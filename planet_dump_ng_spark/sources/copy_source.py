@@ -234,6 +234,72 @@ def extract_custom_dump(dump_path: str, out_sql: str) -> str:
     return out_sql
 
 
+def extract_tables_parallel(
+    dump_path: str,
+    out_dir: str,
+    tables: list[str] | None = None,
+    max_workers: int = 12,
+) -> dict[str, str]:
+    """S1 at full width: one ``pg_restore -a -t <table>`` subprocess PER
+    TABLE, all concurrent — exactly the reference's extraction strategy
+    (12 parallel per-table passes, src/planet-dump.cpp:127-140 +
+    src/dump_reader.cpp:656-663).  Replaces the monolithic
+    extract_custom_dump + sequential :func:`split_dump_file` pair for
+    custom-format archives: no intermediate whole-dump .sql file, no
+    single-core split pass over it, and wall-clock is the SLOWEST table
+    instead of the sum.
+
+    Each pg_restore's output is piped through ``sed -n
+    '/^COPY /,/^\\\\.$/p'`` (C-speed, streaming) so only the COPY
+    section — header line, data rows, ``\\.`` terminator — reaches the
+    per-table file; pg_restore's SET/comment preamble never lands on
+    disk, keeping :func:`read_copy_table`'s strict framing contract
+    (exact-match framing filter, loud arity failure on anything else).
+
+    Returns {table: path} for the tables pg_restore actually produced
+    rows for (an empty output file means the archive has no such table
+    — it is dropped from the result, matching split_dump_file's
+    behavior of only emitting sections it saw).
+    """
+    import shutil as _shutil
+    import subprocess
+    from concurrent.futures import ThreadPoolExecutor
+
+    if _shutil.which("pg_restore") is None:
+        raise FileNotFoundError("pg_restore not found on PATH")
+    wanted = list(tables or TABLES)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def one(table: str) -> tuple[str, str | None]:
+        out_path = os.path.join(out_dir, f"{table}.copy")
+        with open(out_path, "wb") as out:
+            pg = subprocess.Popen(
+                ["pg_restore", "-a", "-t", table, "-f", "-", dump_path],
+                stdout=subprocess.PIPE,
+            )
+            sed = subprocess.Popen(
+                ["sed", "-n", r"/^COPY /,/^\\.$/p"],
+                stdin=pg.stdout,
+                stdout=out,
+            )
+            pg.stdout.close()  # sed owns the pipe; let pg see EPIPE
+            sed_rc = sed.wait()
+            pg_rc = pg.wait()
+        if pg_rc != 0 or sed_rc != 0:
+            raise RuntimeError(
+                f"pg_restore -t {table} failed (pg_restore rc={pg_rc}, "
+                f"sed rc={sed_rc})"
+            )
+        if os.path.getsize(out_path) == 0:
+            os.unlink(out_path)
+            return table, None
+        return table, out_path
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        results = list(pool.map(one, wanted))
+    return {t: p for t, p in results if p is not None}
+
+
 def split_dump_file(
     dump_path: str, out_dir: str, tables: list[str] | None = None
 ) -> dict[str, str]:

@@ -1,0 +1,112 @@
+"""Round-5 additions: parallel per-table extraction parity, the exact-fold
+numpy kernels' bit-identity to the sequential fold, and the scaled
+(hierarchical, sample-trained) semantic-dedup path."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/test"
+DMP = f"{REF}/liechtenstein-2013-08-03.dmp"
+
+
+@pytest.mark.skipif(
+    shutil.which("pg_restore") is None or not os.path.exists(DMP),
+    reason="needs pg_restore + reference fixture dump",
+)
+def test_extract_tables_parallel_matches_split(tmp_path):
+    """The concurrent per-table pg_restore fan-out must produce byte-identical
+    per-table COPY files to the monolithic extract + sequential split."""
+    from planet_dump_ng_spark.pipeline import ELEMENT_TABLES
+    from planet_dump_ng_spark.sources import (
+        extract_tables_parallel,
+        split_dump_file,
+    )
+
+    sql = tmp_path / "x.sql"
+    subprocess.run(["pg_restore", "-f", str(sql), "-a", DMP], check=True)
+    old = split_dump_file(str(sql), str(tmp_path / "old"), list(ELEMENT_TABLES))
+    new = extract_tables_parallel(
+        DMP, str(tmp_path / "new"), list(ELEMENT_TABLES)
+    )
+    assert sorted(old) == sorted(new)
+    for t in old:
+        with open(old[t], "rb") as a, open(new[t], "rb") as b:
+            assert a.read() == b.read(), t
+
+
+def _fold_ref(vals):
+    """Reference strict left-to-right fold with a +0.0 seed — the exact
+    semantics of similarity._dot_exact / DuckDB list_reduce."""
+    acc = 0.0
+    for v in vals:
+        acc = acc + v
+    return acc
+
+
+def test_numpy_fold_kernels_bit_identical_to_sequential_fold():
+    """_dist2_fold / _fold_self_dot must reproduce the per-element
+    sequential float64 fold EXACTLY (same IEEE op sequence), else the
+    DuckDB oracle's last-ulp hash parity breaks."""
+    from planet_dump_ng_spark.operators.ivf import _dist2_fold, _fold_self_dot
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((13, 64)).astype(np.float32).astype(np.float64)
+    C = rng.standard_normal((5, 64)).astype(np.float64)
+    D = _dist2_fold(V, C)
+    N = _fold_self_dot(V)
+    for i in range(V.shape[0]):
+        ref_n = _fold_ref([float(x) * float(x) for x in V[i]])
+        assert N[i] == ref_n  # bitwise: == on identical doubles
+        for k in range(C.shape[0]):
+            ref = _fold_ref(
+                [
+                    (float(a) - float(b)) * (float(a) - float(b))
+                    for a, b in zip(V[i], C[k])
+                ]
+            )
+            assert D[i, k] == ref
+
+
+def test_derive_n_cells_scaling():
+    from planet_dump_ng_spark.operators.ivf import (
+        derive_n_cells,
+        derive_super_cells,
+    )
+
+    assert derive_n_cells(5) == 1  # tiny corpus: one brute-force cell
+    assert derive_n_cells(100) == 3  # capped at n // 32
+    assert derive_n_cells(500) == 8  # gate scale stays on the floor
+    assert derive_n_cells(2000) == 8
+    assert derive_n_cells(20_000) == 80  # 10x stress derives, no knob
+    assert derive_n_cells(2_000_000) == 8000
+    assert derive_super_cells(8) == 3
+    assert derive_super_cells(80) == 9
+
+
+def test_semantic_dedup_auto_path_keeps_lowest_id(spark):
+    """The scaled path (derived cells, sampled training, hierarchical
+    assignment) must still elect the lowest id of each near-dup group."""
+    from planet_dump_ng_spark.operators.ivf import semantic_dedup
+
+    base = [float(i % 7) for i in range(8)]
+    rows = [
+        (1, [x + 0.001 for x in base]),
+        (4, [x + 0.002 for x in base]),  # near-dup of 1
+        (9, [x + 0.003 for x in base]),  # near-dup of 1 and 4
+        (2, [float((i * 3) % 5) - 2.0 for i in range(8)]),  # far away
+        (3, [0.0] * 8),  # zero vector: never pairs, stays kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, dim=8, threshold=0.95).collect()
+    }
+    assert out[1] is True
+    assert out[4] is False and out[9] is False
+    assert out[2] is True and out[3] is True
