@@ -9,12 +9,14 @@ Differences from the reference, by design:
 - ``--dump-file`` takes a PLAIN-format dump (``pg_restore -f -`` output);
   pg_restore against the custom format is one subprocess away and kept
   outside the engine.
-- ``--compress-command`` is accepted for drop-in compatibility but
-  only bzip2 and gzip semantics are honored, selected by output suffix:
-  .bz2/.gz outputs are compressed cluster-parallel by the XML sink
-  (multistream bz2 / multi-member gz) — no executor shells out, so an
-  arbitrary compressor command cannot run and is rejected loudly rather
-  than silently producing differently-encoded files.
+- ``--compress-command``: bzip2/gzip-family commands whose format
+  matches the output suffix run cluster-parallel inside the XML sink
+  (multistream bz2 / multi-member gz — no shell in the executors); any
+  OTHER command falls back to the reference's exact behavior
+  (xml_writer.cpp:58-79): plain fragments are concatenated through ONE
+  driver-side subprocess of the user's command.  A known compressor
+  family that CONTRADICTS an output suffix (e.g. ``gzip -c`` with a
+  .bz2 path) is rejected loudly instead of silently mis-encoding.
 - ``--max-concurrency`` maps to shuffle partitions (the Spark analog of
   per-table sort threads).
 - ``--resume`` reuses the staged per-table parquet (operator S9) instead
@@ -89,30 +91,64 @@ def build_parser() -> argparse.ArgumentParser:
         "--compress-command",
         "-c",
         default="bzip2 -c",
-        help="compression filter (reference planet-dump.cpp:34-35); only "
-        "bzip2/gzip are honored — compression runs cluster-parallel in the sink, "
-        "not through a shell",
+        help="compression filter (reference planet-dump.cpp:34-35); "
+        "bzip2/gzip matching the output suffix run cluster-parallel in "
+        "the sink, anything else pipes the driver-side concat through "
+        "the command",
     )
     return p
 
 
-def check_compress_command(cmd: str) -> None:
-    """Reject unknown compressors instead of silently mis-encoding.
+#: program basename -> compressed-format family (for the parallel fast
+#: path and the suffix cross-check)
+_COMPRESSOR_FAMILY = {
+    "bzip2": "bz2",
+    "pbzip2": "bz2",
+    "lbzip2": "bz2",
+    "gzip": "gz",
+    "pigz": "gz",
+    "zstd": "zst",
+    "xz": "xz",
+    "lzma": "xz",
+}
 
-    The reference pipes every XML writer through an arbitrary shell
-    command; this engine compresses inside the executors (parallel
-    multistream bz2 / multi-member gz — both formats concatenate
-    legally), so only the two compressors reference users actually
-    pass are honored, selected by the OUTPUT SUFFIX (.bz2/.gz)."""
+_SUFFIX_FAMILY = {"bz2": "bz2", "gz": "gz", "zst": "zst", "xz": "xz"}
+
+
+def compressor_family(cmd: str) -> str | None:
+    """Format family of a compressor command's program, or None when the
+    program is not a recognized compressor (an arbitrary filter)."""
     prog = (cmd or "").strip().split()
-    known = ("bzip2", "pbzip2", "lbzip2", "gzip", "pigz")
-    if not prog or prog[0].rsplit("/", 1)[-1] not in known:
+    return None if not prog else _COMPRESSOR_FAMILY.get(prog[0].rsplit("/", 1)[-1])
+
+
+def check_compress_command(cmd: str, xml_paths: tuple[str, ...] | list[str] = ()) -> None:
+    """Validate --compress-command against the XML output paths.
+
+    Empty commands are rejected (nothing to pipe through).  When the
+    command's program is a RECOGNIZED compressor, its format family must
+    not contradict any XML output path whose suffix implies a different
+    known family — ``gzip -c`` with a ``.bz2`` output would silently
+    write gzip bytes under a bzip2 name (the mis-encode the reference's
+    free-form popen allows; rejected loudly here).  Unrecognized
+    commands pass: the sink pipes the plain concat through them
+    verbatim, the reference's exact behavior (xml_writer.cpp:58-79),
+    and the bytes are whatever the user's filter emits."""
+    if not (cmd or "").strip():
         raise SystemExit(
-            f"--compress-command {cmd!r} is not supported: compression is "
-            "cluster-parallel inside the sink (no shell); use bzip2 or "
-            "gzip (suffix-selected: .bz2/.gz), or emit an uncompressed "
-            "path and recompress downstream"
+            "--compress-command must be a non-empty command to pipe through"
         )
+    fam = compressor_family(cmd)
+    if fam is None:
+        return
+    for path in xml_paths:
+        sfam = _SUFFIX_FAMILY.get(path.rsplit(".", 1)[-1].lower())
+        if sfam is not None and sfam != fam:
+            raise SystemExit(
+                f"--compress-command {cmd!r} writes {fam} bytes but output "
+                f"{path!r} implies {sfam}: refusing to mis-encode (rename "
+                "the output or change the command)"
+            )
 
 
 def _parse_bool(s: str) -> bool:
@@ -188,8 +224,11 @@ def outputs_from_args(args: argparse.Namespace) -> list[pipeline.OutputSpec]:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    check_compress_command(args.compress_command)
     outputs = outputs_from_args(args)
+    check_compress_command(
+        args.compress_command,
+        [o.path for o in outputs if not o.kind.startswith("pbf")],
+    )
     if not outputs:
         print("at least one output flag is required", file=sys.stderr)
         return 2  # mirrors the reference's usage error (planet-dump.cpp:92-98)
@@ -204,6 +243,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         meta=meta_from_args(args),
         dense_nodes=args.dense_nodes,
+        compress_command=args.compress_command,
     )
     return 0
 

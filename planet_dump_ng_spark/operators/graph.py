@@ -15,6 +15,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _round_state(df: DataFrame) -> DataFrame:
+    """Materialize one iteration's state AND truncate its lineage.
+
+    ``localCheckpoint(eager=True)`` persists the rows and replaces the
+    logical plan with a leaf scan, so round r+1's analyzed plan no
+    longer embeds round r's subtree — plan-compile time stays O(1) per
+    round instead of compounding with the unrolled recurrence (the
+    pre-cut plan text for the 25-round component loop reached thousands
+    of exchange nodes even though execution was bounded by the per-round
+    persists).  The trade is the standard local-checkpoint contract:
+    recompute-on-executor-loss is gone for this state (it cannot be
+    re-derived anyway once the previous round's cache is dropped);
+    durable restarts go through staging.py.  Old rounds' blocks are
+    released by the ContextCleaner when the last reference drops."""
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -42,18 +59,16 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
-    persisted_prev: DataFrame | None = None
     for _ in range(max_iter):
         # candidate label per node: min over own label and neighbours' labels
         nbr = (
             sym.join(labels, sym.v == labels.id)
             .select(F.col("u").alias("id"), "lab")
         )
-        new_labels = (
+        new_labels = _round_state(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("lab").alias("lab"))
-            .persist()  # cut the lineage: each round builds on materialized state
         )
         changed = (
             new_labels.alias("n")
@@ -61,13 +76,10 @@ def connected_components(
             .filter(F.col("n.lab") != F.col("o.lab"))
             .count()
         )
-        if persisted_prev is not None:
-            persisted_prev.unpersist()
-        persisted_prev = new_labels
         labels = new_labels
         if changed == 0:
-            # labels is persisted and already materialized by the count
-            # above; sym is no longer needed by its lineage
+            # labels is checkpointed (materialized, lineage-free); sym
+            # is no longer needed by anything reachable
             sym.unpersist()
             return labels.select("id", F.col("lab").alias("component"))
     sym.unpersist()
@@ -221,18 +233,17 @@ def kcore(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
     e.count()
-    prev = e
+    first: DataFrame | None = e
     for _ in range(n_rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("src")
-        e = (
+        e = _round_state(
             e.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .persist()
         )
-        e.count()
-        prev.unpersist()
-        prev = e
+        if first is not None:
+            first.unpersist()
+            first = None
     out = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("degree"))
@@ -240,7 +251,6 @@ def kcore(
         .persist()
     )
     out.count()
-    prev.unpersist()
     return out
 
 
@@ -330,14 +340,10 @@ def bfs_levels(
             e.join(d.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
         )
-        nd = (
+        d = _round_state(
             d.unionByName(expanded)
             .groupBy("id")
             .agg(F.min("dist").cast("int").alias("dist"))
-            .persist()
         )
-        nd.count()
-        d.unpersist()
-        d = nd
     e.unpersist()
     return d

@@ -407,12 +407,14 @@ def _bpe_rounds(
                 "n",
             )
         )
-        nxt = (
-            cur.crossJoin(F.broadcast(rule.select("a", "b")))
-            .select("w", "cnt", F.expr(_BPE_MERGE_EXPR).alias("s"))
-            .persist()
-        )
-        nxt.count()  # materialize so each round builds on cached state
+        # localCheckpoint (eager): materializes the round AND truncates
+        # its lineage, so round r+1's analyzed plan (and every rule's)
+        # starts from a leaf scan instead of embedding all prior rounds
+        # (pre-cut plan text for bpe_encode_stats carried 342 exchange
+        # nodes).  Round tables are vocabulary-sized.
+        nxt = cur.crossJoin(F.broadcast(rule.select("a", "b"))).select(
+            "w", "cnt", F.expr(_BPE_MERGE_EXPR).alias("s")
+        ).localCheckpoint(eager=True)
         caches.append(nxt)
         cur = nxt
     return cur, rules, caches

@@ -129,6 +129,7 @@ def write_outputs(
     generator: str = "planet-dump-ng-spark",
     meta: dict | None = None,
     dense_nodes: bool = True,
+    compress_command: str | None = None,
 ) -> None:
     """Phase 3: one ordered single-file write per output spec.
 
@@ -206,6 +207,7 @@ def write_outputs(
                 frames.max_ts,
                 pre_arranged=True,
                 meta=meta,
+                compress_command=compress_command,
             )
             return
 
@@ -244,7 +246,7 @@ def write_outputs(
         ]
         xml_sink.write_xml_file(
             parts, spec.path, generator, frames.max_ts, pre_arranged=True,
-            meta=meta,
+            meta=meta, compress_command=compress_command,
         )
 
     # The reference's writers consume ONE multicast pass concurrently
@@ -296,6 +298,7 @@ def run_dump(
     stage: bool = True,
     meta: dict | None = None,
     dense_nodes: bool = True,
+    compress_command: str | None = None,
 ) -> PlanetFrames:
     """Full lifecycle from a plain-format pg_dump file.
 
@@ -341,5 +344,12 @@ def run_dump(
                 }
                 tables = {t: f.result() for t, f in futures.items()}
     frames = build_planet(spark, tables)
-    write_outputs(frames, outputs, generator, meta=meta, dense_nodes=dense_nodes)
+    write_outputs(
+        frames,
+        outputs,
+        generator,
+        meta=meta,
+        dense_nodes=dense_nodes,
+        compress_command=compress_command,
+    )
     return frames

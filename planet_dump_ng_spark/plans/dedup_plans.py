@@ -188,26 +188,46 @@ def _dup_ngram_oracle() -> str:
 )
 def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # persist: the tokenize+shingle+hash explode feeds BOTH the corpus
-    # count and the join-back — without the cache it runs twice
+    # persist: the tokenize+shingle+hash explode feeds the per-doc
+    # totals, the dup-hash derivation AND the semi join — without the
+    # cache it runs three times
     sh = docs.select(
         "doc_id", F.explode(dd.shingle_hashes("text", 3)).alias("h")
     ).persist()
-    cnt = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
-    dup = (F.col("ndocs") > 1).cast("bigint")
-    out = (
-        sh.join(cnt, "h")
+    # per-doc totals straight off the exploded table: map-side partial
+    # agg, NO join — the old formulation dragged every shingle row
+    # through a join against the full hash-count table just to count it
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # hashes seen in >1 distinct doc.  distinct-then-count instead of
+    # COUNT(DISTINCT doc_id): the (h, doc_id) dedup is needed anyway so
+    # a doc's own fold collisions never masquerade as cross-doc dup,
+    # and spelling it out avoids the expand-based distinct-agg rewrite.
+    # Only DUPLICATED hashes flow into the semi join — in a typical
+    # corpus the vast minority — so the join-back (the 10x-stress
+    # hotspot of the old plan) now scales with the duplicated subset,
+    # not the corpus; AQE broadcasts it when small.
+    dup_h = (
+        sh.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("h")
+    )
+    dups = (
+        sh.join(dup_h, "h", "left_semi")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(dup).alias("n_dup_shingles"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
+    )
+    out = (
+        totals.join(dups, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
-            "n_dup_shingles",
+            F.coalesce("n_dup_shingles", F.lit(0)).alias("n_dup_shingles"),
             (
-                F.col("n_dup_shingles").cast("double") / F.col("n_shingles")
+                F.coalesce("n_dup_shingles", F.lit(0)).cast("double")
+                / F.col("n_shingles")
             ).alias("dup_fraction"),
         )
         .persist()

@@ -309,6 +309,7 @@ def write_xml_file(
     tmp_dir: str | None = None,
     pre_arranged: bool = False,
     meta: dict | None = None,
+    compress_command: str | None = None,
 ) -> None:
     """Assemble the single ordered .osm(.bz2) file.
 
@@ -326,12 +327,27 @@ def write_xml_file(
     # multistream concatenation is legal for BOTH formats: bzip2 streams
     # and gzip members (RFC 1952 §2.2) concatenate into one valid file,
     # so per-partition executor-compressed parts + driver-side pure-I/O
-    # concat covers the reference's two usual --compress-command targets
+    # concat covers the reference's two usual --compress-command targets.
+    # Any OTHER compress_command (or a recognized one whose format does
+    # not match the suffix-selected codec) falls back to the reference's
+    # exact behavior (xml_writer.cpp:58-79): plain fragments, one
+    # driver-side subprocess of the user's command over the concat.
     codec = (
         "bzip2"
         if out_path.endswith(".bz2")
         else "gzip" if out_path.endswith(".gz") else None
     )
+    external: str | None = None
+    if compress_command is not None:
+        from planet_dump_ng_spark.cli import compressor_family
+
+        fam = compressor_family(compress_command)
+        if not (
+            (fam == "bz2" and codec == "bzip2")
+            or (fam == "gz" and codec == "gzip")
+        ):
+            external = compress_command
+            codec = None
     tmp_dir = tmp_dir or out_path + ".parts"
 
     def write_one(i: int, df: DataFrame, sort_cols: list[str]) -> str:
@@ -372,8 +388,8 @@ def write_xml_file(
             return gzip.compress(data, mtime=0)
         return data
 
-    with open(out_path, "wb") as out:
-        out.write(comp(format_osm_header(generator, max_ts, meta).encode()))
+    def concat_into(sink) -> None:
+        sink.write(comp(format_osm_header(generator, max_ts, meta).encode()))
         for d in part_dirs:
             suffix = {"bzip2": ".bz2", "gzip": ".gz"}.get(codec, "")
             names = sorted(
@@ -383,6 +399,38 @@ def write_xml_file(
             )
             for n in names:
                 with open(os.path.join(d, n), "rb") as part:
-                    shutil.copyfileobj(part, out, 1 << 20)
-        out.write(comp(b"</osm>\n"))
+                    shutil.copyfileobj(part, sink, 1 << 20)
+        sink.write(comp(b"</osm>\n"))
+
+    if external is not None:
+        # the reference's popen(compress_command) shape: the user's own
+        # command, shell semantics and all, fed the plain concat on
+        # stdin with the output file on stdout
+        import subprocess
+
+        with open(out_path, "wb") as out:
+            proc = subprocess.Popen(
+                external, shell=True, stdin=subprocess.PIPE, stdout=out
+            )
+            try:
+                # a command that dies mid-stream breaks the pipe; swallow
+                # that here so the loud diagnostic below (with the exit
+                # code) is what the caller sees, not a bare EPIPE
+                try:
+                    concat_into(proc.stdin)
+                except BrokenPipeError:
+                    pass
+            finally:
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
+            if proc.wait() != 0:
+                raise RuntimeError(
+                    f"--compress-command {external!r} exited "
+                    f"{proc.returncode} for {out_path!r}"
+                )
+    else:
+        with open(out_path, "wb") as out:
+            concat_into(out)
     shutil.rmtree(tmp_dir, ignore_errors=True)

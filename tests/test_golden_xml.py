@@ -133,3 +133,45 @@ def test_gz_output_roundtrip(spark, work):
     # zcat agrees (the file is standard gzip, not just python-readable)
     dec = subprocess.run(["zcat", str(out)], capture_output=True, check=True)
     assert dec.stdout == _golden("changesets-badchar.xml.case", "changesets.osm.bz2")
+
+
+def test_arbitrary_compress_command_pipe(spark, work):
+    """An UNRECOGNIZED --compress-command falls back to the reference's
+    popen behavior (xml_writer.cpp:58-79): plain fragments piped through
+    the user's command driver-side.  Spelled as an arbitrary shell
+    command ('sh -c ...' is not a recognized compressor program), the
+    changesets case must still decompress to the golden bytes, and the
+    file must be a single well-formed bzip2 stream from that one
+    subprocess."""
+    sql = _extract(work, "bad-character")
+    out = work / "cs-ext.osm.bz2"
+    pipeline.run_dump(
+        spark,
+        sql,
+        [pipeline.OutputSpec(str(out), "changesets")],
+        str(work / "w-ext"),
+        generator=GENERATOR,
+        compress_command="sh -c 'exec bzip2 -c'",
+    )
+    with open(out, "rb") as fh:
+        assert bz2.decompress(fh.read()) == _golden(
+            "changesets-badchar.xml.case", "changesets.osm.bz2"
+        )
+
+
+def test_compress_command_failure_is_loud(spark, work):
+    """A failing external compressor must raise, not leave a silently
+    truncated output behind."""
+    import pytest
+
+    sql = _extract(work, "bad-character")
+    out = work / "cs-fail.osm"
+    with pytest.raises(RuntimeError, match="compress-command"):
+        pipeline.run_dump(
+            spark,
+            sql,
+            [pipeline.OutputSpec(str(out), "changesets")],
+            str(work / "w-fail"),
+            generator=GENERATOR,
+            compress_command="sh -c 'exit 3'",
+        )

@@ -226,11 +226,12 @@ def test_pbf_strict_changeset_check(spark, node_frames, tmp_path):
     assert [n[0] for n in got["nodes"]] == [2]
 
 
-def test_compress_command_accepts_bzip2_gzip_rejects_others():
-    """--compress-command drop-in surface: the reference's default (and
-    bzip2/gzip variants) pass; arbitrary shell compressors are rejected
-    loudly (compression is cluster-parallel in the sink, no shell
-    exists)."""
+def test_compress_command_families_and_suffix_crosscheck():
+    """--compress-command drop-in surface: bzip2/gzip families pass (and
+    run cluster-parallel when they match the suffix); arbitrary commands
+    pass too (piped driver-side, the reference's popen behavior); a
+    RECOGNIZED family contradicting an output suffix is rejected loudly
+    instead of silently mis-encoding; empty commands are rejected."""
     import pytest
 
     from planet_dump_ng_spark.cli import build_parser, check_compress_command
@@ -239,8 +240,13 @@ def test_compress_command_accepts_bzip2_gzip_rejects_others():
         ["--dump-file", "x.sql", "--xml", "o.bz2"]
     ).compress_command == "bzip2 -c"
     for ok in ("bzip2 -c", "pbzip2", "/usr/bin/lbzip2 -9 -c",
-               "gzip -c", "pigz -p8"):
-        check_compress_command(ok)
-    for bad in ("xz", "", "zstd -T0", "cat"):
-        with pytest.raises(SystemExit):
-            check_compress_command(bad)
+               "gzip -c", "pigz -p8", "xz", "zstd -T0", "cat"):
+        check_compress_command(ok, ["planet.osm.bz2"] if "z2" in ok else [])
+    # arbitrary filters are fine against any suffix (user's bytes)
+    check_compress_command("cat", ["planet.osm.bz2", "cs.osm"])
+    with pytest.raises(SystemExit):
+        check_compress_command("")
+    with pytest.raises(SystemExit):  # gzip bytes under a bzip2 name
+        check_compress_command("gzip -c", ["planet.osm.bz2"])
+    with pytest.raises(SystemExit):  # bzip2 bytes under a gz name
+        check_compress_command("bzip2 -c", ["cs.osm", "planet.osm.gz"])
