@@ -28,15 +28,19 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="planet-dump-ng-spark-ann")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def common(sp):
+    def common(sp, with_n_sub: bool = False):
         sp.add_argument("--index-dir", required=True)
         sp.add_argument("--id-col", default="vec_id")
         sp.add_argument("--vec-col", default="embedding")
-        sp.add_argument("--n-sub", type=int, default=4)
+        # add/query derive n_sub from the artifact's meta.json header;
+        # the flag only exists for build (and as a pre-header fallback)
+        sp.add_argument(
+            "--n-sub", type=int, default=4 if with_n_sub else None
+        )
 
     b = sub.add_parser("build", help="train the index from a corpus")
     b.add_argument("--embeddings", required=True)
-    common(b)
+    common(b, with_n_sub=True)
     b.add_argument("--n-cells", type=int, default=8)
     b.add_argument("--coarse-rounds", type=int, default=2)
     b.add_argument("--pq-cells", type=int, default=8)
@@ -91,20 +95,45 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "add":
+        from planet_dump_ng_spark.operators.ivf import read_ivfpq_meta
+
         emb = spark.read.parquet(args.embeddings)
         dim = _dim_of(emb, args.vec_col)
-        coarse, books, _ = read_ivfpq_index(
+        meta = read_ivfpq_meta(args.index_dir)
+        if meta is not None and dim != meta["dim"]:
+            print(
+                f"batch dim {dim} != index dim {meta['dim']}",
+                file=sys.stderr,
+            )
+            return 2
+        coarse, books, codes = read_ivfpq_index(
             spark, args.index_dir, n_sub=args.n_sub
         )
+        n_sub = len(books)
+        # IDEMPOTENT add: anti-join the batch against ids already in the
+        # code table — a retried batch (partial-failure rerun) must not
+        # duplicate code rows, which would make ivfpq_query emit the
+        # same neighbor several times inside top-k
+        n_batch = emb.count()
+        fresh = emb.join(
+            codes.select(F.col("vec_id").alias(args.id_col)),
+            args.id_col,
+            "left_anti",
+        )
         added = ivfpq_add(
-            coarse, books, emb, dim, n_sub=args.n_sub,
+            coarse, books, fresh, dim, n_sub=n_sub,
             id_col=args.id_col, vec_col=args.vec_col,
         )
         # append the new code rows to the artifact's codes table
         added.write.mode("append").parquet(
             f"{args.index_dir.rstrip('/')}/codes"
         )
-        print(json.dumps({"added": added.count(), "index": args.index_dir}))
+        n_added = added.count()
+        print(json.dumps({
+            "added": n_added,
+            "skipped_existing": n_batch - n_added,
+            "index": args.index_dir,
+        }))
         return 0
 
     # query
@@ -114,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         spark, args.index_dir, n_sub=args.n_sub
     )
     out = ivfpq_query(
-        coarse, books, codes, queries, dim, k=args.k, n_sub=args.n_sub,
+        coarse, books, codes, queries, dim, k=args.k, n_sub=len(books),
         n_probe=args.n_probe, id_col=args.id_col, vec_col=args.vec_col,
     )
     out.write.mode("overwrite").parquet(args.out)

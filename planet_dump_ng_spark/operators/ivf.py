@@ -893,9 +893,16 @@ def write_ivfpq_index(
     coarse: DataFrame, books: list[DataFrame], codes: DataFrame, out_dir: str
 ) -> None:
     """Persist the trained index as three parquet tables (coarse /
-    codebooks / codes).  Codebooks stack into one table with a
-    ``subspace`` key.  The codes table is the only corpus-sized piece
-    (n_sub small ints + cell per vector)."""
+    codebooks / codes) PLUS a ``meta.json`` header recording the
+    build-time geometry (dim, n_sub, n_cells, pq_cells) — the FAISS
+    index-header discipline: a reader must never have to guess the
+    subspace split, because a wrong n_sub silently yields empty
+    codebook frames and garbage rankings instead of an error.
+    Codebooks stack into one table with a ``subspace`` key.  The codes
+    table is the only corpus-sized piece (n_sub small ints + cell per
+    vector)."""
+    import json
+
     d = out_dir.rstrip("/")
     coarse.write.mode("overwrite").parquet(f"{d}/coarse")
     stacked = None
@@ -904,13 +911,56 @@ def write_ivfpq_index(
         stacked = bs if stacked is None else stacked.unionByName(bs)
     stacked.write.mode("overwrite").parquet(f"{d}/codebooks")
     codes.write.mode("overwrite").parquet(f"{d}/codes")
+    head = coarse.select("centroid").first()
+    book_head = books[0].select("centroid").first()
+    meta = {
+        "format": "ivfpq-parquet-v1",
+        "dim": len(head["centroid"]),
+        "n_sub": len(books),
+        "sub_dim": len(book_head["centroid"]),
+        "n_cells": coarse.count(),
+        "pq_cells": books[0].count(),
+    }
+    with open(f"{d}/meta.json", "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+def read_ivfpq_meta(index_dir: str) -> dict | None:
+    """The meta.json header of a persisted IVFPQ index; None for
+    pre-header artifacts (whose geometry the caller must then supply)."""
+    import json
+    import os
+
+    path = f"{index_dir.rstrip('/')}/meta.json"
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
 
 
 def read_ivfpq_index(
-    spark, index_dir: str, n_sub: int = 4
+    spark, index_dir: str, n_sub: int | None = None
 ) -> tuple[DataFrame, list[DataFrame], DataFrame]:
-    """Load an index written by write_ivfpq_index."""
+    """Load an index written by write_ivfpq_index.
+
+    ``n_sub`` is DERIVED from the artifact's meta.json header by
+    default; passing it explicitly is only needed for pre-header
+    artifacts, and a value that contradicts the header raises instead
+    of silently slicing the codebooks wrong."""
     d = index_dir.rstrip("/")
+    meta = read_ivfpq_meta(d)
+    if meta is not None:
+        if n_sub is not None and n_sub != meta["n_sub"]:
+            raise ValueError(
+                f"n_sub={n_sub} contradicts the index header "
+                f"(built with n_sub={meta['n_sub']}); drop the flag — "
+                "the artifact knows its own geometry"
+            )
+        n_sub = meta["n_sub"]
+    elif n_sub is None:
+        raise ValueError(
+            f"{d} has no meta.json header and no n_sub was supplied"
+        )
     coarse = spark.read.parquet(f"{d}/coarse")
     stacked = spark.read.parquet(f"{d}/codebooks")
     books = [

@@ -430,7 +430,6 @@ def hll_registers_stream(
     events: DataFrame,
     value_col: str = "user_id",
     p: int = 8,
-    watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming HyperLogLog register maintenance: the continuously-
     updated distinct-count sketch (state = 2^p MAX registers,
@@ -448,13 +447,20 @@ def hll_registers_stream(
     tests/test_streaming.py).  Finalization
     (hll_estimate_from_registers) stays a cheap batch query over the
     2^p-row result; the one-pass-over-the-data part is what streams.
+
+    Deliberately NO watermark: the groupBy key is the register index j,
+    not a time window, so state is bounded by the 2^p key space itself
+    and a watermark would evict nothing (and a MAX over ALL events ever
+    seen is exactly the sketch's semantics — late data must still fold
+    in).  Run it in complete or update output mode; an append-mode sink
+    can never receive rows from an unwindowed running aggregate.
     """
     from planet_dump_ng_spark.operators.sketches import _unsigned_split
 
     wbits = 64 - p
     j, w = _unsigned_split(F.xxhash64(F.col(value_col)), wbits)
     return (
-        events.withWatermark("ts", watermark)
+        events
         .select(j.alias("j"), w.alias("w"))
         .withColumn(
             "rho",

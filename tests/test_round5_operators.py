@@ -363,6 +363,13 @@ def test_ann_cli_build_add_query(spark, sf_dir, tmp_path, capsys):
     assert built["dim"] == 64
 
     assert main(["add", "--embeddings", batch_p, "--index-dir", idx]) == 0
+    first = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["skipped_existing"] == 0 and first["added"] > 0
+    # IDEMPOTENT: retrying the same batch (partial-failure rerun) must
+    # not duplicate code rows — every id anti-joins away
+    assert main(["add", "--embeddings", batch_p, "--index-dir", idx]) == 0
+    retry = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert retry["added"] == 0 and retry["skipped_existing"] == first["added"]
     assert main([
         "query", "--index-dir", idx, "--queries", q_p, "--out", out_p,
     ]) == 0
@@ -457,3 +464,34 @@ def test_bm25_matches_python_reference(spark):
         for r in bm25_scores(df, terms, k1=k1, b=b).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_ivfpq_index_header_guards(spark, sf_dir, tmp_path):
+    """meta.json records the build geometry; a contradicting n_sub (or a
+    wrong-dim add batch via the CLI) errors loudly instead of silently
+    slicing the codebooks wrong."""
+    import pytest
+
+    from planet_dump_ng_spark.operators.ivf import (
+        ivfpq_build,
+        read_ivfpq_index,
+        read_ivfpq_meta,
+        write_ivfpq_index,
+    )
+    from planet_dump_ng_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    coarse, books, codes = ivfpq_build(emb, dim=64, n_sub=4)
+    write_ivfpq_index(coarse, books, codes, idx)
+    codes.unpersist()
+    meta = read_ivfpq_meta(idx)
+    assert meta == {
+        "format": "ivfpq-parquet-v1", "dim": 64, "n_sub": 4,
+        "sub_dim": 16, "n_cells": 8, "pq_cells": 8,
+    }
+    # header-derived load needs no n_sub at all
+    _, lbooks, _ = read_ivfpq_index(spark, idx)
+    assert len(lbooks) == 4
+    with pytest.raises(ValueError, match="n_sub=2 contradicts"):
+        read_ivfpq_index(spark, idx, n_sub=2)
