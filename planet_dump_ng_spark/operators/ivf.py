@@ -100,13 +100,15 @@ def _assign_np(
     cell-id-sorted centroid matrix picks the FIRST minimum — identical
     to the oracle's ROW_NUMBER ORDER BY dist, cell).
 
-    MAP-ONLY: the centroid matrix rides the task closure (n_cells x dim
-    doubles — the same payload the previous broadcast-join formulation
-    shipped), each Arrow batch computes a vectorized distance plane, and
-    no shuffle or groupBy happens at all.  This replaced a broadcast
-    crossJoin + fold-per-(row, cell) + min-struct groupBy that spent
-    ~10us per distance in interpreted Catalyst lambdas; the numpy fold
-    is ~100x cheaper per element while remaining bit-identical (see
+    MAP-ONLY: the centroid matrix ships as a Spark BROADCAST VARIABLE
+    (once per executor, torrent-distributed — n_cells x dim doubles can
+    reach hundreds of MB when the cell count scales with a 100 TB
+    corpus, and a task closure would re-ship it per task), each Arrow
+    batch computes a vectorized distance plane, and no shuffle or
+    groupBy happens at all.  This replaced a broadcast crossJoin +
+    fold-per-(row, cell) + min-struct groupBy that spent ~10us per
+    distance in interpreted Catalyst lambdas; the numpy fold is ~100x
+    cheaper per element while remaining bit-identical (see
     _dist2_fold).
     """
     import numpy as np
@@ -119,8 +121,10 @@ def _assign_np(
     schema = StructType(
         list(base.schema.fields) + [StructField("cell", IntegerType(), False)]
     )
+    bc = vecs.sparkSession.sparkContext.broadcast((cells_arr, C))
 
     def assign(batches):
+        cells_b, C_b = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -128,9 +132,9 @@ def _assign_np(
             idx = np.empty(len(pdf), dtype=np.int64)
             for lo in range(0, len(pdf), _ASSIGN_CHUNK):
                 hi = min(lo + _ASSIGN_CHUNK, len(pdf))
-                idx[lo:hi] = np.argmin(_dist2_fold(V[lo:hi], C), axis=1)
+                idx[lo:hi] = np.argmin(_dist2_fold(V[lo:hi], C_b), axis=1)
             out = pdf.copy()
-            out["cell"] = cells_arr[idx].astype(np.int32)
+            out["cell"] = cells_b[idx].astype(np.int32)
             yield out
 
     return base.mapInPandas(assign, schema=schema)
@@ -455,8 +459,12 @@ def _hier_assign_np(
             StructField("norm", DoubleType(), False),
         ]
     )
+    # both quantizer levels ride ONE broadcast variable (once per
+    # executor), not the task closure — see _assign_np
+    bc = vecs.sparkSession.sparkContext.broadcast((S, groups))
 
     def assign(batches):
+        S_b, groups_b = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -467,9 +475,9 @@ def _hier_assign_np(
                 hi = min(lo + _ASSIGN_CHUNK, len(pdf))
                 Vc = V[lo:hi]
                 norm[lo:hi] = _fold_self_dot(Vc)
-                si = np.argmin(_dist2_fold(Vc, S), axis=1)
+                si = np.argmin(_dist2_fold(Vc, S_b), axis=1)
                 cc = np.empty(hi - lo, dtype=np.int64)
-                for gi, (fids, Fm) in enumerate(groups):
+                for gi, (fids, Fm) in enumerate(groups_b):
                     mask = si == gi
                     if mask.any():
                         cc[mask] = fids[

@@ -337,15 +337,20 @@ def write_xml_file(
         if out_path.endswith(".bz2")
         else "gzip" if out_path.endswith(".gz") else None
     )
+    # dispatch rule: the two executor-parallel families (bzip2/gzip)
+    # keep the engine's documented suffix-selected contract (a plain
+    # suffix means plain text even under the default ``-c 'bzip2 -c'``,
+    # and the CLI cross-check already rejects a contradicting suffix);
+    # every OTHER command — an arbitrary filter, or a recognized
+    # compressor with no executor-side codec (zstd/xz) — pipes the
+    # plain concat through the user's command, the reference's popen
+    # behavior.
     external: str | None = None
     if compress_command is not None:
         from planet_dump_ng_spark.cli import compressor_family
 
         fam = compressor_family(compress_command)
-        if not (
-            (fam == "bz2" and codec == "bzip2")
-            or (fam == "gz" and codec == "gzip")
-        ):
+        if fam not in ("bz2", "gz"):
             external = compress_command
             codec = None
     tmp_dir = tmp_dir or out_path + ".parts"

@@ -8,9 +8,11 @@ columns by name against a canonical schema (include/unescape_copy_row.hpp:
 
 Spark-first restatement:
 - one text stream PER TABLE (the same shape pg_restore emits).  A
-  monolithic ``pg_dump --format=plain`` file is split once, sequentially,
-  by :func:`split_dump_file` — the exact analog of the reference's
-  per-table pg_restore passes — after which everything is distributed:
+  custom-format archive fans out through CONCURRENT per-table
+  ``pg_restore -a -t`` subprocesses (:func:`extract_tables_parallel` —
+  the reference's 12-pass strategy, planet-dump.cpp:127-140); an
+  already-plain ``pg_dump --format=plain`` file is split once by
+  :func:`split_dump_file`.  After that everything is distributed:
   ``spark.read.text`` splits each per-table file by HDFS block, so a
   100 TB dump parses with full scan parallelism.
 - COPY framing lines (``COPY ... FROM stdin;``, ``\\.``, empty) are
@@ -216,10 +218,10 @@ def read_copy_table(
 
 
 def extract_custom_dump(dump_path: str, out_sql: str) -> str:
-    """S1: pg_dump CUSTOM-format archive -> plain COPY text, via a
-    ``pg_restore`` subprocess — exactly the reference's extraction strategy
-    (popen('pg_restore -f - -a ...'), src/dump_reader.cpp:656-663), minus
-    the per-table fan-out which :func:`split_dump_file` handles after.
+    """S1 single-pass variant: pg_dump CUSTOM-format archive -> one
+    monolithic plain COPY text file via ``pg_restore`` (kept for callers
+    that want the intermediate .sql on disk); the pipeline itself uses
+    the concurrent per-table :func:`extract_tables_parallel` fan-out.
 
     Returns ``out_sql``.  Raises FileNotFoundError when pg_restore is not
     installed."""
@@ -308,9 +310,10 @@ def split_dump_file(
     subprocess passes, src/planet-dump.cpp:127-140).  Each output file keeps
     its COPY header so :func:`read_copy_table` can reorder by name.
 
-    Returns {table: path}.  At cluster scale this one pass is the only
-    sequential step; everything downstream reads the per-table files with
-    block-level parallelism.
+    Returns {table: path}.  Used for inputs that are ALREADY plain text
+    (no archive to fan out on); custom-format archives take the
+    concurrent :func:`extract_tables_parallel` path instead, which has
+    no single-core whole-dump pass at all.
     """
     wanted = set(tables or TABLES)
     os.makedirs(out_dir, exist_ok=True)

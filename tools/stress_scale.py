@@ -49,6 +49,14 @@ DEFAULT_QUERIES = [
     "duplicated_ngram_fraction",
     "binned_quantile_estimate",
     "assemble_order_lines",
+    "ngram_containment_pairs",
+    "ann_ivfpq_topk",
+    "quality_classifier_score",
+    "exact_substring_duplication",
+    "bm25_keyword_search",
+    "hybrid_rrf_search",
+    "minhash_jaccard_estimate",
+    "doc_unigram_surprisal",
 ]
 
 
