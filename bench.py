@@ -90,7 +90,7 @@ def pipeline_bench(spark, dump: str = _LIECHTENSTEIN,
     return {
         "total": round(sum(phases.values()), 2),
         "phases": phases,
-        "input_mb": round(os.path.getsize(src) / 1e6, 1),
+        "input_mb": round(os.path.getsize(dump) / 1e6, 1),
     }
 
 

@@ -593,8 +593,20 @@ def semantic_dedup(
         n_cells = derive_n_cells(corpus.count())
         k1 = derive_super_cells(n_cells)
         sample = _train_sample(vecs, TRAIN_ROWS_PER_CELL * n_cells).persist()
-        fine = train_kmeans(sample, dim, n_cells, vec_col="v", id_col="vec_id")
-        sup = train_kmeans(sample, dim, k1, vec_col="v", id_col="vec_id")
+        sample.count()
+        # the two quantizer levels train independently over the same
+        # cached sample — overlap their per-round driver materializations
+        # (same trick as pq_codebooks; halves training wall-clock)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_fine = pool.submit(
+                train_kmeans, sample, dim, n_cells, vec_col="v", id_col="vec_id"
+            )
+            f_sup = pool.submit(
+                train_kmeans, sample, dim, k1, vec_col="v", id_col="vec_id"
+            )
+            fine, sup = f_fine.result(), f_sup.result()
         sample.unpersist()
         a = _hier_assign_np(vecs, fine, sup, _fine_to_super(fine, sup))
     else:
