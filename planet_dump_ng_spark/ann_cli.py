@@ -124,8 +124,9 @@ def main(argv: list[str] | None = None) -> int:
             coarse, books, fresh, dim, n_sub=n_sub,
             id_col=args.id_col, vec_col=args.vec_col,
         )
-        # append the new code rows to the artifact's codes table
-        added.write.mode("append").parquet(
+        # append the new code rows to the artifact's codes table,
+        # preserving the cell-partitioned layout the query path prunes on
+        added.write.mode("append").partitionBy("cell").parquet(
             f"{args.index_dir.rstrip('/')}/codes"
         )
         n_added = added.count()

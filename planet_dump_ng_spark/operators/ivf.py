@@ -930,7 +930,12 @@ def write_ivfpq_index(
         bs = b.select(F.lit(s).alias("subspace"), "cell", "centroid")
         stacked = bs if stacked is None else stacked.unionByName(bs)
     stacked.write.mode("overwrite").parquet(f"{d}/codebooks")
-    codes.write.mode("overwrite").parquet(f"{d}/codes")
+    # codes PARTITIONED BY coarse cell: ivfpq_query's first ADC join
+    # broadcasts the (probed cells x LUT) table, so dynamic partition
+    # pruning skips every unprobed cell's files — the IVF "scan
+    # n_probe/n_cells of the index" promise realized at the storage
+    # layer, not just in the join filter (pinned by the plan test).
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{d}/codes")
     head = coarse.select("centroid").first()
     book_head = books[0].select("centroid").first()
     meta = {
