@@ -41,7 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("build", help="train the index from a corpus")
     b.add_argument("--embeddings", required=True)
     common(b, with_n_sub=True)
-    b.add_argument("--n-cells", type=int, default=8)
+    # default None => derived from the corpus row count
+    # (operators.ivf.derive_n_cells), so the coarse cell count scales
+    # with the corpus instead of being a hand-tuned knob
+    b.add_argument("--n-cells", type=int, default=None)
     b.add_argument("--coarse-rounds", type=int, default=2)
     b.add_argument("--pq-cells", type=int, default=8)
     b.add_argument("--pq-rounds", type=int, default=2)
@@ -79,10 +82,17 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("planet-dump-ng-spark-ann")
 
     if args.cmd == "build":
+        from planet_dump_ng_spark.operators.ivf import derive_n_cells
+
         emb = spark.read.parquet(args.embeddings)
         dim = _dim_of(emb, args.vec_col)
+        n_cells = (
+            args.n_cells
+            if args.n_cells is not None
+            else derive_n_cells(emb.count())
+        )
         coarse, books, codes = ivfpq_build(
-            emb, dim, n_cells=args.n_cells, coarse_rounds=args.coarse_rounds,
+            emb, dim, n_cells=n_cells, coarse_rounds=args.coarse_rounds,
             n_sub=args.n_sub, pq_cells=args.pq_cells,
             pq_rounds=args.pq_rounds, id_col=args.id_col,
             vec_col=args.vec_col,
@@ -91,7 +101,8 @@ def main(argv: list[str] | None = None) -> int:
         n = codes.count()
         codes.unpersist()
         print(json.dumps({"built": args.index_dir, "n_vectors": n,
-                          "dim": dim, "n_sub": args.n_sub}))
+                          "dim": dim, "n_sub": args.n_sub,
+                          "n_cells": n_cells}))
         return 0
 
     if args.cmd == "add":

@@ -492,6 +492,31 @@ def _hier_assign_np(
     return base.mapInPandas(assign, schema=schema)
 
 
+def fold_dot_udf():
+    """Arrow pandas UDF: exact left-to-right-fold dot product of two
+    vector columns in float64 — bit-identical to
+    ``similarity._dot_exact`` and the oracle's ``list_reduce`` (the acc
+    starts at +0.0 and adds elementwise products in index order; the
+    numpy adds are the same IEEE op sequence, batched).  Shared by the
+    batch pair stage and the streaming semantic probe."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def fold_dot(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.stack(x.to_numpy()).astype(np.float64)
+        Y = np.stack(y.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(X))
+        for j in range(X.shape[1]):
+            acc = acc + X[:, j] * Y[:, j]
+        return pd.Series(acc)
+
+    return fold_dot
+
+
 def _pair_verdict(a: DataFrame, threshold: float) -> DataFrame:
     """Cell-blocked near-dup verdict over an assignment table
     (vec_id, v, cell, norm) -> (vec_id, cell, n_close_lower, kept).
@@ -507,20 +532,7 @@ def _pair_verdict(a: DataFrame, threshold: float) -> DataFrame:
     vector it has no similarity to.  Zero vectors simply never
     participate in pairs (they stay kept themselves).
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def fold_dot(x: pd.Series, y: pd.Series) -> pd.Series:
-        if len(x) == 0:
-            return pd.Series([], dtype="float64")
-        X = np.stack(x.to_numpy()).astype(np.float64)
-        Y = np.stack(y.to_numpy()).astype(np.float64)
-        acc = np.zeros(len(X))
-        for j in range(X.shape[1]):
-            acc = acc + X[:, j] * Y[:, j]
-        return pd.Series(acc)
+    fold_dot = fold_dot_udf()
 
     pos = F.col("norm") > 0
     b = a.filter(pos).select(
@@ -590,25 +602,8 @@ def semantic_dedup(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
     if n_cells is None:
-        n_cells = derive_n_cells(corpus.count())
-        k1 = derive_super_cells(n_cells)
-        sample = _train_sample(vecs, TRAIN_ROWS_PER_CELL * n_cells).persist()
-        sample.count()
-        # the two quantizer levels train independently over the same
-        # cached sample — overlap their per-round driver materializations
-        # (same trick as pq_codebooks; halves training wall-clock)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_fine = pool.submit(
-                train_kmeans, sample, dim, n_cells, vec_col="v", id_col="vec_id"
-            )
-            f_sup = pool.submit(
-                train_kmeans, sample, dim, k1, vec_col="v", id_col="vec_id"
-            )
-            fine, sup = f_fine.result(), f_sup.result()
-        sample.unpersist()
-        a = _hier_assign_np(vecs, fine, sup, _fine_to_super(fine, sup))
+        quant = train_semantic_quantizer(vecs, dim)
+        a = assign_semantic_cells(vecs, quant)
     else:
         from planet_dump_ng_spark.operators.similarity import _dot_exact
 
@@ -622,6 +617,52 @@ def semantic_dedup(
     out.count()
     a.unpersist()
     return out
+
+
+def train_semantic_quantizer(
+    vecs: DataFrame, dim: int, n_cells: int | None = None
+) -> dict:
+    """Train the derived two-level quantizer over (vec_id, v) -> a small
+    plain-python artifact {n_cells, k1, fine, sup, f2s} (centroid lists
+    and the fine->super map).  This is the FROZEN state a streaming
+    probe (or an incremental batch) re-assigns against, so live rows
+    land in exactly the cells the corpus snapshot was blocked by —
+    shared by :func:`semantic_dedup` and
+    streaming.jobs.semantic_dedup_stream."""
+    if n_cells is None:
+        n_cells = derive_n_cells(vecs.count())
+    k1 = derive_super_cells(n_cells)
+    sample = _train_sample(vecs, TRAIN_ROWS_PER_CELL * n_cells).persist()
+    sample.count()
+    # the two quantizer levels train independently over the same cached
+    # sample — overlap their per-round driver materializations (same
+    # trick as pq_codebooks; halves training wall-clock)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fine = pool.submit(
+            train_kmeans, sample, dim, n_cells, vec_col="v", id_col="vec_id"
+        )
+        f_sup = pool.submit(
+            train_kmeans, sample, dim, k1, vec_col="v", id_col="vec_id"
+        )
+        fine, sup = f_fine.result(), f_sup.result()
+    sample.unpersist()
+    return {
+        "n_cells": n_cells,
+        "k1": k1,
+        "fine": fine,
+        "sup": sup,
+        "f2s": _fine_to_super(fine, sup),
+    }
+
+
+def assign_semantic_cells(vecs: DataFrame, quant: dict) -> DataFrame:
+    """(vec_id, v) -> (vec_id, v, cell, norm) under a FROZEN trained
+    quantizer (:func:`train_semantic_quantizer`) — works on batch and
+    streaming DataFrames alike (the kernel is a map-only
+    mapInPandas)."""
+    return _hier_assign_np(vecs, quant["fine"], quant["sup"], quant["f2s"])
 
 
 

@@ -498,6 +498,99 @@ def corpus_lsh_buckets(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
+EMBEDDINGS_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def read_embeddings_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an embeddings parquet directory (the local
+    stand-in for the encoder-output topic)."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def corpus_semantic_cells(
+    corpus: DataFrame, dim: int, n_cells: int | None = None
+) -> tuple[DataFrame, dict]:
+    """Batch-side artifact pair for the streaming semantic probe:
+    (corpus assignment table (vec_id, v, cell, norm), frozen quantizer).
+
+    The quantizer (derived cell count, sample-capped two-level Lloyd —
+    operators.ivf.train_semantic_quantizer) is the thing that must be
+    SHARED between the corpus snapshot and the live tail: re-training on
+    the stream would re-block the space and candidates would silently
+    stop matching the snapshot's cells.  Compute once per corpus
+    snapshot and persist the assignment (or at real scale, write it as
+    a table partitioned by cell)."""
+    from planet_dump_ng_spark.operators.ivf import (
+        assign_semantic_cells,
+        train_semantic_quantizer,
+    )
+
+    vecs = corpus.select(
+        F.col("vec_id"), F.col("embedding").alias("v")
+    )
+    quant = train_semantic_quantizer(vecs, dim, n_cells)
+    return assign_semantic_cells(vecs, quant), quant
+
+
+def semantic_dedup_stream(
+    new_vecs: DataFrame,
+    quant: dict,
+    corpus_cells: DataFrame,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Streaming SEMANTIC near-dup probe: incoming embeddings against the
+    STANDING corpus — the paraphrase-level sibling of lsh_dedup_stream
+    and the live tail of semantic_dedup (SemDeDup blocking).
+
+    Each micro-batch row is assigned its cell by the FROZEN two-level
+    quantizer (map-only Arrow kernel — works unchanged on streaming
+    DataFrames), then one STREAM-STATIC equi-join on the cell id probes
+    the corpus assignment table and the exact-fold cosine
+    (operators.ivf.fold_dot_udf — bit-identical to the batch pair
+    stage) keeps pairs at or above ``threshold``.  Stateless, so
+    matches emit in append mode with zero watermark bookkeeping; cost
+    per micro-batch is proportional to the batch times its cells'
+    corpus occupancy — the same sum(cell * batch_cell) bound the batch
+    operator's pair space has, never batch x corpus.
+
+    Emits (vec_id, matched_id, cosine).  Zero-norm rows on either side
+    never pair (the batch operator's NaN guard).
+    """
+    from planet_dump_ng_spark.operators.ivf import (
+        assign_semantic_cells,
+        fold_dot_udf,
+    )
+
+    fold_dot = fold_dot_udf()
+    a = assign_semantic_cells(
+        new_vecs.select("vec_id", F.col("embedding").alias("v")), quant
+    )
+    b = corpus_cells.select(
+        F.col("vec_id").alias("matched_id"),
+        F.col("v").alias("nv"),
+        "cell",
+        F.col("norm").alias("nnorm"),
+    )
+    return (
+        a.filter(F.col("norm") > 0)
+        .join(b, "cell")
+        .filter(F.col("nnorm") > 0)
+        .filter(F.col("vec_id") != F.col("matched_id"))
+        .withColumn(
+            "cosine",
+            fold_dot("v", "nv") / (F.sqrt("norm") * F.sqrt("nnorm")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_id", "matched_id", "cosine")
+    )
+
+
 def lsh_dedup_stream(
     docs: DataFrame,
     corpus_buckets: DataFrame,

@@ -607,3 +607,58 @@ def test_lsh_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
     assert expected, "fixture should contain at least one near-dup pair"
     buckets.unpersist()
+
+
+def test_semantic_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed semantic near-dup matches (cell-blocked exact-fold
+    cosine vs the standing corpus under the FROZEN derived quantizer)
+    equal an independent batch formulation that uses the Catalyst fold
+    cosine — cross-checking the Arrow kernel against the expression
+    path on top of the stream/batch equivalence."""
+    from planet_dump_ng_spark.operators.ivf import assign_semantic_cells
+    from planet_dump_ng_spark.operators.similarity import cosine
+    from planet_dump_ng_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    cells, quant = jobs.corpus_semantic_cells(corpus, dim=64)
+    cells = cells.persist()
+    cells.count()
+
+    emb_dir = str(tmp_path / "emb_stream")
+    emb.repartition(4).write.mode("overwrite").parquet(emb_dir)
+    stream = jobs.read_embeddings_stream(spark, emb_dir, max_files_per_trigger=2)
+    new_stream = stream.filter(F.col("vec_id") % 10 == 0)
+    jobs.run_to_memory(
+        jobs.semantic_dedup_stream(new_stream, quant, cells, threshold=0.2),
+        "semdedup_mem",
+        output_mode="append",
+    )
+    got = {
+        (r.vec_id, r.matched_id)
+        for r in spark.table("semdedup_mem").collect()
+    }
+
+    # independent batch side: same frozen quantizer, Catalyst cosine
+    na = assign_semantic_cells(
+        new.select("vec_id", F.col("embedding").alias("v")), quant
+    )
+    nb = cells.select(
+        F.col("vec_id").alias("matched_id"),
+        F.col("v").alias("nv"),
+        "cell",
+        F.col("norm").alias("nnorm"),
+    )
+    expected = {
+        (r.vec_id, r.matched_id)
+        for r in na.filter(F.col("norm") > 0)
+        .join(nb, "cell")
+        .filter(F.col("nnorm") > 0)
+        .filter(F.col("vec_id") != F.col("matched_id"))
+        .filter(cosine(F.col("v"), F.col("nv")) >= 0.2)
+        .collect()
+    }
+    assert got == expected
+    assert expected, "fixture should contain at least one semantic match"
+    cells.unpersist()
