@@ -141,3 +141,34 @@ def test_ivfpq_codes_scan_dynamic_partition_pruning(spark, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_vectorized_leb128_bit_identical_to_scalar():
+    """The numpy LEB128/zigzag/delta fast paths must be byte-identical to
+    the scalar encoders on adversarial inputs (sign boundaries, 64-bit
+    extremes) — the PBF sink's output bytes depend on it."""
+    import random
+
+    from planet_dump_ng_spark.functions import protowire as pw
+
+    rng = random.Random(7)
+    extremes = [0, -1, 1, 127, 128, -128, 2**63 - 1, -(2**63), 2**31, -(2**31)]
+    for _ in range(50):
+        n = rng.choice([64, 65, 100, 1000])
+        vals = [
+            rng.choice(extremes + [rng.randint(-(2**62), 2**62)])
+            for _ in range(n)
+        ]
+        assert pw._varints_np(vals) == b"".join(pw.varint(v) for v in vals)
+        assert pw._varints_np(pw._zigzag_np(vals)) == b"".join(
+            pw.varint(pw.zigzag(v)) for v in vals
+        )
+        # delta contract: pairwise differences must fit in int64 (the
+        # wire sint64) — test within that envelope
+        dvals = [rng.randint(-(2**31), 2**31) for _ in range(n)]
+        d = pw.delta_encode(dvals)
+        prev, ref = 0, []
+        for v in dvals:
+            ref.append(v - prev)
+            prev = v
+        assert d == ref
