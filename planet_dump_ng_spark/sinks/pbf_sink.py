@@ -176,6 +176,209 @@ def _encode_dense_nodes(rows: list, history: bool, anonymize: bool) -> bytes:
     return _primitive_block(st, pw.field_bytes(2, dense))
 
 
+def _dense_np_delta(a):
+    """Running difference of an int64 ndarray (the wire sint64 delta) —
+    same contract as protowire.delta_encode, kept as an array so the
+    vectorized packer consumes it without a list round-trip."""
+    import numpy as np
+
+    d = np.empty_like(a)
+    if len(a):
+        d[0] = a[0]
+        np.subtract(a[1:], a[:-1], out=d[1:])
+    return d
+
+
+def _encode_dense_block(
+    ids, lats, lons, versions, tss, css, uids, vis,
+    users, tags, hidden, history: bool,
+) -> bytes:
+    """One DenseNodes PrimitiveBlock from COLUMNS (int64 ndarrays +
+    python lists for the string-bearing fields).  Byte-identical to
+    _encode_dense_nodes over the same rows: the string table is filled
+    in the same per-row order (a row's tag k/v pairs, then its user
+    name), and every packed field uses the same delta+zigzag pipeline —
+    only the per-row numeric bookkeeping is gone."""
+    import numpy as np
+
+    st = _StringTable()
+    n = len(ids)
+    kvs: list[int] = []
+    sids = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if vis[i]:
+            for t in tags[i]:
+                kvs.append(st(t["k"]))
+                kvs.append(st(t["v"]))
+        kvs.append(0)
+        if not hidden[i]:
+            sids[i] = st(users[i])
+    info = (
+        pw.packed_varints(1, versions)
+        + pw.packed_sint64s(2, _dense_np_delta(tss))
+        + pw.packed_sint64s(3, _dense_np_delta(css))
+        + pw.packed_sint64s(4, _dense_np_delta(uids))
+        + pw.packed_sint64s(5, _dense_np_delta(sids))
+        + (pw.packed_varints(6, vis.astype(np.int64)) if history else b"")
+    )
+    dense = (
+        pw.packed_sint64s(1, _dense_np_delta(ids))
+        + pw.field_bytes(5, info)
+        + pw.packed_sint64s(8, _dense_np_delta(lats))
+        + pw.packed_sint64s(9, _dense_np_delta(lons))
+        + pw.packed_varints(10, kvs)
+    )
+    return _primitive_block(st, pw.field_bytes(2, dense))
+
+
+def _dense_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
+    """mapInArrow worker factory for the dense-nodes stream: per
+    partition, buffer the Arrow batches' COLUMNS (numpy for the eight
+    numeric fields, python lists only for tags/user), cut blocks of
+    exactly BLOCK_LIMITS['nodes'] rows (same boundaries as the row
+    path), and write the partition's complete blob sequence to one part
+    file.  Yields a 1-row batch with the path.
+
+    This is the volume-dominant encoder at planet scale (~90% of bytes
+    are dense nodes): column extraction replaces ~10 Python Row field
+    reads + list appends per node, and the packers consume int64
+    ndarrays directly (no list->array conversion), keeping only the
+    string-table loop in Python.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    limit = BLOCK_LIMITS["nodes"]
+
+    def cols_of(batch):
+        def col(name):
+            return batch.column(batch.schema.get_field_index(name))
+
+        for req in ("id", "version", "changeset_id"):
+            if col(req).null_count:
+                raise ValueError(f"null {req} in nodes stream")
+        vis = (
+            col("visible").fill_null(False).to_numpy(zero_copy_only=False)
+        ).astype(bool)
+        lats_col, lons_col = col("latitude"), col("longitude")
+        for c in (lats_col, lons_col):
+            if c.null_count:
+                mask = c.is_null().to_numpy(zero_copy_only=False).astype(bool)
+                if (mask & vis).any():
+                    raise ValueError("null coordinate on a visible node")
+        uid_col = col("uid")
+        uid_null = (
+            uid_col.is_null().to_numpy(zero_copy_only=False).astype(bool)
+            if uid_col.null_count
+            else np.zeros(len(batch), dtype=bool)
+        )
+        hidden = uid_null | anonymize
+        uids = uid_col.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uids[hidden] = 0
+        ts = (
+            col("timestamp")
+            .cast(pa.int64())
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            // 1_000_000
+        )
+        lats = lats_col.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lons = lons_col.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lats[~vis] = 0
+        lons[~vis] = 0
+        return dict(
+            ids=col("id").to_numpy(zero_copy_only=False).astype(np.int64),
+            lats=lats,
+            lons=lons,
+            versions=col("version")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            tss=ts,
+            css=col("changeset_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            uids=uids,
+            vis=vis,
+            hidden=hidden,
+            users=col("user").to_pylist(),
+            tags=col("tags").to_pylist(),
+        )
+
+    np_keys = ("ids", "lats", "lons", "versions", "tss", "css", "uids",
+               "vis", "hidden")
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        idx = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"nodes-{idx:05d}.pbfpart")
+        bufs: dict[str, list] = {}
+        total = 0
+        fh = None
+
+        def encode_ready(flush: bool):
+            nonlocal total, fh, bufs
+            while total >= limit or (flush and total):
+                merged = {
+                    k: (
+                        np.concatenate(bufs[k])
+                        if k in np_keys
+                        else [x for part in bufs[k] for x in part]
+                    )
+                    for k in bufs
+                }
+                take = min(limit, total)
+                block = {
+                    k: v[:take] if k in np_keys else v[:take]
+                    for k, v in merged.items()
+                }
+                rest = {
+                    k: (
+                        [merged[k][take:]]
+                        if k in np_keys
+                        else [merged[k][take:]]
+                    )
+                    for k in merged
+                }
+                if fh is None:
+                    fh = open(path, "wb")
+                fh.write(
+                    _encode_dense_block(
+                        block["ids"], block["lats"], block["lons"],
+                        block["versions"], block["tss"], block["css"],
+                        block["uids"], block["vis"], block["users"],
+                        block["tags"], block["hidden"], history,
+                    )
+                )
+                bufs = rest
+                total -= take
+
+        try:
+            for batch in batches:
+                if len(batch) == 0:
+                    continue
+                cols = cols_of(batch)
+                for k, v in cols.items():
+                    bufs.setdefault(k, []).append(v)
+                total += len(batch)
+                encode_ready(flush=False)
+            encode_ready(flush=True)
+        finally:
+            if fh is not None:
+                fh.close()
+        if fh is not None:
+            yield pa.RecordBatch.from_pydict({"path": [path]})
+
+    return run
+
+
 def _encode_plain_nodes(rows: list, history: bool, anonymize: bool) -> bytes:
     """--dense-nodes=false branch: one ``Node`` message per node
     (pbf_writer.cpp:334-353).  Node.id/lat/lon are sint64 (zigzag), unlike
@@ -303,6 +506,15 @@ def write_pbf_file(
         if not pre_arranged:
             cols = [F.col("id"), F.col("version")]
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        if table == "nodes" and dense_nodes:
+            # columnar Arrow path for the volume-dominant dense stream
+            return sorted(
+                r["path"]
+                for r in df.mapInArrow(
+                    _dense_arrow_encoder(history, anonymize, out_dir),
+                    schema="path string",
+                ).collect()
+            )
         return sorted(
             df.rdd.mapPartitionsWithIndex(
                 _partition_encoder(table, history, anonymize, out_dir, dense_nodes)
