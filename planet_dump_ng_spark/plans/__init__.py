@@ -21,3 +21,9 @@ def load_all() -> None:
         text_plans,
         tpch_plans,
     )
+
+    # extras_plans MUST import after every other module: its entries are
+    # new (never driver-green), and the rotation in __spark_entry__ keeps
+    # never-green queries in plans.QUERIES order — importing it last keeps
+    # the established never-checked set at the front of the 50-row window.
+    from planet_dump_ng_spark.plans import extras_plans  # noqa: F401

@@ -1,0 +1,300 @@
+"""Corpus-analytics extras: bigram LM surprisal, Zipf fit, language-ID
+evaluation, mix rebalancing, and event-audience overlap.
+
+Registered LAST in ``plans.load_all`` so the driver's 50-query rotation
+window over never-checked queries is not displaced (README "Driver
+correctness-gate contract").
+
+Determinism discipline (registry docstring): log-scale quantities use
+bit-length arithmetic (``length(bin(x))`` — integer-exact, no libm) and
+every float is produced by ONE identically-written division/multiply
+chain over exact integers, so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import text as tx
+from planet_dump_ng_spark.plans.registry import register, table
+from planet_dump_ng_spark.plans.text_plans import _TOKS, _langid_oracle
+
+
+def _bitlen(c):
+    """floor(log2(x)) + 1 for positive ints — the HLL-rho primitive."""
+    return F.length(F.bin(c)).cast("long")
+
+
+@register(
+    "doc_bigram_surprisal",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(toks[1:len(toks)-1]) AS p,
+                  unnest(toks[2:len(toks)]) AS w
+           FROM t),
+    cnt AS (SELECT p, w, COUNT(*) AS c FROM bg GROUP BY p, w),
+    pc AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cp FROM cnt GROUP BY p)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(length(bin(pc.cp)) - length(bin(cnt.c)))
+             AS BIGINT) AS total_bigram_bits,
+           CAST(SUM(length(bin(pc.cp)) - length(bin(cnt.c)))
+             AS DOUBLE) / COUNT(*) AS mean_bigram_bits
+    FROM bg JOIN cnt USING (p, w) JOIN pc USING (p)
+    GROUP BY bg.doc_id
+    """,
+    doc="Bigram-LM surprisal in integer bit-length arithmetic: each "
+    "bigram instance contributes floor-log2(count(prev)) - "
+    "floor-log2(count(prev,next)) bits — a conditional-probability "
+    "upgrade of doc_unigram_surprisal that penalizes docs whose word "
+    "TRANSITIONS are rare (boilerplate scores low even when its "
+    "vocabulary is common).  Docs with <2 tokens have no bigrams and "
+    "drop out.  Plan: tokenize+zip once (persisted), bigram-vocab-sized "
+    "count agg, join-back, one per-doc aggregate — same inverted-index "
+    "shape as the unigram scorer, cost tracks corpus token mass.",
+    tags=("text", "agg"),
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    gl = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    pair = F.zip_with(
+        F.slice(toks, 1, gl),
+        F.slice(toks, 2, gl),
+        lambda p, w: F.struct(p.alias("p"), w.alias("w")),
+    )
+    bg = (
+        d.select("doc_id", F.explode(pair).alias("b"))
+        .select("doc_id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))
+        .persist()
+    )
+    cnt = bg.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
+    pc = cnt.groupBy("p").agg(F.sum("c").cast("bigint").alias("cp"))
+    bits = _bitlen(F.col("cp")) - _bitlen(F.col("c"))
+    out = (
+        bg.join(cnt, ["p", "w"])
+        .join(pc, "p")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits).cast("bigint").alias("total_bigram_bits"),
+            (F.sum(bits).cast("double") / F.count(F.lit(1))).alias(
+                "mean_bigram_bits"
+            ),
+        )
+        .persist()
+    )
+    out.count()
+    bg.unpersist()
+    return out
+
+
+@register(
+    "zipf_slope_by_lang",
+    f"""
+    WITH t AS (SELECT lang, unnest({_TOKS}) AS w FROM documents),
+    cnt AS (SELECT lang, w, COUNT(*) AS c FROM t GROUP BY lang, w),
+    r AS (SELECT lang, c,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY c DESC, w) AS rnk
+          FROM cnt),
+    b AS (SELECT lang,
+                 CAST(length(bin(rnk)) AS BIGINT) AS x,
+                 CAST(length(bin(c)) AS BIGINT) AS y,
+                 c
+          FROM r),
+    s AS (SELECT lang, COUNT(*) AS n_vocab,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM b GROUP BY lang)
+    SELECT lang, n_vocab, n_tokens,
+           CAST(n_vocab * sxy - sx * sy AS DOUBLE)
+             / CAST(n_vocab * sxx - sx * sx AS DOUBLE) AS zipf_bit_slope
+    FROM s
+    """,
+    doc="Zipf's-law fit per language: least-squares slope of "
+    "floor-log2(frequency) on floor-log2(rank) over the word-frequency "
+    "table (natural text ~ -1; a slope far from -1 flags synthetic or "
+    "template-heavy sources).  Every regression sum is exact BIGINT "
+    "(bit-length logs, integer products); the single final division is "
+    "the only float op, so the result is bit-identical across engines "
+    "where a libm-log regression could never be.  Plan: one tokenize "
+    "scan, vocab-sized count agg, per-lang rank window (partitioned — "
+    "vocabulary-bounded, not corpus-bounded), 5-sum fold.",
+    tags=("text", "agg"),
+)
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tx.tokens("text")).alias("w"))
+    cnt = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    r = cnt.withColumn("rnk", F.row_number().over(w))
+    b = r.select(
+        "lang",
+        _bitlen(F.col("rnk")).alias("x"),
+        _bitlen(F.col("c")).alias("y"),
+        "c",
+    )
+    s = b.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        (F.col("n_vocab") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / (F.col("n_vocab") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ).alias("zipf_bit_slope")
+    return s.select("lang", "n_vocab", "n_tokens", slope)
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH pred AS ({_langid_oracle()})
+    SELECT lang_label, lang_pred,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang_label)
+                    AS DOUBLE) AS label_share
+    FROM pred
+    GROUP BY lang_label, lang_pred
+    """,
+    doc="Confusion matrix of the stopword language-ID heuristic against "
+    "the labeled lang column — the eval that closes doc_language_id's "
+    "tuning loop (diagonal mass = accuracy; off-diagonal cells name the "
+    "confusable pairs).  Counts are exact; label_share is one division "
+    "of two exact BIGINTs.  Plan: map-only scoring, a #langs^2-bounded "
+    "aggregate, then a window over the TINY aggregated frame "
+    "(partitioned by label).",
+    tags=("text", "eval"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_label"), "text"
+    )
+    pred = tx.language_id(d)
+    cell = pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang_label")
+    return cell.withColumn(
+        "label_share",
+        F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"),
+    )
+
+
+@register(
+    "lang_rebalance_weights",
+    """
+    WITH cnt AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(MAX(n_docs) AS BIGINT) AS mx,
+                   CAST(SUM(n_docs) AS BIGINT) AS total
+            FROM cnt)
+    SELECT lang, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS corpus_share,
+           CAST(mx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS upsample_weight
+    FROM cnt, tot
+    """,
+    doc="Per-language sampling weights that rebalance the corpus to a "
+    "uniform language mix (upsample_weight = majority-class count / "
+    "class count — feed straight into dataset_mix_weighted).  Exact "
+    "counts, two single divisions.  Plan: one lang-sized aggregate "
+    "crossed with a broadcast 1-row total.",
+    tags=("text", "sampling"),
+)
+def lang_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cnt.agg(
+        F.max("n_docs").cast("bigint").alias("mx"),
+        F.sum("n_docs").cast("bigint").alias("total"),
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total").cast("double")).alias(
+            "corpus_share"
+        ),
+        (F.col("mx").cast("double") / F.col("n_docs").cast("double")).alias(
+            "upsample_weight"
+        ),
+    )
+
+
+@register(
+    "event_type_user_jaccard",
+    """
+    WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+    ct AS (SELECT event_type, COUNT(*) AS n_users FROM s GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_common
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b,
+           ca.n_users AS n_a, cb.n_users AS n_b, n_common,
+           CAST(n_common AS DOUBLE)
+             / CAST(ca.n_users + cb.n_users - n_common AS DOUBLE)
+             AS user_jaccard
+    FROM inter
+    JOIN ct ca ON ca.event_type = type_a
+    JOIN ct cb ON cb.event_type = type_b
+    """,
+    doc="Audience overlap between event types: exact Jaccard of the "
+    "user sets for every type pair — the ground truth kmv_set_overlap "
+    "estimates by sketch.  Plan: one distinct (type,user) projection, "
+    "a user-keyed self-equi-join (never all-pairs: candidate mass = "
+    "users' type-combination mass, types are a small set), exact "
+    "integer counts, one final division.  Broadcast of the tiny "
+    "per-type count table.",
+    tags=("events", "agg"),
+)
+def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    s = e.select("event_type", "user_id").distinct().persist()
+    ct = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = s.select(F.col("event_type").alias("type_a"), "user_id")
+    b = s.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = F.broadcast(ct.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")))
+    cb = F.broadcast(ct.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")))
+    out = (
+        inter.join(ca, "type_a")
+        .join(cb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("user_jaccard"),
+        )
+        .persist()
+    )
+    out.count()
+    s.unpersist()
+    return out
