@@ -68,6 +68,7 @@ def curate(
     classifier_margin: float | None = None,
     leakage_free: bool = False,
     split_jaccard: float = 0.3,
+    lang_temperature: float | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -182,6 +183,19 @@ def curate(
         docs = checkpoint(
             "mixed",
             weighted_mix(docs, "doc_id", "source", mix_weights).drop("bucket"),
+        )
+
+    # 6b. optional language-mix tempering (mT5-style, downsample-only):
+    # runs AFTER quality/mix so the tempered shares reflect what actually
+    # survives, not the raw feed.
+    if lang_temperature is not None:
+        from planet_dump_ng_spark.operators.sampling import temperature_resample
+
+        docs = checkpoint(
+            "lang_tempered",
+            temperature_resample(
+                docs, "doc_id", "lang", alpha=lang_temperature
+            ).drop("bucket", "keep_threshold"),
         )
 
     # 7. split + materialize (partitioned parquet, per-split manifest).
@@ -304,6 +318,13 @@ def main(argv: list[str] | None = None) -> int:
         "classifier margin exceeds this value (0.0 = the model's own "
         "decision boundary; off when omitted)",
     )
+    p.add_argument(
+        "--lang-temperature",
+        type=float,
+        help="temper the language mix toward count**alpha shares by "
+        "deterministic downsampling (0.5 = mT5's sqrt rule, 1.0 = no-op "
+        "natural mix; off when omitted)",
+    )
     args = p.parse_args(argv)
     mix = None
     if args.mix_weights:
@@ -343,6 +364,7 @@ def main(argv: list[str] | None = None) -> int:
         classifier_margin=args.classifier_margin,
         leakage_free=args.leakage_free_split,
         split_jaccard=args.split_jaccard,
+        lang_temperature=args.lang_temperature,
     )
     if args.export_jsonl:
         (

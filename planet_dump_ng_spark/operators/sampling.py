@@ -68,6 +68,65 @@ def weighted_mix(
     return df.withColumn("bucket", bucket).filter(bucket < thr.otherwise(F.lit(0)))
 
 
+def temperature_resample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    alpha: float = 0.5,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Multilingual temperature resampling (the mT5/XLM-R mix rule),
+    realized as deterministic downsampling-only.
+
+    Target share of group g is proportional to ``count_g ** alpha``
+    (alpha=1 keeps the natural mix, alpha=0 is uniform); the
+    downsample-only realization keeps fraction
+    ``f_g = count_g**(alpha-1) / max_h count_h**(alpha-1)`` — the
+    smallest group keeps everything, larger groups are hash-thinned
+    toward the tempered share, and no row is ever duplicated.
+
+    Membership is the content-hash gate every sampler here uses:
+    ``xxhash64(key) % buckets < floor(f_g * buckets)`` — stable across
+    runs, partitionings, and appends.  For ``alpha=0.5`` the keep
+    fraction is computed as ``sqrt(min_count) / sqrt(count_g)``: sqrt
+    and division are correctly-rounded IEEE ops, so the thresholds are
+    bit-identical in any engine (the oracle-checkable path).  Other
+    alphas go through ``pow`` (deterministic within Spark, but libm
+    pow is not cross-engine exact).
+
+    Plan: one group-sized count aggregate crossed with a broadcast
+    1-row max, broadcast-joined back — the membership test itself is
+    map-only.  Adds (bucket, keep_threshold) for auditability.
+    """
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    if alpha == 0.5:
+        mn = cnt.agg(F.min("_c").cast("bigint").alias("_cmin"))
+        frac = F.sqrt(F.col("_cmin").cast("double")) / F.sqrt(
+            F.col("_c").cast("double")
+        )
+        thr = cnt.crossJoin(F.broadcast(mn))
+    else:
+        w = F.pow(F.col("_c").cast("double"), F.lit(alpha - 1.0))
+        mx = (
+            cnt.select(w.alias("_w"))
+            .agg(F.max("_w").alias("_wmax"))
+        )
+        frac = w / F.col("_wmax")
+        thr = cnt.crossJoin(F.broadcast(mx))
+    thr = thr.select(
+        group_col,
+        F.floor(frac * F.lit(float(buckets)))
+        .cast("bigint")
+        .alias("keep_threshold"),
+    )
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(buckets))
+    return (
+        df.withColumn("bucket", bucket)
+        .join(F.broadcast(thr), group_col)
+        .filter(F.col("bucket") < F.col("keep_threshold"))
+    )
+
+
 def xxhash_split(
     df: DataFrame,
     key: str,

@@ -233,6 +233,53 @@ def lang_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_temperature_oracle() -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
+
+    h = xxh64_long_inline("doc_id")
+    return f"""
+    WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    mn AS (SELECT CAST(MIN(c) AS BIGINT) AS cmin FROM cnt),
+    thr AS (SELECT lang,
+                   CAST(FLOOR(sqrt(CAST(cmin AS DOUBLE))
+                              / sqrt(CAST(c AS DOUBLE)) * 10000.0)
+                        AS BIGINT) AS keep_threshold
+            FROM cnt, mn),
+    b AS (SELECT doc_id, lang, source,
+                 (({h}) % 10000 + 10000) % 10000 AS bucket
+          FROM documents)
+    SELECT b.doc_id, b.lang, b.source, b.bucket, thr.keep_threshold
+    FROM b JOIN thr USING (lang)
+    WHERE b.bucket < thr.keep_threshold
+    """
+
+
+@register(
+    "lang_temperature_resample",
+    _lang_temperature_oracle(),
+    doc="mT5-style temperature resampling (alpha=0.5) of the corpus "
+    "language mix, downsampling-only: each language keeps fraction "
+    "sqrt(min_count)/sqrt(count) via the content-stable xxhash64 "
+    "bucket gate (operators.sampling.temperature_resample) — the "
+    "smallest language keeps everything, larger ones thin toward the "
+    "tempered share, rows are never duplicated, and membership is "
+    "append/repartition-stable.  sqrt and division are correctly-"
+    "rounded IEEE ops, so the per-language thresholds — and hence the "
+    "kept set — are bit-identical across engines; the oracle replays "
+    "the hash via the DuckDB xxhash64 replica.  Plan: lang-sized count "
+    "agg crossed with a broadcast 1-row min, broadcast join-back, "
+    "map-only gate.",
+    tags=("text", "sampling"),
+)
+def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.sampling import temperature_resample
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return temperature_resample(d, "doc_id", "lang", alpha=0.5).select(
+        "doc_id", "lang", "source", "bucket", "keep_threshold"
+    )
+
+
 @register(
     "event_type_user_jaccard",
     """

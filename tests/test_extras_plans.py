@@ -91,6 +91,72 @@ def test_lang_rebalance_weights_majority_is_one(spark):
     assert out["de"].corpus_share == 0.25
 
 
+def test_temperature_resample_thresholds(spark):
+    """en:4 docs vs de:1 doc at alpha=0.5 -> f_en = sqrt(1/4) = 0.5
+    (threshold 5000), f_de = 1.0 (threshold 10000, keeps everything).
+    Kept rows are exactly those whose xxhash64 bucket clears the gate."""
+    from planet_dump_ng_spark.operators.sampling import temperature_resample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "en"), (5, "de")],
+        "doc_id long, lang string",
+    )
+    out = temperature_resample(df, "doc_id", "lang", alpha=0.5).collect()
+    thr = {r.lang: r.keep_threshold for r in out}
+    assert thr.get("de") == 10000
+    assert all(r.keep_threshold == 5000 for r in out if r.lang == "en")
+    assert [r.doc_id for r in out if r.lang == "de"] == [5]
+    expected_en = {
+        r.doc_id
+        for r in df.withColumn(
+            "b", F.pmod(F.xxhash64("doc_id"), F.lit(10000))
+        ).collect()
+        if r.lang == "en" and r.b < 5000
+    }
+    assert {r.doc_id for r in out if r.lang == "en"} == expected_en
+
+
+def test_temperature_resample_alpha_one_keeps_all(spark):
+    """alpha=1 is the natural mix: every group's threshold is the full
+    bucket space, nothing is dropped (pow path)."""
+    from planet_dump_ng_spark.operators.sampling import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 9 else "de") for i in range(12)],
+        "doc_id long, lang string",
+    )
+    out = temperature_resample(df, "doc_id", "lang", alpha=1.0)
+    assert out.count() == 12
+
+
+def test_curate_lang_temperature_stage(spark, tmp_path):
+    """The curate stage logs 'lang_tempered' and thins only the majority
+    language (real-word docs so quality gates keep everything)."""
+    from planet_dump_ng_spark.llm_pipeline import curate
+
+    rows = [
+        (
+            i,
+            " ".join(f"w{i}tok{j}" for j in range(30)),
+            "en" if i < 40 else "de",
+            "s",
+        )
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    manifest, report = curate(
+        docs, str(tmp_path / "out"), min_tokens=5, lang_temperature=0.5
+    )
+    stages = dict(report.stages)
+    assert "lang_tempered" in stages
+    kept = spark.read.parquet(str(tmp_path / "out")).select("lang").collect()
+    langs = [r.lang for r in kept]
+    assert langs.count("de") == 10  # minority language fully kept
+    assert 0 < langs.count("en") < 40  # majority thinned, not wiped
+
+
 def test_event_type_user_jaccard_hand_sets(spark):
     """view users {1,2,3}, buy users {2,3,4}: |inter|=2, |union|=4."""
     rows = [
