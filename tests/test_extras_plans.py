@@ -129,6 +129,26 @@ def test_temperature_resample_alpha_one_keeps_all(spark):
     assert out.count() == 12
 
 
+def test_temperature_resample_alpha_monotone(spark):
+    """Raising alpha toward 1 raises every group's keep fraction
+    (f_g = count^(alpha-1)/max is monotone in alpha for each group), and
+    the hash gate turns that into SET growth: kept(0.3) is a subset of
+    kept(0.7) is a subset of kept(1.0) — the superset-stability property
+    that lets a pipeline re-temper without reshuffling old membership."""
+    from planet_dump_ng_spark.operators.sampling import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 60 else ("de" if i < 80 else "fr")) for i in range(90)],
+        "doc_id long, lang string",
+    )
+    kept = {
+        a: {r.doc_id for r in temperature_resample(df, "doc_id", "lang", alpha=a).collect()}
+        for a in (0.3, 0.7, 1.0)
+    }
+    assert kept[0.3] <= kept[0.7] <= kept[1.0]
+    assert kept[1.0] == set(range(90))
+
+
 def test_curate_lang_temperature_stage(spark, tmp_path):
     """The curate stage logs 'lang_tempered' and thins only the majority
     language (real-word docs so quality gates keep everything)."""
