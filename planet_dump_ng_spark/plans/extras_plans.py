@@ -233,6 +233,91 @@ def lang_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_drift_tv_by_source",
+    f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS w FROM documents),
+    sw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+    wt AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY w),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sw GROUP BY source),
+    tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM wt),
+    grid AS (SELECT s.source, wt.w, wt.cw
+             FROM (SELECT DISTINCT source FROM documents) s, wt),
+    j AS (SELECT g.source, g.w, g.cw, COALESCE(sw.c, 0) AS ca
+          FROM grid g LEFT JOIN sw
+            ON sw.source = g.source AND sw.w = g.w)
+    SELECT j.source,
+           st.ns AS n_tokens_src,
+           tot.n - st.ns AS n_tokens_rest,
+           COUNT(*) AS n_types,
+           CAST(SUM(CAST(trunc(abs(CAST(j.ca AS DOUBLE) / st.ns
+                                   - CAST(j.cw - j.ca AS DOUBLE)
+                                     / (tot.n - st.ns)) * 1e12)
+                         AS BIGINT)) AS BIGINT) AS tv_q,
+           CAST(SUM(CAST(trunc(abs(CAST(j.ca AS DOUBLE) / st.ns
+                                   - CAST(j.cw - j.ca AS DOUBLE)
+                                     / (tot.n - st.ns)) * 1e12)
+                         AS BIGINT)) AS DOUBLE) / 1e12 / 2 AS tv_distance
+    FROM j JOIN st USING (source), tot
+    GROUP BY j.source, st.ns, tot.n
+    """,
+    doc="Text-distribution drift: total-variation distance between each "
+    "source's token distribution and the REST of the corpus — the "
+    "which-feed-changed alarm for text (value_drift_tv's discipline "
+    "applied to the vocabulary: each |share difference| truncated to "
+    "1e-12 and summed as an exact integer, order-independent and "
+    "hash-exact).  Words a source never uses still contribute their "
+    "rest-share mass via the source x vocab grid (a broadcast "
+    "nested-loop of the TINY distinct-source list against the "
+    "vocab-sized total table — never a corpus-sized product).  Plan: "
+    "one tokenize scan, three vocab/source-sized aggregates, one "
+    "vocab x sources join, per-source fold.",
+    tags=("drift", "text", "agg"),
+)
+def token_drift_tv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tx.tokens("text")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c")).persist()
+    wt = sw.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    st = sw.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    tot = wt.agg(F.sum("cw").cast("bigint").alias("n"))
+    sources = d.select("source").distinct()
+    grid = wt.crossJoin(F.broadcast(sources))
+    j = grid.join(sw, ["source", "w"], "left").select(
+        "source", "w", "cw", F.coalesce(F.col("c"), F.lit(0)).alias("ca")
+    )
+    diff_q = (
+        F.abs(
+            F.col("ca").cast("double") / F.col("ns")
+            - (F.col("cw") - F.col("ca")).cast("double")
+            / (F.col("n") - F.col("ns"))
+        )
+        * 1e12
+    ).cast("long")
+    out = (
+        j.join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "ns", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(diff_q).cast("bigint").alias("tv_q"),
+            (F.sum(diff_q).cast("double") / 1e12 / 2).alias("tv_distance"),
+        )
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens_src"),
+            (F.col("n") - F.col("ns")).alias("n_tokens_rest"),
+            "n_types",
+            "tv_q",
+            "tv_distance",
+        )
+        .persist()
+    )
+    out.count()
+    sw.unpersist()
+    return out
+
+
 def _lang_temperature_oracle() -> str:
     from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_long_inline
 

@@ -91,6 +91,27 @@ def test_lang_rebalance_weights_majority_is_one(spark):
     assert out["de"].corpus_share == 0.25
 
 
+def test_token_drift_tv_hand_distributions(spark):
+    """Source A = 'x x y' (p = 2/3, 1/3), source B = 'x y y' (mirror).
+    TV(A vs rest=B) = 0.5 * (|2/3-1/3| + |1/3-2/3|) = 1/3; symmetric for
+    B.  Vocabulary grid covers both sources' words."""
+    from planet_dump_ng_spark.plans.extras_plans import token_drift_tv_by_source
+
+    rows = [(1, "x x y", "A", "en"), (2, "x y y", "B", "en")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string"
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.source: r for r in token_drift_tv_by_source(spark, d).collect()}
+    assert set(out) == {"A", "B"}
+    for s in ("A", "B"):
+        r = out[s]
+        assert (r.n_tokens_src, r.n_tokens_rest, r.n_types) == (3, 3, 2)
+        assert r.tv_distance == pytest.approx(1 / 3, abs=1e-9)
+
+
 def test_temperature_resample_thresholds(spark):
     """en:4 docs vs de:1 doc at alpha=0.5 -> f_en = sqrt(1/4) = 0.5
     (threshold 5000), f_de = 1.0 (threshold 10000, keeps everything).
