@@ -87,3 +87,27 @@ def test_pbf_source_roundtrip(spark, pbf_outputs):
     assert (row.id, row.version, row.visible) == first[:3]
     assert row.ts == first[3] and row.latitude == first[7]
     assert [(t.k, t.v) for t in row.tags] == list(first[9])
+
+
+def test_ingest_cli_writes_parquet_tables(spark, pbf_outputs, tmp_path):
+    """pbf2parquet CLI: one parquet dataset per kind, row counts equal to
+    the reference single-threaded parse of the same file."""
+    from planet_dump_ng_spark import ingest_cli
+
+    path = str(pbf_outputs / "planet.osm.pbf")
+    out = str(tmp_path / "ingested")
+    rc = ingest_cli.main(["--input", path, "--output", out])
+    assert rc == 0
+    ref = read_pbf(path)
+    for kind in ("nodes", "ways", "relations"):
+        df = spark.read.parquet(f"{out}/{kind}")
+        assert df.count() == len(ref[kind]), kind
+
+
+def test_ingest_cli_missing_file(tmp_path, capsys):
+    from planet_dump_ng_spark import ingest_cli
+
+    rc = ingest_cli.main(
+        ["--input", str(tmp_path / "nope.pbf"), "--output", str(tmp_path / "o")]
+    )
+    assert rc == 2
