@@ -233,6 +233,78 @@ def lang_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gate_agreement_oracle() -> str:
+    from planet_dump_ng_spark.plans.text_plans import _hits_sql
+
+    margin = str(tx.QUALITY_MODEL_BIAS) + "".join(
+        f" + {w!r} * {name}" for name, w in tx.QUALITY_MODEL_WEIGHTS
+    )
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio,
+             {_hits_sql(tx.LANG_STOPWORDS['en'])}::DOUBLE
+               / greatest(len({_TOKS}), 1) AS stop_ratio,
+             len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+               / greatest(length(text), 1) AS digit_ratio,
+             least(len({_TOKS}), 300)::DOUBLE / 300.0 AS len_feat
+      FROM documents
+    ),
+    g AS (SELECT (n_tokens BETWEEN 5 AND 1000 AND punct_ratio < 0.1)
+                   AS rule_keep,
+                 (({margin}) > 0.0) AS clf_keep
+          FROM feats),
+    c AS (SELECT rule_keep, clf_keep, COUNT(*) AS n_docs
+          FROM g GROUP BY rule_keep, clf_keep),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c)
+    SELECT rule_keep, clf_keep, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c, t
+    """
+
+
+@register(
+    "quality_gate_agreement",
+    _gate_agreement_oracle(),
+    doc="2x2 agreement matrix between the rule quality gate "
+    "(doc_quality_score's keep: 5<=tokens<=1000 and punct<0.1) and the "
+    "learned linear classifier gate (quality_classifier_score's "
+    "margin>0) — the eval that closes the classifier's tuning loop the "
+    "way lang_id_confusion closes language-ID's: the diagonal is "
+    "consensus, rule_keep&!clf_keep is what deploying the model would "
+    "newly drop, !rule_keep&clf_keep what it would rescue.  One "
+    "map-only feature scan, a 4-row aggregate, exact counts, one "
+    "division against a broadcast total.",
+    tags=("text", "eval", "filter"),
+)
+def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", tx.token_count("text")
+    )
+    scored = tx.linear_quality_score(d)
+    g = scored.select(
+        (
+            F.col("n_tokens").between(5, 1000)
+            & (F.col("punct_ratio") < 0.1)
+        ).alias("rule_keep"),
+        F.col("keep").alias("clf_keep"),
+    )
+    c = g.groupBy("rule_keep", "clf_keep").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    t = c.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "rule_keep",
+        "clf_keep",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
 @register(
     "token_drift_tv_by_source",
     f"""
