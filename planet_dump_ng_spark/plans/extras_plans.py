@@ -313,37 +313,41 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY w),
     st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sw GROUP BY source),
     tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM wt),
-    grid AS (SELECT s.source, wt.w, wt.cw
-             FROM (SELECT DISTINCT source FROM documents) s, wt),
-    j AS (SELECT g.source, g.w, g.cw, COALESCE(sw.c, 0) AS ca
-          FROM grid g LEFT JOIN sw
-            ON sw.source = g.source AND sw.w = g.w)
-    SELECT j.source,
+    p AS (SELECT sw.source,
+                 COUNT(*) AS n_types_src,
+                 CAST(SUM(CAST(trunc(abs(CAST(sw.c AS DOUBLE) / st.ns
+                                         - CAST(wt.cw - sw.c AS DOUBLE)
+                                           / (tot.n - st.ns)) * 1e12)
+                               AS BIGINT)) AS BIGINT) AS present_q,
+                 CAST(SUM(wt.cw - sw.c) AS BIGINT) AS present_rest
+          FROM sw JOIN wt USING (w) JOIN st USING (source), tot
+          GROUP BY sw.source)
+    SELECT p.source,
            st.ns AS n_tokens_src,
            tot.n - st.ns AS n_tokens_rest,
-           COUNT(*) AS n_types,
-           CAST(SUM(CAST(trunc(abs(CAST(j.ca AS DOUBLE) / st.ns
-                                   - CAST(j.cw - j.ca AS DOUBLE)
-                                     / (tot.n - st.ns)) * 1e12)
-                         AS BIGINT)) AS BIGINT) AS tv_q,
-           CAST(SUM(CAST(trunc(abs(CAST(j.ca AS DOUBLE) / st.ns
-                                   - CAST(j.cw - j.ca AS DOUBLE)
-                                     / (tot.n - st.ns)) * 1e12)
-                         AS BIGINT)) AS DOUBLE) / 1e12 / 2 AS tv_distance
-    FROM j JOIN st USING (source), tot
-    GROUP BY j.source, st.ns, tot.n
+           p.n_types_src,
+           p.present_q
+             + CAST(trunc(CAST((tot.n - st.ns) - p.present_rest AS DOUBLE)
+                          / (tot.n - st.ns) * 1e12) AS BIGINT) AS tv_q,
+           CAST(p.present_q
+                + CAST(trunc(CAST((tot.n - st.ns) - p.present_rest AS DOUBLE)
+                             / (tot.n - st.ns) * 1e12) AS BIGINT)
+             AS DOUBLE) / 1e12 / 2 AS tv_distance
+    FROM p JOIN st USING (source), tot
     """,
     doc="Text-distribution drift: total-variation distance between each "
     "source's token distribution and the REST of the corpus — the "
     "which-feed-changed alarm for text (value_drift_tv's discipline "
-    "applied to the vocabulary: each |share difference| truncated to "
-    "1e-12 and summed as an exact integer, order-independent and "
-    "hash-exact).  Words a source never uses still contribute their "
-    "rest-share mass via the source x vocab grid (a broadcast "
-    "nested-loop of the TINY distinct-source list against the "
-    "vocab-sized total table — never a corpus-sized product).  Plan: "
-    "one tokenize scan, three vocab/source-sized aggregates, one "
-    "vocab x sources join, per-source fold.",
+    "applied to the vocabulary: |share gaps| truncated to 1e-12 and "
+    "summed as exact integers, order-independent and hash-exact).  "
+    "Words a source never uses are folded ANALYTICALLY: their total "
+    "rest-share mass is (rest_tokens - rest-mass-of-present-words) / "
+    "rest_tokens — one closed-form term per source instead of a "
+    "vocab x sources grid, so the join input is only the PRESENT "
+    "(source, word) pairs (sum of per-source vocabularies, not "
+    "V x S).  Plan: one tokenize scan, three vocab/source-sized "
+    "aggregates, one word-keyed join over present pairs, per-source "
+    "fold.",
     tags=("drift", "text", "agg"),
 )
 def token_drift_tv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,35 +357,44 @@ def token_drift_tv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = sw.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
     st = sw.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
     tot = wt.agg(F.sum("cw").cast("bigint").alias("n"))
-    sources = d.select("source").distinct()
-    grid = wt.crossJoin(F.broadcast(sources))
-    j = grid.join(sw, ["source", "w"], "left").select(
-        "source", "w", "cw", F.coalesce(F.col("c"), F.lit(0)).alias("ca")
-    )
     diff_q = (
         F.abs(
-            F.col("ca").cast("double") / F.col("ns")
-            - (F.col("cw") - F.col("ca")).cast("double")
+            F.col("c").cast("double") / F.col("ns")
+            - (F.col("cw") - F.col("c")).cast("double")
             / (F.col("n") - F.col("ns"))
         )
         * 1e12
     ).cast("long")
-    out = (
-        j.join(F.broadcast(st), "source")
+    p = (
+        sw.join(wt, "w")
+        .join(F.broadcast(st), "source")
         .crossJoin(F.broadcast(tot))
-        .groupBy("source", "ns", "n")
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_types"),
-            F.sum(diff_q).cast("bigint").alias("tv_q"),
-            (F.sum(diff_q).cast("double") / 1e12 / 2).alias("tv_distance"),
+            F.count(F.lit(1)).alias("n_types_src"),
+            F.sum(diff_q).cast("bigint").alias("present_q"),
+            F.sum(F.col("cw") - F.col("c")).cast("bigint").alias("present_rest"),
         )
+    )
+    absent_q = (
+        (
+            ((F.col("n") - F.col("ns")) - F.col("present_rest")).cast("double")
+            / (F.col("n") - F.col("ns"))
+            * 1e12
+        ).cast("long")
+    )
+    out = (
+        p.join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
         .select(
             "source",
             F.col("ns").alias("n_tokens_src"),
             (F.col("n") - F.col("ns")).alias("n_tokens_rest"),
-            "n_types",
-            "tv_q",
-            "tv_distance",
+            "n_types_src",
+            (F.col("present_q") + absent_q).alias("tv_q"),
+            (
+                (F.col("present_q") + absent_q).cast("double") / 1e12 / 2
+            ).alias("tv_distance"),
         )
         .persist()
     )

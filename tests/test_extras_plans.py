@@ -108,8 +108,27 @@ def test_token_drift_tv_hand_distributions(spark):
     assert set(out) == {"A", "B"}
     for s in ("A", "B"):
         r = out[s]
-        assert (r.n_tokens_src, r.n_tokens_rest, r.n_types) == (3, 3, 2)
+        assert (r.n_tokens_src, r.n_tokens_rest, r.n_types_src) == (3, 3, 2)
         assert r.tv_distance == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_token_drift_tv_disjoint_vocab_is_one(spark):
+    """Disjoint vocabularies ('x x' vs 'y'): TV must be exactly 1 — the
+    absent-word mass is folded analytically, so a wrong closed form would
+    show up here as < 1."""
+    from planet_dump_ng_spark.plans.extras_plans import token_drift_tv_by_source
+
+    rows = [(1, "x x", "A", "en"), (2, "y", "B", "en")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string"
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.source: r for r in token_drift_tv_by_source(spark, d).collect()}
+    for s in ("A", "B"):
+        assert out[s].tv_distance == pytest.approx(1.0, abs=1e-9)
+        assert out[s].n_types_src == 1
 
 
 def test_temperature_resample_thresholds(spark):
