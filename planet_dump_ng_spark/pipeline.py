@@ -266,9 +266,34 @@ def write_outputs(
             list(pool.map(lambda df: df.count(), shared))
         # submit (not map): map surfaces only the FIRST failure while
         # sibling outputs still run to completion — failed or
-        # partially-written paths must all be reported, not just one
+        # partially-written paths must all be reported, not just one.
+        # Each output runs in its OWN on-demand FAIR pool (pool name =
+        # thread-local property): with every job in one pool the pool's
+        # internal FIFO still serializes whole stages across outputs;
+        # one-pool-per-output is what actually round-robins task slots
+        # between the writers (session.py sets spark.scheduler.mode=FAIR).
+        pooled = list(arranged.values()) + (
+            [cs_arranged] if cs_arranged is not None else []
+        )
+        spark = pooled[0].sparkSession if pooled else None
+
+        def emit_pooled(spec: OutputSpec) -> None:
+            if spark is not None:
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"emit-{os.path.basename(spec.path)}"
+                )
+            try:
+                emit_one(spec)
+            finally:
+                if spark is not None:
+                    spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", None
+                    )
+
         with ThreadPoolExecutor(max_workers=len(outputs)) as pool:
-            futures = {spec.path: pool.submit(emit_one, spec) for spec in outputs}
+            futures = {
+                spec.path: pool.submit(emit_pooled, spec) for spec in outputs
+            }
         failures = {
             path: f.exception() for path, f in futures.items() if f.exception()
         }

@@ -56,6 +56,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # FAIR task scheduling: the multicast emit (pipeline.write_outputs)
+        # submits one job chain per output from threads — under FIFO an
+        # earlier output's wide stage monopolizes every task slot and the
+        # sibling outputs' stages queue whole-stage-at-a-time behind it
+        # (observed as multi-second straggler gaps on the XML outputs).
+        # FAIR round-robins slots between the concurrent jobs, which is
+        # the reference's one-thread-per-writer concurrency model
+        # (planet-dump.cpp:242-259) expressed in scheduler terms.
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
