@@ -195,8 +195,26 @@ def main() -> int:
             for name in slowest
         }
 
-    pipe = pipeline_bench(spark)
-    cur = curation_bench(spark, sf_dir)
+    # The end-to-end sections are the noisiest samples on a shared host
+    # (observed: identical code, 8 s -> 55 s emit within one evening while
+    # CPU microbenchmarks stayed flat).  Best-of-2 with both totals
+    # recorded measures the pipeline, not the host's noise window; the
+    # calibration loop (fixed single-core work) is the tell — if calib_s
+    # swings between rounds, wall-clock deltas are environment, not code.
+    pipe_runs = [pipeline_bench(spark), pipeline_bench(spark)]
+    pipe = min((p for p in pipe_runs if p), key=lambda p: p["total"], default={})
+    if pipe:
+        pipe["runs"] = [p.get("total") for p in pipe_runs if p]
+    cur_runs = [curation_bench(spark, sf_dir), curation_bench(spark, sf_dir)]
+    cur = min((c for c in cur_runs if c), key=lambda c: c["total"], default={})
+    if cur:
+        cur["runs"] = [c.get("total") for c in cur_runs if c]
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    calib_s = round(time.perf_counter() - t0, 3)
 
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
@@ -218,6 +236,7 @@ def main() -> int:
                         1 for s in plans.QUERIES.values() if s.oracle
                     ),
                 },
+                "calib_s": calib_s,
                 "sf": sf,
             }
         )
