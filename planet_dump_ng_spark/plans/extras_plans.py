@@ -233,6 +233,53 @@ def lang_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_chunking_overlap",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(30 * i AS INT) AS chunk_start,
+           array_to_string(toks[30 * i + 1 : 30 * i + 50], ' ') AS chunk_text,
+           CAST(least(50, len(toks) - 30 * i) AS INT) AS n_tokens
+    FROM t, unnest(range(0, CAST(ceil(len(toks) / 30.0) AS BIGINT))) AS u(i)
+    """,
+    doc="Sliding-window token chunking (50-token windows, stride 30 = "
+    "20-token overlap): the RAG-standard chunker — overlap keeps "
+    "sentences that straddle a boundary retrievable from at least one "
+    "chunk, which the non-overlapping doc_chunking loses.  Window i "
+    "starts at token 30*i; every chunk with a start inside the doc is "
+    "emitted, so tails shorten rather than drop.  Map-only explode, no "
+    "shuffle; ~n/30 chunks per n-token doc.",
+    tags=("text",),
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens("text").alias("toks"))
+    n = F.size("toks")
+    return (
+        t.filter(n > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(n / F.lit(30.0)).cast("int") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int"),
+            (F.col("chunk_idx") * 30).cast("int").alias("chunk_start"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_idx") * 30 + 1, 50), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(50), F.size("toks") - F.col("chunk_idx") * 30)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
 def _gate_agreement_oracle() -> str:
     from planet_dump_ng_spark.plans.text_plans import _hits_sql
 

@@ -91,6 +91,27 @@ def test_lang_rebalance_weights_majority_is_one(spark):
     assert out["de"].corpus_share == 0.25
 
 
+def test_doc_chunking_overlap_window_math(spark):
+    """60 tokens, window 50 / stride 30: chunk 0 = tokens 0-49, chunk 1 =
+    tokens 30-59 (30 tokens, 20-token overlap with chunk 0)."""
+    from planet_dump_ng_spark.plans.extras_plans import doc_chunking_overlap
+
+    text = " ".join(f"t{i}" for i in range(60))
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, [(1, text, "en")])
+        out = sorted(
+            doc_chunking_overlap(spark, d).collect(), key=lambda r: r.chunk_idx
+        )
+    assert [(r.chunk_idx, r.chunk_start, r.n_tokens) for r in out] == [
+        (0, 0, 50),
+        (1, 30, 30),
+    ]
+    c0, c1 = out[0].chunk_text.split(), out[1].chunk_text.split()
+    assert c0 == [f"t{i}" for i in range(50)]
+    assert c1 == [f"t{i}" for i in range(30, 60)]
+    assert c0[30:] == c1[:20]  # the 20-token overlap
+
+
 def test_token_drift_tv_hand_distributions(spark):
     """Source A = 'x x y' (p = 2/3, 1/3), source B = 'x y y' (mirror).
     TV(A vs rest=B) = 0.5 * (|2/3-1/3| + |1/3-2/3|) = 1/3; symmetric for
