@@ -97,8 +97,15 @@ def temperature_resample(
     Plan: one group-sized count aggregate crossed with a broadcast
     1-row max, broadcast-joined back — the membership test itself is
     map-only.  Adds (bucket, keep_threshold) for auditability.
+
+    Rows with a NULL group form their own group (the count join is on a
+    null-coalesced internal key): raw feeds with missing language tags
+    must be tempered like any other class, not silently dropped by a
+    null-key inner join.
     """
-    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
+    df = df.withColumn("_tr_grp", grp)
+    cnt = df.groupBy("_tr_grp").agg(F.count(F.lit(1)).alias("_c"))
     if alpha == 0.5:
         mn = cnt.agg(F.min("_c").cast("bigint").alias("_cmin"))
         frac = F.sqrt(F.col("_cmin").cast("double")) / F.sqrt(
@@ -114,7 +121,7 @@ def temperature_resample(
         frac = w / F.col("_wmax")
         thr = cnt.crossJoin(F.broadcast(mx))
     thr = thr.select(
-        group_col,
+        "_tr_grp",
         F.floor(frac * F.lit(float(buckets)))
         .cast("bigint")
         .alias("keep_threshold"),
@@ -122,8 +129,9 @@ def temperature_resample(
     bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(buckets))
     return (
         df.withColumn("bucket", bucket)
-        .join(F.broadcast(thr), group_col)
+        .join(F.broadcast(thr), "_tr_grp")
         .filter(F.col("bucket") < F.col("keep_threshold"))
+        .drop("_tr_grp")
     )
 
 

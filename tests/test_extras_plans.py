@@ -190,6 +190,23 @@ def test_temperature_resample_alpha_one_keeps_all(spark):
     assert out.count() == 12
 
 
+def test_temperature_resample_null_group_kept(spark):
+    """Docs with a NULL group form their own class (never silently
+    dropped by a null-key join): a 1-doc null group is the minority, so
+    it keeps everything at alpha=0.5."""
+    from planet_dump_ng_spark.operators.sampling import temperature_resample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "en"), (5, None)],
+        "doc_id long, lang string",
+    )
+    out = temperature_resample(df, "doc_id", "lang", alpha=0.5).collect()
+    nulls = [r for r in out if r.lang is None]
+    assert [r.doc_id for r in nulls] == [5]
+    assert nulls[0].keep_threshold == 10000
+    assert "_tr_grp" not in out[0].asDict()
+
+
 def test_temperature_resample_alpha_monotone(spark):
     """Raising alpha toward 1 raises every group's keep fraction
     (f_g = count^(alpha-1)/max is monotone in alpha for each group), and
