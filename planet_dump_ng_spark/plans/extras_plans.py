@@ -116,6 +116,7 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_vocab * sxy - sx * sy AS DOUBLE)
              / CAST(n_vocab * sxx - sx * sx AS DOUBLE) AS zipf_bit_slope
     FROM s
+    WHERE n_vocab >= 2
     """,
     doc="Zipf's-law fit per language: least-squares slope of "
     "floor-log2(frequency) on floor-log2(rank) over the word-frequency "
@@ -156,7 +157,11 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double"
         )
     ).alias("zipf_bit_slope")
-    return s.select("lang", "n_vocab", "n_tokens", slope)
+    # a 1-word vocabulary has zero rank variance (0/0 slope — and engines
+    # disagree on float 0/0: Spark NaN vs DuckDB error/NULL); no fit exists
+    return s.filter(F.col("n_vocab") >= 2).select(
+        "lang", "n_vocab", "n_tokens", slope
+    )
 
 
 @register(
@@ -381,6 +386,7 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / (tot.n - st.ns) * 1e12) AS BIGINT)
              AS DOUBLE) / 1e12 / 2 AS tv_distance
     FROM p JOIN st USING (source), tot
+    WHERE st.ns < tot.n
     """,
     doc="Text-distribution drift: total-variation distance between each "
     "source's token distribution and the REST of the corpus — the "
@@ -433,6 +439,9 @@ def token_drift_tv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         p.join(F.broadcast(st), "source")
         .crossJoin(F.broadcast(tot))
+        # a source that IS the whole corpus has no rest distribution to
+        # drift from (and engines disagree on float division by zero)
+        .filter(F.col("ns") < F.col("n"))
         .select(
             "source",
             F.col("ns").alias("n_tokens_src"),
