@@ -131,6 +131,35 @@ def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def log2_ratio_mitchell(n, d):
+    """Engine-exact log2(n/d) approximation (Mitchell's piecewise-linear
+    log, 1962): with ``r = trunc(2^20 * n / d)`` and ``e = bitlen(r) - 1``,
+
+        log2(n/d) ≈ (e + (r - 2^e) / 2^e) - 20
+
+    — integer/bit arithmetic plus ONE division by an exact power of
+    two, no libm, so Spark, DuckDB (plans/text_plans._mitchell_idf_sql)
+    and plain Python produce the identical double bit-for-bit.  Max
+    error vs true log2 is ~0.086 (the mantissa linearization); monotone
+    in n/d, and 0 exactly when n == d.
+
+    This replaced the coarser ``bitlen(N) - bitlen(df)`` IDF: that one
+    floors to ZERO whenever df shares N's power-of-two bracket (e.g.
+    every term with df > N/2), which zeroes ALL scores on a
+    small-vocabulary corpus.  Mitchell keeps the no-libm discipline but
+    resolves within the bracket.
+    """
+    n = n.cast("bigint")
+    rq = ((n * F.lit(1048576)).cast("double") / d.cast("double")).cast(
+        "long"
+    )
+    e = (F.length(F.bin(rq)) - F.lit(1)).cast("int")
+    p2 = F.call_function("shiftleft", F.lit(1).cast("bigint"), e)
+    return (
+        e.cast("double") + (rq - p2).cast("double") / p2.cast("double")
+    ) - F.lit(20.0)
+
+
 def bm25_scores(
     df: DataFrame,
     terms: list[str],
@@ -143,25 +172,47 @@ def bm25_scores(
     -> (id, n_matched_terms, score_q, bm25_score).
 
     Classic tf-saturation term (doc-length normalized) weighted by a
-    bit-length log2 IDF (floor-log2(N) - floor-log2(df) — no libm log,
-    engine-exact); per-term scores are 1e-9-truncated and summed as
-    integers so the doc score is order-independent.  The tf table only
+    Mitchell-interpolated log2 IDF (:func:`log2_ratio_mitchell` of
+    N/df — no libm log, engine-exact); per-term scores are
+    1e-9-truncated and summed as integers so the doc score is
+    order-independent.  The tf table only
     materializes rows for the query terms (the isin filter pushes into
     the explode scan), df/avgdl are broadcast-tiny aggregates — cost is
     proportional to docs CONTAINING a term, not the corpus.
     """
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     dl = toks.select("doc_id", F.size("toks").alias("dl")).persist()
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
     tok = toks.select("doc_id", F.explode("toks").alias("w")).filter(
         F.col("w").isin(list(terms))
     )
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    out = score_bm25_tables(tf, dl, k1=k1, b=b).persist()
+    out.count()
+    dl.unpersist()
+    return out
+
+
+def score_bm25_tables(
+    tf: DataFrame, dl: DataFrame, k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """BM25 scoring over PRE-BUILT inverted-index tables: ``tf``
+    (doc_id, w, tf) already filtered to the query terms, ``dl``
+    (doc_id, dl) over the FULL corpus.  The shared scoring kernel of
+    :func:`bm25_scores` (on-the-fly tokenize) and the persisted-index
+    query path (operators.text_index) — one formula, so the served
+    result is bit-identical to the direct one by construction.
+
+    n_docs / avgdl are derived from ``dl`` (broadcast-tiny aggregate);
+    per-term df from the term-filtered ``tf`` itself (filtering cannot
+    change df: df(w) counts docs containing w).  Per-term scores are
+    1e-9-truncated and summed as integers — order-independent.
+    """
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
     dfq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    idf_bits = F.length(F.bin(F.col("n_docs"))) - F.length(F.bin(F.col("df")))
+    idf = log2_ratio_mitchell(F.col("n_docs"), F.col("df"))
     sat = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
         F.col("tf").cast("double")
         + F.lit(k1)
@@ -170,8 +221,8 @@ def bm25_scores(
             + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
         )
     )
-    term_score = idf_bits * sat
-    out = (
+    term_score = idf * sat
+    return (
         tf.join(F.broadcast(dfq), "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -182,11 +233,7 @@ def bm25_scores(
             F.sum("tsq").cast("bigint").alias("score_q"),
             (F.sum("tsq").cast("double") / F.lit(1e9)).alias("bm25_score"),
         )
-        .persist()
     )
-    out.count()
-    dl.unpersist()
-    return out
 
 
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:

@@ -571,3 +571,515 @@ def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     s.unpersist()
     return out
+
+
+def _novelty_oracle(batch_size: int = 100) -> str:
+    from planet_dump_ng_spark.operators.dedup import _MERSENNE_31
+    from planet_dump_ng_spark.plans.dedup_plans import _SHINGLES
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_pmod_inline
+
+    hash_expr = xxh64_pmod_inline("s", _MERSENNE_31)
+    return f"""
+    WITH sh0 AS (
+      SELECT CAST(floor(doc_id / {batch_size}) AS BIGINT) AS batch,
+             unnest({_SHINGLES}) AS s
+      FROM documents),
+    hh AS MATERIALIZED (
+      SELECT DISTINCT batch, {hash_expr} AS h FROM sh0),
+    tot AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM hh GROUP BY batch),
+    nov AS (SELECT fb AS batch, CAST(COUNT(*) AS BIGINT) AS n_novel
+            FROM (SELECT h, MIN(batch) AS fb FROM hh GROUP BY h)
+            GROUP BY fb),
+    nd AS (SELECT CAST(floor(doc_id / {batch_size}) AS BIGINT) AS batch,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY batch)
+    SELECT nd.batch, nd.n_docs,
+           COALESCE(tot.n_shingles, 0) AS n_shingles,
+           COALESCE(nov.n_novel, 0) AS n_novel,
+           CASE WHEN COALESCE(tot.n_shingles, 0) > 0
+                THEN CAST(COALESCE(nov.n_novel, 0) AS DOUBLE)
+                       / tot.n_shingles
+           END AS novelty_ratio
+    FROM nd
+    LEFT JOIN tot USING (batch)
+    LEFT JOIN nov USING (batch)
+    """
+
+
+@register(
+    "ngram_novelty_by_batch",
+    _novelty_oracle(),
+    doc="Shingle novelty per ingest batch (doc_id order as arrival "
+    "proxy, 100 docs per batch): of each batch's distinct 3-token "
+    "shingle hashes, the share never seen in ANY earlier batch — the "
+    "crawl-snapshot diminishing-returns curve (RefinedWeb/C4 style): "
+    "a feed whose novelty decays to near zero is re-crawling what the "
+    "corpus already holds, so marginal batches fund no new tokens.  "
+    "Plan: explode hashed shingles once (31-bit folded xxhash64, "
+    "8-byte shuffle keys), distinct per (batch, hash), then TWO "
+    "map-side-combinable aggregates — per-batch totals straight off "
+    "the distinct table and a global MIN(batch) per hash whose "
+    "group-by-first-batch recount yields the novel counts; NO "
+    "join-back through the corpus-sized table, the three per-batch "
+    "frames that meet in the final join are each O(batches) rows.  "
+    "The oracle replays the identical hash fold, so even cross-batch "
+    "fold collisions agree.  Tokenless docs count in n_docs but carry "
+    "no shingles (operators.dedup.shingles contract).",
+    tags=("dedup", "text", "agg"),
+)
+def ngram_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators import dedup as dd
+
+    batch_size = 100
+    docs = table(spark, sf_dir, "documents")
+    batch = F.floor(F.col("doc_id") / F.lit(batch_size)).cast("bigint")
+    hh = (
+        docs.select(
+            batch.alias("batch"),
+            F.explode(dd.shingle_hashes("text", 3)).alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    tot = hh.groupBy("batch").agg(F.count(F.lit(1)).alias("n_shingles"))
+    nov = (
+        hh.groupBy("h")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    nd = docs.groupBy(batch.alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("bigint")
+    n_nov = F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
+    out = (
+        nd.join(tot, "batch", "left")
+        .join(nov, "batch", "left")
+        .select(
+            "batch",
+            "n_docs",
+            n_sh.alias("n_shingles"),
+            n_nov.alias("n_novel"),
+            F.when(
+                n_sh > 0, n_nov.cast("double") / n_sh
+            ).alias("novelty_ratio"),
+        )
+        .persist()
+    )
+    out.count()
+    hh.unpersist()
+    return out
+
+
+def _dup_by_length_oracle(band_chars: int = 100, threshold: float = 0.1) -> str:
+    from planet_dump_ng_spark.plans.dedup_plans import _SHINGLES
+
+    jac = (
+        "len(list_intersect(a.sh, b.sh))::DOUBLE"
+        " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE {jac} >= {threshold}),
+    dup AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b AS doc_id FROM pairs))
+    SELECT CAST(floor(d.n_chars / {band_chars}) AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_near_dup,
+           CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) AS near_dup_rate
+    FROM documents d LEFT JOIN dup USING (doc_id)
+    GROUP BY band
+    """
+
+
+@register(
+    "near_dup_rate_by_length",
+    _dup_by_length_oracle(),
+    doc="Near-duplicate incidence by document length band (100-char "
+    "bands): the share of each band's documents appearing in at least "
+    "one verified near-dup pair (exact 3-shingle Jaccard >= 0.1, "
+    "source-blocked — the dedup_ngram_jaccard pair table reused as a "
+    "building block).  The curation diagnostic that tells you WHERE "
+    "duplication mass lives — short boilerplate vs long mirrored "
+    "articles — and hence which length regime near-dedup thresholds "
+    "should be tuned against.  Plan: the pair table's inverted-index "
+    "join (cost ∝ shared-shingle mass within source blocks), a "
+    "distinct union of pair endpoints (near-dup-doc-sized), one "
+    "left-semi-style broadcast join back to documents, one per-band "
+    "aggregate.",
+    tags=("dedup", "text", "agg"),
+)
+def near_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators import dedup as dd
+
+    band_chars = 100
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.1, block_col="source"
+    )
+    dup = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    n_dup = F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("bigint")
+    out = (
+        docs.join(dup, "doc_id", "left")
+        .groupBy(
+            F.floor(F.col("n_chars") / F.lit(band_chars))
+            .cast("bigint")
+            .alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_dup.alias("n_near_dup"),
+            (n_dup.cast("double") / F.count(F.lit(1))).alias(
+                "near_dup_rate"
+            ),
+        )
+    )
+    return out
+
+
+def _self_retrieval_oracle(
+    q_mod: int = 29, max_q_terms: int = 32, k: int = 5,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    from planet_dump_ng_spark.plans.text_plans import _mitchell_idf_sql
+
+    idf = _mitchell_idf_sql("s.n_docs", "q.df")
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    tf AS MATERIALIZED (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+      GROUP BY doc_id, w),
+    dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    qterms AS (
+      SELECT q_doc, w, qtf, df FROM (
+        SELECT tf.doc_id AS q_doc, tf.w, tf.tf AS qtf, dfw.df,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, tf.w ASC) AS rn
+        FROM tf JOIN dfw USING (w)
+        WHERE tf.doc_id % {q_mod} = 0)
+      WHERE rn <= {max_q_terms}),
+    scored AS (
+      SELECT q.q_doc, tf.doc_id,
+             SUM(CAST(trunc(
+               (CAST(q.qtf AS DOUBLE)
+                * ({idf}
+                   * ((CAST(tf.tf AS DOUBLE) * ({k1!r} + 1.0))
+                      / (CAST(tf.tf AS DOUBLE) + {k1!r}
+                         * (1.0 - {b!r}
+                            + {b!r} * (CAST(dl.dl AS DOUBLE)
+                                       / s.avgdl))))))
+               * 1e9) AS BIGINT)) AS score_q
+      FROM qterms q
+      JOIN tf ON tf.w = q.w
+      JOIN dl ON dl.doc_id = tf.doc_id, stats s
+      GROUP BY q.q_doc, tf.doc_id),
+    ranked AS (
+      SELECT q_doc, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_doc
+                                ORDER BY score_q DESC, doc_id ASC) AS rnk
+      FROM scored),
+    hit AS (SELECT q_doc, rnk FROM ranked WHERE doc_id = q_doc)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_1,
+           CAST(SUM(CASE WHEN rnk <= {k} THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_k,
+           CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS recall_at_1,
+           CAST(SUM(CASE WHEN rnk <= {k} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS recall_at_k,
+           CAST(SUM(CAST(trunc(1e12 / rnk) AS BIGINT)) AS BIGINT) AS mrr_q
+    FROM hit
+    """
+
+
+@register(
+    "bm25_self_retrieval_recall",
+    _self_retrieval_oracle(),
+    doc="Retrieval-quality eval for BM25 — the tuning-loop closure the "
+    "ann_*_recall queries give the vector indexes, with NO labeled "
+    "queries needed: every 29th document becomes its own more-like-"
+    "this query (its top-32 terms by tf — Lucene MLT's bounded query "
+    "width — each weighted by its query-side tf), and the metric is "
+    "whether BM25 returns the source document at rank 1 / within "
+    "top-5, plus an integer-quantized MRR.  A recall drop after a "
+    "tokenizer or k1/b change means retrieval stopped finding the one "
+    "document that IS the query.  This eval is what exposed the "
+    "bit-length IDF's dead zone (bitlen(N)-bitlen(df) = 0 for every "
+    "df > N/2 — all scores zero on a small-vocabulary corpus) and "
+    "motivated the Mitchell-interpolated log2 IDF now in the shared "
+    "kernel.  Plan: ONE (doc, word) tf table feeds everything (df, "
+    "query-term election, scoring); scoring fan-out is Σ df(term) "
+    "over ≤32 terms per query; both windows are partitioned "
+    "(per-query-doc).  Engine-exact: Mitchell IDF (integer/bit ops + "
+    "power-of-two division), 1e-9-truncated integer term sums, ties "
+    "broken by doc_id.",
+    tags=("text", "search", "eval"),
+)
+def bm25_self_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q_mod, max_q_terms, k = 29, 32, 5
+    k1, b = 1.2, 0.75
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    # the one corpus-token-sized pass: everything below reads this table
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dfw = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy("q_doc").orderBy(
+            F.col("qtf").desc(), F.col("w").asc()
+        )
+    )
+    qterms = (
+        tf.filter(F.col("doc_id") % q_mod == 0)
+        .join(dfw, "w")
+        .select(
+            F.col("doc_id").alias("q_doc"),
+            "w",
+            F.col("tf").alias("qtf"),
+            "df",
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= max_q_terms)
+        .drop("rn")
+    )
+    sat = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    term_score = F.col("qtf").cast("double") * (
+        tx.log2_ratio_mitchell(F.col("n_docs"), F.col("df")) * sat
+    )
+    scored = (
+        qterms.join(tf, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_doc", "doc_id")
+        .agg(
+            F.sum((term_score * 1e9).cast("long")).cast("bigint")
+            .alias("score_q")
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("q_doc").orderBy(
+            F.col("score_q").desc(), F.col("doc_id").asc()
+        )
+    )
+    hit = (
+        scored.select("q_doc", "doc_id", rnk.alias("rnk"))
+        .filter(F.col("doc_id") == F.col("q_doc"))
+        .persist()
+    )
+    out = hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum((F.col("rnk") == 1).cast("int")).cast("bigint")
+        .alias("hits_at_1"),
+        F.sum((F.col("rnk") <= k).cast("int")).cast("bigint")
+        .alias("hits_at_k"),
+        (
+            F.sum((F.col("rnk") == 1).cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("recall_at_1"),
+        (
+            F.sum((F.col("rnk") <= k).cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("recall_at_k"),
+        F.sum((F.lit(1e12) / F.col("rnk")).cast("long")).cast("bigint")
+        .alias("mrr_q"),
+    ).persist()
+    out.count()
+    tf.unpersist()
+    hit.unpersist()
+    return out
+
+
+def _snapshot_diff_oracle() -> str:
+    return """
+    WITH old AS (
+      SELECT doc_id, source, md5(text) AS h, n_chars
+      FROM documents WHERE doc_id % 10 <> 9),
+    new AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END)
+               AS h,
+             n_chars
+      FROM documents WHERE doc_id % 10 <> 0),
+    j AS (
+      SELECT COALESCE(old.source, new.source) AS source,
+             CASE WHEN old.h IS NULL THEN 'added'
+                  WHEN new.h IS NULL THEN 'removed'
+                  WHEN old.h <> new.h THEN 'changed'
+                  ELSE 'unchanged' END AS cls,
+             COALESCE(new.n_chars, 0) - COALESCE(old.n_chars, 0)
+               AS char_delta
+      FROM old FULL OUTER JOIN new USING (doc_id))
+    SELECT source,
+           CAST(SUM(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unchanged,
+           CAST(SUM(char_delta) AS BIGINT) AS char_delta
+    FROM j GROUP BY source
+    """
+
+
+@register(
+    "corpus_snapshot_diff",
+    _snapshot_diff_oracle(),
+    doc="Snapshot reconciliation between two corpus versions — the "
+    "crawl-v1-vs-crawl-v2 governance audit (what entered, what left, "
+    "what was edited in place, and the net character mass, per "
+    "source feed).  Snapshots derive deterministically from the one "
+    "documents table (old = doc_id%10!=9, new = doc_id%10!=0 with "
+    "every 7th-mod-3 doc 'edited' to uppercase), the same "
+    "fixture-from-the-table discipline dedup_incremental_lsh and "
+    "hll_merge_weekly use.  Plan: content compared by md5 (the "
+    "store-the-hash-column production pattern — the full-outer join "
+    "carries 16-byte digests, never text bodies), ONE full-outer "
+    "join co-partitioned on doc_id, one per-source aggregate; every "
+    "class count and the char delta are exact integers.",
+    tags=("curation", "join", "agg"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id",
+        F.col("source").alias("src_a"),
+        F.md5("text").alias("h_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .withColumn(
+            "text2",
+            F.when(
+                F.col("doc_id") % 7 == 3, F.upper(F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        .select(
+            "doc_id",
+            F.col("source").alias("src_b"),
+            F.md5("text2").alias("h_b"),
+            F.col("n_chars").alias("nc_b"),
+        )
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    cls = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.coalesce(F.col("nc_b"), F.lit(0)) - F.coalesce(
+        F.col("nc_a"), F.lit(0)
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("src_a"), F.col("src_b")).alias("source"),
+            cls.alias("cls"),
+            delta.alias("char_delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("cls") == "added").cast("int")).cast("bigint")
+            .alias("n_added"),
+            F.sum((F.col("cls") == "removed").cast("int")).cast("bigint")
+            .alias("n_removed"),
+            F.sum((F.col("cls") == "changed").cast("int")).cast("bigint")
+            .alias("n_changed"),
+            F.sum((F.col("cls") == "unchanged").cast("int")).cast("bigint")
+            .alias("n_unchanged"),
+            F.sum("char_delta").cast("bigint").alias("char_delta"),
+        )
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+             AS bpe_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CASE WHEN CAST(SUM(len({_TOKS})) AS BIGINT) > 0
+                THEN CAST(SUM(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE)
+                     / CAST(SUM(len({_TOKS})) AS BIGINT)
+           END AS fertility,
+           CASE WHEN CAST(SUM(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) > 0
+                THEN CAST(SUM(length(text)) AS DOUBLE)
+                     / CAST(SUM(len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+           END AS chars_per_bpe_token
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language: subword-per-word ratio "
+    "(BPE-ish regex tokens / whitespace words) and chars-per-subword, "
+    "aggregated per lang — the multilingual token-budget planning "
+    "table (mT5/BLOOM-style): a language whose fertility is 2x "
+    "another's costs 2x the compute per word, which is exactly what "
+    "temperature resampling and mix weights must price in; a fertility "
+    "shift after a tokenizer change is the regression alarm.  Plan: "
+    "map-only feature scan (two regex extractions fused in one "
+    "projection), one #langs-row aggregate of exact integer sums; the "
+    "two ratios are single divisions of exact BIGINTs, zero-guarded "
+    "per group.",
+    tags=("text", "agg", "eval"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = F.sum(F.size(tx.tokens("text"))).cast("bigint")
+    bpe = F.sum(tx.bpe_ish_token_count("text")).cast("bigint")
+    chars = F.sum(F.length("text")).cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        chars.alias("n_chars"),
+        F.when(ws > 0, bpe.cast("double") / ws).alias("fertility"),
+        F.when(bpe > 0, chars.cast("double") / bpe).alias(
+            "chars_per_bpe_token"
+        ),
+    )

@@ -1104,8 +1104,25 @@ _BM25_TERMS = ("vector", "hash", "merge")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def _mitchell_idf_sql(n_expr: str, df_expr: str) -> str:
+    """DuckDB replica of operators.text.log2_ratio_mitchell — the
+    engine-exact piecewise-linear log2(N/df): integer/bit arithmetic
+    plus one power-of-two division, identical double bit-for-bit."""
+    rq = (
+        f"CAST(trunc(CAST(CAST({n_expr} AS BIGINT) * 1048576 AS DOUBLE)"
+        f" / CAST({df_expr} AS DOUBLE)) AS BIGINT)"
+    )
+    e = f"(length(bin({rq})) - 1)"
+    p2 = f"(CAST(1 AS BIGINT) << {e})"
+    return (
+        f"((CAST({e} AS DOUBLE)"
+        f" + CAST({rq} - {p2} AS DOUBLE) / CAST({p2} AS DOUBLE)) - 20.0)"
+    )
+
+
 def _bm25_oracle() -> str:
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    idf = _mitchell_idf_sql("s.n_docs", "df.df")
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     dl AS (SELECT doc_id, len(toks) AS dl FROM t),
@@ -1118,11 +1135,11 @@ def _bm25_oracle() -> str:
     df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
     scored AS (
       SELECT tf.doc_id, tf.w,
-             (length(bin(s.n_docs)) - length(bin(df.df)))
-               * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1!r} + 1.0))
-               / (CAST(tf.tf AS DOUBLE) + {_BM25_K1!r}
-                  * (1.0 - {_BM25_B!r}
-                     + {_BM25_B!r} * (CAST(dl.dl AS DOUBLE) / s.avgdl)))
+             {idf}
+               * ((CAST(tf.tf AS DOUBLE) * ({_BM25_K1!r} + 1.0))
+                  / (CAST(tf.tf AS DOUBLE) + {_BM25_K1!r}
+                     * (1.0 - {_BM25_B!r}
+                        + {_BM25_B!r} * (CAST(dl.dl AS DOUBLE) / s.avgdl))))
                AS term_score
       FROM tf JOIN df USING (w) JOIN dl ON dl.doc_id = tf.doc_id, stats s)
     SELECT doc_id,
@@ -1141,8 +1158,10 @@ def _bm25_oracle() -> str:
     doc="BM25 keyword retrieval over the corpus (query terms as plan "
     "literals — the curation-time 'find documents about X' primitive): "
     "classic tf-saturation term (k1=1.2, b=0.75, doc-length "
-    "normalized) weighted by a bit-length log2 IDF (floor-log2(N) - "
-    "floor-log2(df), the HLL-rho primitive) — NO libm log, so the "
+    "normalized) weighted by a Mitchell-interpolated log2(N/df) IDF "
+    "(bit-length exponent + exact power-of-two mantissa division — "
+    "NO libm log, resolves WITHIN a power-of-two bracket where the "
+    "plain bit-length difference floors to zero), so the "
     "score is engine-exact; per-term scores are 1e-9-truncated and "
     "summed as integers, so the doc score is order-independent.  "
     "Plan: the tf table only materializes rows for the 3 query terms "

@@ -443,6 +443,13 @@ def test_bm25_matches_python_reference(spark):
     dfreq = {
         w: sum(1 for t in docs.values() if w in t) for w in terms
     }
+    def mitchell_idf(n: int, d: int) -> float:
+        # the log2_ratio_mitchell replica: same IEEE op order
+        rq = int(float(n * 1048576) / float(d))
+        e = rq.bit_length() - 1
+        p2 = 1 << e
+        return (float(e) + float(rq - p2) / float(p2)) - 20.0
+
     expected = {}
     for i, toks in docs.items():
         tsqs = []
@@ -450,11 +457,11 @@ def test_bm25_matches_python_reference(spark):
             tf = toks.count(w)
             if tf == 0:
                 continue
-            idf_bits = n_docs.bit_length() - dfreq[w].bit_length()
+            idf = mitchell_idf(n_docs, dfreq[w])
             sat = (float(tf) * (k1 + 1.0)) / (
                 float(tf) + k1 * ((1.0 - b) + b * (float(len(toks)) / avgdl))
             )
-            tsqs.append(int(idf_bits * sat * 1e9))
+            tsqs.append(int(idf * sat * 1e9))
         if tsqs:
             sq = sum(tsqs)
             expected[i] = (len(tsqs), sq, float(sq) / 1e9)

@@ -1,0 +1,111 @@
+"""Persisted BM25 index artifact (operators/text_index.py): served
+results equal the direct bm25_scores path bit-for-bit, the query scan
+prunes to the query terms' shards, incremental add is idempotent, and
+the CLI matches the library."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import text_index as ti
+from planet_dump_ng_spark.operators.text import bm25_scores
+from planet_dump_ng_spark.plans.registry import table
+
+TERMS = ["vector", "hash", "merge"]
+
+
+def _scores(df):
+    return {
+        r.doc_id: (r.n_matched_terms, r.score_q, r.bm25_score)
+        for r in df.collect()
+    }
+
+
+def test_bm25_index_served_equals_direct(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    direct = _scores(bm25_scores(docs, TERMS))
+
+    idx = str(tmp_path / "bm25_idx")
+    postings, doclen = ti.build_bm25_index(docs)
+    ti.write_bm25_index(postings, doclen, idx)
+
+    lp, ld, meta = ti.read_bm25_index(spark, idx)
+    assert meta["format"] == ti.FORMAT
+    assert meta["n_docs"] == docs.count()
+    served_df = ti.bm25_index_query(
+        spark, lp, ld, TERMS, n_shards=meta["n_shards"]
+    )
+    assert _scores(served_df) == direct
+    assert len(direct) > 0
+
+    # the postings scan carries a static shard partition filter: only
+    # the query terms' wshard partitions are read
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    assert "wshard" in plan
+    shards = ti._term_shards(spark, TERMS, meta["n_shards"])
+    assert 0 < len(shards) <= len(TERMS)
+
+
+def test_bm25_index_add_idempotent_and_complete(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = str(tmp_path / "bm25_idx_add")
+    postings, doclen = ti.build_bm25_index(first)
+    ti.write_bm25_index(postings, doclen, idx)
+
+    n1 = ti.bm25_index_add(spark, idx, second)
+    assert n1 == second.count()
+    # retried batch: nothing appended, stats unchanged
+    meta_after = ti.read_bm25_meta(idx)
+    assert ti.bm25_index_add(spark, idx, second) == 0
+    assert ti.read_bm25_meta(idx) == meta_after
+    assert meta_after["n_docs"] == docs.count()
+
+    lp, ld, meta = ti.read_bm25_index(spark, idx)
+    served = _scores(
+        ti.bm25_index_query(spark, lp, ld, TERMS, n_shards=meta["n_shards"])
+    )
+    assert served == _scores(bm25_scores(docs, TERMS))
+
+
+def test_bm25_index_read_rejects_non_index(tmp_path, spark):
+    with pytest.raises(ValueError, match="no meta.json"):
+        ti.read_bm25_meta(str(tmp_path))
+    bad = tmp_path / "badfmt"
+    bad.mkdir()
+    (bad / "meta.json").write_text(json.dumps({"format": "other-v0"}))
+    with pytest.raises(ValueError, match="format"):
+        ti.read_bm25_meta(str(bad))
+
+
+def test_bm25_cli_build_query_matches_search_cli(spark, sf_dir, tmp_path, capsys):
+    from planet_dump_ng_spark.bm25_cli import main as bm25_main
+    from planet_dump_ng_spark.search_cli import main as search_main
+
+    src = str(tmp_path / "docs.parquet")
+    table(spark, sf_dir, "documents").write.parquet(src)
+    idx = str(tmp_path / "cli_idx")
+
+    assert bm25_main(["build", "--input", src, "--index-dir", idx]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["format"] == ti.FORMAT
+
+    assert bm25_main(
+        ["query", "--index-dir", idx, "--terms", *TERMS, "--k", "5"]
+    ) == 0
+    served = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+
+    assert search_main(
+        ["--input", src, "--terms", *TERMS, "--k", "5"]
+    ) == 0
+    direct = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert served == direct and len(served) == 5
