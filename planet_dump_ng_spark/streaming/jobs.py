@@ -473,6 +473,208 @@ def hll_registers_stream(
     )
 
 
+def token_counts_stream(docs: DataFrame) -> DataFrame:
+    """Streaming word-count table over a documents stream — the
+    mergeable stage of token_drift_tv_by_source's which-feed-changed
+    alarm: per-word counts add across micro-batches (update/complete
+    output), state is O(stream vocabulary) independent of stream length,
+    and the drift compare against a static corpus snapshot stays a cheap
+    batch query over the result (:func:`token_drift_vs_corpus`) — the
+    same live-tail/persisted-aggregate split the streaming HLL and
+    histogram use.  No watermark: the count table has no time dimension
+    (complete/update mode), matching the batch word-count exactly.
+    """
+    from planet_dump_ng_spark.operators.text import tokens
+
+    return (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def token_drift_vs_corpus(
+    stream_counts: DataFrame, corpus_counts: DataFrame
+) -> DataFrame:
+    """One-row total-variation distance between a streamed word-count
+    table (:func:`token_counts_stream` result) and a static corpus
+    count table with columns (w, c).
+
+    Same discipline as the batch drift query: shared words contribute
+    per-word 1e-12-truncated |share gaps| summed as exact integers;
+    each side's exclusive-word mass is folded analytically (one closed
+    form per side), so the join input is only the SHARED vocabulary.
+    """
+    # rename the corpus side's join key: aliasing mints fresh attribute
+    # ids, so the compare works even when both inputs are the SAME plan
+    # (self-drift = 0 sanity checks)
+    a = stream_counts.select("w", F.col("c").alias("ca"))
+    b = corpus_counts.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    na = a.agg(F.sum("ca").cast("bigint").alias("na"))
+    nb = b.agg(F.sum("cb").cast("bigint").alias("nb"))
+    j = a.join(b, F.col("w") == F.col("wb")).drop("wb")
+    diff_q = (
+        F.abs(
+            F.col("ca").cast("double") / F.col("na")
+            - F.col("cb").cast("double") / F.col("nb")
+        )
+        * 1e12
+    ).cast("long")
+    p = (
+        j.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_types"),
+            F.sum(diff_q).cast("bigint").alias("shared_q"),
+            F.sum("ca").cast("bigint").alias("shared_a"),
+            F.sum("cb").cast("bigint").alias("shared_b"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    only_a_q = (
+        ((F.col("na") - F.col("shared_a")).cast("double") / F.col("na")) * 1e12
+    ).cast("long")
+    only_b_q = (
+        ((F.col("nb") - F.col("shared_b")).cast("double") / F.col("nb")) * 1e12
+    ).cast("long")
+    tv_q = F.col("shared_q") + only_a_q + only_b_q
+    return p.select(
+        "n_shared_types",
+        "na",
+        "nb",
+        tv_q.alias("tv_q"),
+        (tv_q.cast("double") / 1e12 / 2).alias("tv_distance"),
+    )
+
+
+def bm25_index_ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming ingest into the persisted BM25 index
+    (operators.text_index): each micro-batch folds in via the
+    IDEMPOTENT bm25_index_add — the batch is tokenized alone,
+    anti-joined on doc_id against already-indexed docs, and appended
+    into the term-sharded postings layout.  Because the add is
+    idempotent, redelivered batches (at-least-once sources, checkpoint
+    replay after a crash) append NOTHING — the index converges to
+    exactly-once content without any sink-side transaction, and the
+    final artifact is bit-identical to a from-scratch batch build over
+    the same documents (pinned in tests/test_streaming.py).
+
+    This is the live tail of the build/add/query lifecycle: batch
+    builds bootstrap the index, this stream keeps it current, and
+    queries keep hitting only the query terms' shards.  foreachBatch is
+    the right primitive — the fold is a multi-table write (postings +
+    doclen + meta header refresh) that no single-sink writeStream can
+    express.  Runs with availableNow (drain-what-exists) semantics;
+    production would use a continuous trigger.
+    """
+    from planet_dump_ng_spark.operators import text_index as ti
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        ti.bm25_index_add(
+            batch_df.sparkSession,
+            index_dir,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cms_registers_stream(
+    events: DataFrame,
+    value_col: str = "user_id",
+    w: int = 256,
+    d: int = 3,
+) -> DataFrame:
+    """Streaming Count-Min register maintenance — the hot-key detector's
+    live tail (state = the d x w counter grid, independent of both
+    stream length AND key cardinality, which is the whole point: a
+    plain streaming per-key count would hold state per distinct key).
+
+    Register math is identical to operators.sketches.cms_heavy_hitters'
+    build (same xxhash64, same Kirsch-Mitzenmacher positions), and
+    because each register is a plain SUM of per-row contributions, the
+    streamed grid converges bit-for-bit to the batch sketch under any
+    micro-batch slicing (pinned in tests/test_streaming.py) — and the
+    live grid SUM-merges losslessly with batch-built daily grids, the
+    counter analog of the HLL registers' MAX-merge (both are
+    commutative monoids).
+
+    Deliberately NO watermark: the groupBy key is the grid coordinate,
+    not a time window — state is bounded by d*w itself and a watermark
+    would evict nothing.  Complete/update output mode; heavy-hitter
+    estimates stay a cheap batch probe over the d*w-row result
+    (:func:`cms_estimate_from_registers`).
+    """
+    from planet_dump_ng_spark.operators.sketches import _km_positions
+
+    pos = events.select(
+        F.posexplode(
+            F.array(
+                *[
+                    _km_positions(F.xxhash64(F.col(value_col)), i, w)
+                    for i in range(d)
+                ]
+            )
+        ).alias("i", "pos")
+    )
+    return pos.groupBy("i", "pos").agg(
+        F.count(F.lit(1)).alias("bucket_total")
+    )
+
+
+def cms_estimate_from_registers(
+    registers: DataFrame,
+    candidates: DataFrame,
+    key_col: str = "key",
+    w: int = 256,
+    d: int = 3,
+) -> DataFrame:
+    """Batch probe of a (streamed or persisted) Count-Min register grid:
+    per candidate key, est_count = MIN over the d rows' counters —
+    one-sided (never undercounts), exactly cms_heavy_hitters' estimate
+    when the grid was built over the same rows.  The candidate list is
+    whatever keys the caller cares about (e.g. the current join's key
+    sample); absent grid cells read as 0, so never-seen keys estimate 0.
+    """
+    from planet_dump_ng_spark.operators.sketches import _km_positions
+
+    key_pos = candidates.select(F.col(key_col).alias("key")).distinct().select(
+        "key",
+        F.posexplode(
+            F.array(
+                *[
+                    _km_positions(F.xxhash64(F.col("key")), i, w)
+                    for i in range(d)
+                ]
+            )
+        ).alias("i", "pos"),
+    )
+    return (
+        key_pos.join(F.broadcast(registers), ["i", "pos"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce(F.col("bucket_total"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_count")
+        )
+    )
+
+
 def corpus_lsh_buckets(
     corpus: DataFrame,
     num_hashes: int = 64,

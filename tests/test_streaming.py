@@ -662,3 +662,166 @@ def test_semantic_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
     assert expected, "fixture should contain at least one semantic match"
     cells.unpersist()
+
+
+def test_token_counts_stream_matches_batch_and_drift(spark, sf_dir, tmp_path):
+    """The streamed word-count table equals the batch word count under
+    any micro-batch slicing, and the TV drift computed from the streamed
+    counts vs a static corpus snapshot: (a) is 0 against the stream's own
+    distribution scaled, only when distributions match; (b) matches a
+    hand-computed two-sided fold on a toy pair."""
+    from planet_dump_ng_spark.operators.text import tokens
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+    docs_dir = str(tmp_path / "docs_tok_stream")
+    docs.select(cols).repartition(4).write.mode("overwrite").parquet(docs_dir)
+    stream = jobs.read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
+    jobs.run_to_memory(
+        jobs.token_counts_stream(stream), "tokcnt_mem", output_mode="complete"
+    )
+    got = {r.w: r.c for r in spark.table("tokcnt_mem").collect()}
+    expected = {
+        r.w: r.c
+        for r in docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == expected
+
+    # identical distributions -> TV 0 (shared mass covers both sides)
+    streamed = spark.table("tokcnt_mem")
+    self_drift = jobs.token_drift_vs_corpus(streamed, streamed).collect()[0]
+    assert self_drift.tv_distance == 0.0
+    assert self_drift.na == self_drift.nb == sum(expected.values())
+
+    # hand pair: stream {x:2, y:1} vs corpus {x:1, z:1}
+    # shared: x -> |2/3 - 1/2| = 1/6; only-stream mass y: 1/3; only-corpus
+    # mass z: 1/2 -> TV = (1/6 + 1/3 + 1/2)/2 = 1/2
+    sa = spark.createDataFrame([("x", 2), ("y", 1)], "w string, c long")
+    sb = spark.createDataFrame([("x", 1), ("z", 1)], "w string, c long")
+    r = jobs.token_drift_vs_corpus(sa, sb).collect()[0]
+    assert r.n_shared_types == 1
+    assert abs(r.tv_distance - 0.5) < 1e-9
+
+
+def test_cms_registers_stream_matches_batch(spark, sf_dir, events_dir):
+    """The streamed Count-Min register grid is bit-identical to the
+    batch sketch's, and heavy-hitter estimates probed from the streamed
+    grid equal cms_heavy_hitters' (one-sided: est >= exact)."""
+    from planet_dump_ng_spark.operators.sketches import (
+        _km_positions,
+        cms_heavy_hitters,
+    )
+    from planet_dump_ng_spark.plans.registry import table
+
+    w, d = 64, 3
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    jobs.run_to_memory(
+        jobs.cms_registers_stream(stream, "user_id", w=w, d=d),
+        "cms_mem", output_mode="complete",
+    )
+    got = {(r.i, r.pos): r.bucket_total for r in spark.table("cms_mem").collect()}
+
+    ev = table(spark, sf_dir, "events")
+    expected = {
+        (r.i, r.pos): r.bucket_total
+        for r in ev.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        _km_positions(F.xxhash64(F.col("user_id")), i, w)
+                        for i in range(d)
+                    ]
+                )
+            ).alias("i", "pos")
+        )
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).alias("bucket_total"))
+        .collect()
+    }
+    assert got == expected
+
+    # estimates probed from the STREAMED grid == the batch sketch's
+    batch_hh = {
+        r.key: (r.est_count, r.exact_count)
+        for r in cms_heavy_hitters(ev, "user_id", w=w, d=d, topk=10).collect()
+    }
+    cand = spark.createDataFrame(
+        [(k,) for k in batch_hh], "key bigint"
+    )
+    streamed_est = {
+        r.key: r.est_count
+        for r in jobs.cms_estimate_from_registers(
+            spark.table("cms_mem"), cand, w=w, d=d
+        ).collect()
+    }
+    for k, (est, exact) in batch_hh.items():
+        assert streamed_est[k] == est
+        assert est >= exact
+    # a never-seen key estimates small (0 unless every row collides)
+    ghost = spark.createDataFrame([(-987654321,)], "key bigint")
+    g = jobs.cms_estimate_from_registers(
+        spark.table("cms_mem"), ghost, w=w, d=d
+    ).collect()[0]
+    assert g.est_count >= 0
+
+
+def test_bm25_index_ingest_stream_converges_to_batch(spark, sf_dir, tmp_path):
+    """Streaming adds into the persisted BM25 index: after bootstrapping
+    on half the corpus and streaming the rest in (1 file per
+    micro-batch), served query results are bit-identical to the direct
+    bm25_scores over the FULL corpus; replaying the same stream from a
+    fresh checkpoint appends nothing (idempotent redelivery)."""
+    from planet_dump_ng_spark.operators import text_index as ti
+    from planet_dump_ng_spark.operators.text import bm25_scores
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text", "n_chars"
+    )
+    head = docs.filter(F.col("doc_id") % 2 == 0)
+    tail = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "bm25_stream_idx")
+    postings, doclen = ti.build_bm25_index(head)
+    ti.write_bm25_index(postings, doclen, idx)
+    n_head = ti.read_bm25_meta(idx)["n_docs"]
+
+    src = str(tmp_path / "tail_docs")
+    tail.repartition(3).write.mode("overwrite").parquet(src)
+    stream = jobs.read_documents_stream(spark, src, max_files_per_trigger=1)
+    jobs.bm25_index_ingest_stream(
+        stream, idx, str(tmp_path / "ckpt1")
+    )
+    meta = ti.read_bm25_meta(idx)
+    assert meta["n_docs"] == docs.count() and meta["n_docs"] > n_head
+
+    terms = ["vector", "hash", "merge"]
+    lp, ld, m = ti.read_bm25_index(spark, idx)
+    served = {
+        r.doc_id: (r.n_matched_terms, r.score_q)
+        for r in ti.bm25_index_query(
+            spark, lp, ld, terms, n_shards=m["n_shards"]
+        ).collect()
+    }
+    direct = {
+        r.doc_id: (r.n_matched_terms, r.score_q)
+        for r in bm25_scores(docs, terms).collect()
+    }
+    assert served == direct and len(served) > 0
+
+    # redelivery: replay the SAME files through a fresh checkpoint —
+    # the idempotent add folds in nothing, scores unchanged
+    stream2 = jobs.read_documents_stream(spark, src, max_files_per_trigger=2)
+    jobs.bm25_index_ingest_stream(stream2, idx, str(tmp_path / "ckpt2"))
+    assert ti.read_bm25_meta(idx)["n_docs"] == meta["n_docs"]
+    lp2, ld2, m2 = ti.read_bm25_index(spark, idx)
+    served2 = {
+        r.doc_id: (r.n_matched_terms, r.score_q)
+        for r in ti.bm25_index_query(
+            spark, lp2, ld2, terms, n_shards=m2["n_shards"]
+        ).collect()
+    }
+    assert served2 == served
