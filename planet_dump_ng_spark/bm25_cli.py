@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--id-col", default="doc_id")
     a.add_argument("--text-col", default="text")
 
+    c = sub.add_parser(
+        "compact",
+        help="rewrite postings/doclen at full width (merge the small "
+        "files left by incremental adds; content and scores unchanged)",
+    )
+    c.add_argument("--index-dir", required=True)
+
     q = sub.add_parser("query", help="score terms from the persisted index")
     q.add_argument("--index-dir", required=True)
     q.add_argument("--terms", required=True, nargs="+")
@@ -84,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
             "skipped_existing": n_batch - n_added,
             "index": args.index_dir,
         }))
+        return 0
+
+    if args.cmd == "compact":
+        stats = ti.bm25_index_compact(spark, args.index_dir)
+        print(json.dumps({"compacted": args.index_dir, **stats}))
         return 0
 
     # query

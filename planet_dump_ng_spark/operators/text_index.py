@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,6 +158,57 @@ def bm25_index_query(
         F.col("wshard").isin(shards) & F.col("w").isin(list(terms))
     ).select("doc_id", "w", "tf")
     return score_bm25_tables(tf, doclen, k1=k1, b=b)
+
+
+def bm25_index_compact(spark: SparkSession, index_dir: str) -> dict:
+    """Rewrite the postings and doclen tables at full width — the
+    maintenance pass for an index grown by many incremental adds (each
+    ``append`` leaves one small parquet file per touched shard per
+    batch; thousands of adds mean thousands of tiny files per shard,
+    and query-time scan cost becomes file-count-bound instead of
+    byte-bound).
+
+    Content is untouched (same rows, same shard layout — queries score
+    bit-identically before and after, pinned in tests); only the file
+    geometry changes: one pass repartitioned BY the shard column so
+    each partition directory lands as one file.  The rewrite goes to a
+    sibling directory first and swaps in via rename, so a crash
+    mid-compact never corrupts the live index.  Returns
+    {files_before, files_after} per table.
+    """
+    d = index_dir.rstrip("/")
+    read_bm25_meta(d)  # loud error on a non-index dir
+
+    def _nfiles(path: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    stats = {}
+    for name, part_col in (("postings", "wshard"), ("doclen", None)):
+        src, tmp, old = f"{d}/{name}", f"{d}/{name}.compact", f"{d}/{name}.old"
+        before = _nfiles(src)
+        df = spark.read.parquet(src)
+        if part_col:
+            # hash-repartition ON the shard column: every shard's rows
+            # land in exactly one task, so partitionBy writes ONE file
+            # per shard directory regardless of how many adds fed it
+            df.repartition(F.col(part_col)).write.mode(
+                "overwrite"
+            ).partitionBy(part_col).parquet(tmp)
+        else:
+            # the scan packs small files into maxPartitionBytes-sized
+            # splits, so a plain rewrite merges them (no coalesce(1) —
+            # doclen is corpus-row-sized and must stay parallel)
+            df.write.mode("overwrite").parquet(tmp)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        stats[name] = {"files_before": before, "files_after": _nfiles(src)}
+    return stats
 
 
 def bm25_index_add(

@@ -1083,3 +1083,114 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_bpe_token"
         ),
     )
+
+
+def _heldout_surprisal_oracle(holdout_mod: int = 10) -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(toks[1:len(toks)-1]) AS p,
+                  unnest(toks[2:len(toks)]) AS w
+           FROM t),
+    trainbg AS (SELECT p, w FROM bg WHERE doc_id % {holdout_mod} <> 0),
+    cnt AS (SELECT p, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM trainbg GROUP BY p, w),
+    pc AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cp FROM cnt GROUP BY p),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM trainbg),
+    h AS (
+      SELECT bg.doc_id,
+             CASE WHEN cnt.c IS NOT NULL
+                    THEN length(bin(pc.cp)) - length(bin(cnt.c))
+                  WHEN pc.cp IS NOT NULL
+                    THEN length(bin(pc.cp)) + 1
+                  ELSE length(bin(tot.nb)) + 1 END AS bits,
+             CASE WHEN cnt.c IS NULL THEN 1 ELSE 0 END AS is_oov
+      FROM bg
+      LEFT JOIN cnt ON cnt.p = bg.p AND cnt.w = bg.w
+      LEFT JOIN pc ON pc.p = bg.p, tot
+      WHERE bg.doc_id % {holdout_mod} = 0)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(is_oov) AS BIGINT) AS n_oov_bigrams,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits
+    FROM h GROUP BY doc_id
+    """
+
+
+@register(
+    "heldout_bigram_surprisal",
+    _heldout_surprisal_oracle(),
+    doc="Held-out bigram-LM surprisal — doc_bigram_surprisal done "
+    "honestly: the bigram model trains on the 90% of docs with "
+    "doc_id%10!=0 and scores ONLY the held-out 10%, so a document "
+    "never lowers its own surprisal (the train-on-test flattery the "
+    "in-corpus variant accepts for cheapness).  Backoff is integer-"
+    "exact and bounded: a seen bigram costs floor-log2(count(prev)) - "
+    "floor-log2(count(prev,next)) bits; a novel continuation of a "
+    "seen context costs floor-log2(count(prev)))+1 (less than the "
+    "uniform-over-train floor); a novel context costs "
+    "floor-log2(total train bigrams)+1 — the worst case, analogous "
+    "to add-one mass.  n_oov_bigrams is the OOV-rate companion "
+    "metric.  Plan: one tokenize+zip pass feeds both sides (train "
+    "counts AND held-out instances), bigram-vocab-sized count "
+    "aggregate, two left joins (bigram, then context), one per-doc "
+    "aggregate; every quantity before the final mean division is an "
+    "exact integer.",
+    tags=("text", "agg", "eval"),
+)
+def heldout_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    holdout_mod = 10
+    d = table(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    gl = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    pair = F.zip_with(
+        F.slice(toks, 1, gl),
+        F.slice(toks, 2, gl),
+        lambda p, w: F.struct(p.alias("p"), w.alias("w")),
+    )
+    bg = (
+        d.select("doc_id", F.explode(pair).alias("b"))
+        .select("doc_id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))
+        .persist()
+    )
+    train = bg.filter(F.col("doc_id") % holdout_mod != 0)
+    cnt = train.groupBy("p", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pc = cnt.groupBy("p").agg(F.sum("c").cast("bigint").alias("cp"))
+    tot = train.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    bits = (
+        F.when(
+            F.col("c").isNotNull(),
+            F.length(F.bin(F.col("cp"))) - F.length(F.bin(F.col("c"))),
+        )
+        .when(
+            F.col("cp").isNotNull(), F.length(F.bin(F.col("cp"))) + F.lit(1)
+        )
+        .otherwise(F.length(F.bin(F.col("nb"))) + F.lit(1))
+    )
+    out = (
+        bg.filter(F.col("doc_id") % holdout_mod == 0)
+        .join(cnt, ["p", "w"], "left")
+        .join(pc, "p", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            bits.alias("bits"),
+            F.col("c").isNull().cast("int").alias("is_oov"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("is_oov").cast("bigint").alias("n_oov_bigrams"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+            (F.sum("bits").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bits"
+            ),
+        )
+        .persist()
+    )
+    out.count()
+    bg.unpersist()
+    return out

@@ -109,3 +109,33 @@ def test_bm25_cli_build_query_matches_search_cli(spark, sf_dir, tmp_path, capsys
         for line in capsys.readouterr().out.strip().splitlines()
     ]
     assert served == direct and len(served) == 5
+
+
+def test_bm25_index_compact_preserves_scores(spark, sf_dir, tmp_path):
+    """Compaction merges the small files left by incremental adds
+    without changing a single score: fewer postings files, identical
+    query results, meta untouched."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25_compact_idx")
+    head = docs.filter(F.col("doc_id") % 4 == 0)
+    postings, doclen = ti.build_bm25_index(head)
+    ti.write_bm25_index(postings, doclen, idx)
+    for m in (1, 2, 3):
+        ti.bm25_index_add(spark, idx, docs.filter(F.col("doc_id") % 4 == m))
+    meta_before = ti.read_bm25_meta(idx)
+    lp, ld, m0 = ti.read_bm25_index(spark, idx)
+    before = _scores(
+        ti.bm25_index_query(spark, lp, ld, TERMS, n_shards=m0["n_shards"])
+    )
+
+    stats = ti.bm25_index_compact(spark, idx)
+    assert stats["postings"]["files_after"] < stats["postings"]["files_before"]
+
+    assert ti.read_bm25_meta(idx) == meta_before
+    lp2, ld2, m2 = ti.read_bm25_index(spark, idx)
+    after = _scores(
+        ti.bm25_index_query(spark, lp2, ld2, TERMS, n_shards=m2["n_shards"])
+    )
+    assert after == before and len(after) > 0
