@@ -753,12 +753,16 @@ def near_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _self_retrieval_oracle(
-    q_mod: int = 29, max_q_terms: int = 32, k: int = 5,
-    k1: float = 1.2, b: float = 0.75,
+    min_q_mod: int = 29, target_queries: int = 64, max_q_terms: int = 32,
+    k: int = 5, k1: float = 1.2, b: float = 0.75,
 ) -> str:
     from planet_dump_ng_spark.plans.text_plans import _mitchell_idf_sql
 
     idf = _mitchell_idf_sql("s.n_docs", "q.df")
+    q_mod = (
+        f"(SELECT GREATEST({min_q_mod}, COUNT(*) // {target_queries})"
+        " FROM documents)"
+    )
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     dl AS (SELECT doc_id, len(toks) AS dl FROM t),
@@ -777,7 +781,7 @@ def _self_retrieval_oracle(
                                   ORDER BY tf.tf DESC, tf.w ASC) AS rn
         FROM tf JOIN dfw USING (w)
         WHERE tf.doc_id % {q_mod} = 0)
-      WHERE rn <= {max_q_terms}),
+      WHERE rn <= {max_q_terms}),  -- q_mod: self-scaling sample modulus
     scored AS (
       SELECT q.q_doc, tf.doc_id,
              SUM(CAST(trunc(
@@ -828,7 +832,12 @@ def _self_retrieval_oracle(
     "bit-length IDF's dead zone (bitlen(N)-bitlen(df) = 0 for every "
     "df > N/2 — all scores zero on a small-vocabulary corpus) and "
     "motivated the Mitchell-interpolated log2 IDF now in the shared "
-    "kernel.  Plan: ONE (doc, word) tf table feeds everything (df, "
+    "kernel.  The query sample is CAPPED at ~64 docs by a "
+    "self-scaling modulus (max(29, n//64), one scalar count, the "
+    "derive-don't-knob discipline): eval precision doesn't grow with "
+    "the corpus, so a fixed fraction would scale cost as queries x "
+    "df — super-linear — where the cap keeps it at the df growth "
+    "alone.  Plan: ONE (doc, word) tf table feeds everything (df, "
     "query-term election, scoring); scoring fan-out is Σ df(term) "
     "over ≤32 terms per query; both windows are partitioned "
     "(per-query-doc).  Engine-exact: Mitchell IDF (integer/bit ops + "
@@ -837,9 +846,14 @@ def _self_retrieval_oracle(
     tags=("text", "search", "eval"),
 )
 def bm25_self_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q_mod, max_q_terms, k = 29, 32, 5
+    min_q_mod, target_queries, max_q_terms, k = 29, 64, 32, 5
     k1, b = 1.2, 0.75
     docs = table(spark, sf_dir, "documents")
+    # self-scaling sample modulus: ~target_queries query docs at ANY
+    # corpus size (one scalar count — the same derive-don't-knob move
+    # as semantic dedup's n_cells).  A fixed FRACTION would make eval
+    # cost quadratic-ish under growth: queries x df both scale with n.
+    q_mod = max(min_q_mod, docs.count() // target_queries)
     toks = docs.select("doc_id", tx.tokens("text").alias("toks"))
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(
