@@ -21,8 +21,6 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import functions as F
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="planet-dump-ng-spark-ann")
@@ -53,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--embeddings", required=True)
     common(a)
 
+    c = sub.add_parser(
+        "compact",
+        help="rewrite the codes table at full width (merge the small "
+        "files left by incremental adds; content and query results "
+        "unchanged)",
+    )
+    c.add_argument("--index-dir", required=True)
+
     q = sub.add_parser("query", help="top-k from the persisted index")
     common(q)
     q.add_argument("--queries", required=True, help="parquet of query vectors")
@@ -70,8 +76,9 @@ def _dim_of(df, vec_col: str) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     from planet_dump_ng_spark.operators.ivf import (
-        ivfpq_add,
+        ivfpq_add_to_dir,
         ivfpq_build,
+        ivfpq_compact,
         ivfpq_query,
         read_ivfpq_index,
         write_ivfpq_index,
@@ -117,35 +124,24 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        coarse, books, codes = read_ivfpq_index(
-            spark, args.index_dir, n_sub=args.n_sub
-        )
-        n_sub = len(books)
-        # IDEMPOTENT add: anti-join the batch against ids already in the
-        # code table — a retried batch (partial-failure rerun) must not
-        # duplicate code rows, which would make ivfpq_query emit the
-        # same neighbor several times inside top-k
+        # the shared ingest kernel (idempotent anti-join on vec_id,
+        # frozen-quantizer encode, cell-partitioned append) — the same
+        # code path the streaming tail runs
         n_batch = emb.count()
-        fresh = emb.join(
-            codes.select(F.col("vec_id").alias(args.id_col)),
-            args.id_col,
-            "left_anti",
-        )
-        added = ivfpq_add(
-            coarse, books, fresh, dim, n_sub=n_sub,
+        n_added = ivfpq_add_to_dir(
+            spark, args.index_dir, emb,
             id_col=args.id_col, vec_col=args.vec_col,
         )
-        # append the new code rows to the artifact's codes table,
-        # preserving the cell-partitioned layout the query path prunes on
-        added.write.mode("append").partitionBy("cell").parquet(
-            f"{args.index_dir.rstrip('/')}/codes"
-        )
-        n_added = added.count()
         print(json.dumps({
             "added": n_added,
             "skipped_existing": n_batch - n_added,
             "index": args.index_dir,
         }))
+        return 0
+
+    if args.cmd == "compact":
+        stats = ivfpq_compact(spark, args.index_dir)
+        print(json.dumps({"compacted": args.index_dir, **stats}))
         return 0
 
     # query

@@ -1171,3 +1171,92 @@ def ivfpq_add(
         )
         codes = assigned if codes is None else codes.join(assigned, "vec_id")
     return resid.select("vec_id", "cell").join(codes, "vec_id")
+
+
+def ivfpq_add_to_dir(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Idempotently fold a new batch into a PERSISTED index directory:
+    anti-join on vec_id against the existing code table (a retried or
+    redelivered batch appends nothing), encode the survivors against
+    the frozen quantizers (:func:`ivfpq_add`), append into the
+    cell-partitioned codes layout.  Returns the number of vectors
+    actually added.
+
+    The shared ingest kernel of ann_cli ``add`` and the streaming tail
+    (streaming.jobs.ivfpq_ingest_stream) — one code path, so the
+    streamed artifact is row-identical to CLI adds by construction.
+    Requires a header-bearing artifact (meta.json): ingest into an
+    index whose geometry must be guessed is how codes get mis-sliced.
+    """
+    d = index_dir.rstrip("/")
+    meta = read_ivfpq_meta(d)
+    if meta is None:
+        raise ValueError(
+            f"{d} has no meta.json header — cannot ingest into an "
+            "artifact whose geometry would have to be guessed"
+        )
+    coarse, books, codes = read_ivfpq_index(spark, d)
+    fresh = new_vectors.join(
+        codes.select(F.col("vec_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    added = ivfpq_add(
+        coarse,
+        books,
+        fresh,
+        meta["dim"],
+        n_sub=meta["n_sub"],
+        id_col=id_col,
+        vec_col=vec_col,
+    ).persist()
+    n_added = added.count()
+    if n_added:
+        added.write.mode("append").partitionBy("cell").parquet(f"{d}/codes")
+    added.unpersist()
+    return n_added
+
+
+def ivfpq_compact(spark, index_dir: str) -> dict:
+    """Rewrite the codes table at full width — the maintenance pass for
+    an index grown by many incremental adds (each append leaves one
+    small parquet file per touched cell; query-time scan cost becomes
+    file-count-bound).  Content untouched: same rows, same
+    cell-partitioned layout the ADC query prunes on, queries score
+    identically before and after (pinned in tests).  Hash-repartition
+    ON the cell column puts each cell's rows in one task, so partitionBy
+    writes ONE file per cell directory; the rewrite lands in a sibling
+    directory and swaps in via rename, so a crash mid-compact never
+    corrupts the live index.  coarse/codebooks are centroid-sized and
+    never fragment (only codes takes appends).  Returns
+    {files_before, files_after}.
+    """
+    import os
+    import shutil
+
+    d = index_dir.rstrip("/")
+    if read_ivfpq_meta(d) is None:
+        raise ValueError(f"{d} has no meta.json — not an IVFPQ index")
+    src, tmp, old = f"{d}/codes", f"{d}/codes.compact", f"{d}/codes.old"
+
+    def _nfiles(path: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _nfiles(src)
+    spark.read.parquet(src).repartition(F.col("cell")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(tmp)
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _nfiles(src)}

@@ -163,6 +163,60 @@ def read_documents_stream(
     )
 
 
+EMBEDDINGS_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def read_embeddings_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an embeddings parquet directory — the
+    vector-side twin of :func:`read_documents_stream` (an encoder
+    service's output bus feeding the ANN index)."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def ivfpq_ingest_stream(
+    emb_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming ingest into the persisted IVFPQ index — the vector
+    twin of :func:`bm25_index_ingest_stream`: each micro-batch folds in
+    via operators.ivf.ivfpq_add_to_dir (idempotent anti-join on vec_id,
+    frozen-quantizer encode, cell-partitioned append), so redelivered
+    batches append nothing and the artifact converges to exactly the
+    rows a sequence of CLI adds would produce (pinned in
+    tests/test_streaming.py).  Quantizers stay frozen — per-batch cost
+    is batch x broadcast-tiny centroid tables; periodic retrains (when
+    embedding_drift_by_dim alarms) swap the artifact wholesale.
+    foreachBatch because the fold is a multi-table artifact write.
+    """
+    from planet_dump_ng_spark.operators.ivf import ivfpq_add_to_dir
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        ivfpq_add_to_dir(
+            batch_df.sparkSession,
+            index_dir,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    q = (
+        emb_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_stream(docs: DataFrame) -> DataFrame:
     """Streaming exact dedup: emit only the FIRST document seen per
     canonical fingerprint (operators.text.fingerprint — same whitespace

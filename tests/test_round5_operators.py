@@ -502,3 +502,39 @@ def test_ivfpq_index_header_guards(spark, sf_dir, tmp_path):
     assert len(lbooks) == 4
     with pytest.raises(ValueError, match="n_sub=2 contradicts"):
         read_ivfpq_index(spark, idx, n_sub=2)
+
+
+def test_ivfpq_compact_preserves_queries(spark, sf_dir, tmp_path):
+    """Compaction merges the small code files left by incremental adds
+    without changing a single neighbor: fewer files, identical top-k."""
+    from planet_dump_ng_spark.operators.ivf import (
+        ivfpq_add_to_dir,
+        ivfpq_build,
+        ivfpq_compact,
+        ivfpq_query,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from planet_dump_ng_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    idx = str(tmp_path / "ivfpq_compact_idx")
+    coarse, books, codes = ivfpq_build(base, dim=64)
+    write_ivfpq_index(coarse, books, codes, idx)
+    for m in (1, 2, 3):
+        ivfpq_add_to_dir(spark, idx, emb.filter(F.col("vec_id") % 4 == m))
+
+    queries = emb.filter(F.col("vec_id") % 11 == 0).limit(8)
+
+    def _topk():
+        c, b, k = read_ivfpq_index(spark, idx)
+        return {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivfpq_query(c, b, k, queries, dim=64, k=5).collect()
+        }
+
+    before = _topk()
+    stats = ivfpq_compact(spark, idx)
+    assert stats["files_after"] < stats["files_before"]
+    assert _topk() == before and len(before) > 0

@@ -825,3 +825,47 @@ def test_bm25_index_ingest_stream_converges_to_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert served2 == served
+
+
+def test_ivfpq_ingest_stream_matches_batch_add(spark, sf_dir, tmp_path):
+    """Streaming adds into the persisted IVFPQ index: after
+    bootstrapping on the base vectors and streaming the rest in (1 file
+    per micro-batch), the code table is row-identical to a single batch
+    ivfpq_add_to_dir of the same tail (frozen quantizers make encoding
+    batching-invariant); replaying the stream from a fresh checkpoint
+    appends nothing."""
+    from planet_dump_ng_spark.operators.ivf import (
+        ivfpq_add_to_dir,
+        ivfpq_build,
+        write_ivfpq_index,
+    )
+    from planet_dump_ng_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    tail = emb.filter(F.col("vec_id") % 5 == 0)
+    coarse, books, codes = ivfpq_build(base, dim=64)
+
+    def _codes(d):
+        return {
+            tuple(r) for r in spark.read.parquet(f"{d}/codes").collect()
+        }
+
+    idx_s = str(tmp_path / "ivfpq_stream_idx")
+    idx_b = str(tmp_path / "ivfpq_batch_idx")
+    write_ivfpq_index(coarse, books, codes, idx_s)
+    write_ivfpq_index(coarse, books, codes, idx_b)
+
+    src = str(tmp_path / "tail_emb")
+    tail.repartition(3).write.mode("overwrite").parquet(src)
+    stream = jobs.read_embeddings_stream(spark, src, max_files_per_trigger=1)
+    jobs.ivfpq_ingest_stream(stream, idx_s, str(tmp_path / "ckpt_a"))
+
+    n = ivfpq_add_to_dir(spark, idx_b, tail)
+    assert n == tail.count() > 0
+    assert _codes(idx_s) == _codes(idx_b)
+
+    # redelivery: same files, fresh checkpoint -> nothing appended
+    stream2 = jobs.read_embeddings_stream(spark, src, max_files_per_trigger=2)
+    jobs.ivfpq_ingest_stream(stream2, idx_s, str(tmp_path / "ckpt_b"))
+    assert _codes(idx_s) == _codes(idx_b)
