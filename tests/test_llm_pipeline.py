@@ -308,6 +308,11 @@ def test_dataset_card_generation(spark, sf_dir, tmp_path):
         assert split in card
     assert "## Sources" in card and "## Languages" in card
     assert "PII pattern hits" in card
+    # the language table carries the tokenizer-fertility columns
+    assert "fertility" in card
+    from planet_dump_ng_spark.operators.text import bpe_ish_token_count
+    bpe = ds.agg(F.sum(bpe_ish_token_count("text"))).collect()[0][0]
+    assert f"{bpe:,}" not in ("",) and f"{bpe / toks:.3f}"[:3] in card
 
 
 def test_curate_leakage_free_split(spark, sf_dir, tmp_path):
