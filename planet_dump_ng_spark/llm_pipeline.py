@@ -325,6 +325,14 @@ def main(argv: list[str] | None = None) -> int:
         "deterministic downsampling (0.5 = mT5's sqrt rule, 1.0 = no-op "
         "natural mix; off when omitted)",
     )
+    p.add_argument(
+        "--build-bm25-index",
+        metavar="DIR",
+        help="after materialization, build the persisted BM25 index "
+        "(operators.text_index) over the curated TRAIN split into DIR — "
+        "ship the dataset searchable; extend it later with "
+        "`bm25_cli add` as new batches curate in",
+    )
     args = p.parse_args(argv)
     mix = None
     if args.mix_weights:
@@ -374,6 +382,16 @@ def main(argv: list[str] | None = None) -> int:
             .option("compression", "gzip")
             .json(args.export_jsonl)
         )
+    if args.build_bm25_index:
+        from planet_dump_ng_spark.operators import text_index as ti
+
+        train = spark.read.parquet(args.output).filter(
+            F.col("split") == "train"
+        )
+        postings, doclen = ti.build_bm25_index(train)
+        ti.write_bm25_index(postings, doclen, args.build_bm25_index)
+        meta = ti.read_bm25_meta(args.build_bm25_index)
+        print(f"{'bm25_index':16s} {meta['n_docs']} docs indexed")
     if n_quarantined:
         print(f"{'quarantined':16s} {n_quarantined}")
     for stage, n in report.stages:

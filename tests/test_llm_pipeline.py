@@ -370,3 +370,35 @@ def test_curate_leakage_free_split(spark, sf_dir, tmp_path):
     # all three splits still populated
     assert ds.select("split").distinct().count() == 3
     pairs.unpersist()
+
+
+def test_curate_builds_bm25_index(spark, sf_dir, tmp_path):
+    """--build-bm25-index ships the curated train split searchable: the
+    index header counts exactly the train docs, and querying it equals
+    direct bm25_scores over the same split."""
+    from planet_dump_ng_spark.llm_pipeline import main
+    from planet_dump_ng_spark.operators import text_index as ti
+    from planet_dump_ng_spark.operators.text import bm25_scores
+
+    src = str(tmp_path / "docs_src")
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).write.parquet(src)
+    out = str(tmp_path / "ds")
+    idx = str(tmp_path / "train_idx")
+    assert main(["--input", src, "--output", out,
+                 "--build-bm25-index", idx]) == 0
+
+    train = spark.read.parquet(out).filter(F.col("split") == "train")
+    assert ti.read_bm25_meta(idx)["n_docs"] == train.count() > 0
+
+    terms = ["vector", "hash"]
+    lp, ld, m = ti.read_bm25_index(spark, idx)
+    served = {
+        r.doc_id: r.score_q
+        for r in ti.bm25_index_query(
+            spark, lp, ld, terms, n_shards=m["n_shards"]
+        ).collect()
+    }
+    direct = {
+        r.doc_id: r.score_q for r in bm25_scores(train, terms).collect()
+    }
+    assert served == direct and len(served) > 0
