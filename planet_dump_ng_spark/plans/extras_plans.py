@@ -1208,3 +1208,83 @@ def heldout_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     bg.unpersist()
     return out
+
+
+def _value_outlier_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT event_type,
+             CAST(trunc(value * 100 + 0.5) AS HUGEINT) AS cents
+      FROM events),
+    g AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(cents) AS s, SUM(cents * cents) AS q
+          FROM c GROUP BY event_type)
+    SELECT g.event_type,
+           CAST(g.n AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN (g.n * c.cents - g.s)
+                              * (g.n * c.cents - g.s)
+                           > 9 * (g.n * g.q - g.s * g.s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN (g.n * c.cents - g.s)
+                              * (g.n * c.cents - g.s)
+                           > 9 * (g.n * g.q - g.s * g.s)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(g.n AS BIGINT) AS outlier_share
+    FROM c JOIN g USING (event_type)
+    GROUP BY g.event_type, g.n
+    """
+
+
+@register(
+    "value_outliers_by_type",
+    _value_outlier_oracle(),
+    doc="Exact 3-sigma outlier screening per event type — the "
+    "data-quality gate that flags an instrumentation feed whose value "
+    "distribution grew a tail (unit mixups, fat-finger amounts) "
+    "before it poisons downstream aggregates; the point-level "
+    "companion to value_drift_tv's distribution-level alarm.  The "
+    "trick: the z-score test needs NO sqrt, NO division, NO float "
+    "moments — with quantized integer cents c and exact group sums "
+    "S=Sigma c, Q=Sigma c^2, |c-mu|>3sigma is the all-integer "
+    "inequality (n*c-S)^2 > 9*(nQ-S^2), evaluated in 128-bit-wide "
+    "exact arithmetic (Spark decimal(38,0), DuckDB HUGEINT), so the "
+    "engines agree on every boundary case where a float sigma could "
+    "flip a comparison (~2% of events qualify on the gate data — "
+    "the branch is exercised, not vacuous).  Plan: one groupBy for "
+    "the three moments (map-side combinable), broadcast join back "
+    "(one row per type), one classify-and-count pass.",
+    tags=("relational", "agg", "eval"),
+)
+def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    c = events.select(
+        "event_type",
+        (F.col("value") * 100 + 0.5).cast("long").cast(dec).alias("cents"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("cents").cast(dec).alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast(dec)).cast(dec)
+        .alias("q"),
+    )
+    d = F.col("n") * F.col("cents") - F.col("s")
+    is_out = (d * d) > F.lit(9).cast(dec) * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return (
+        c.join(F.broadcast(g), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(is_out.cast("int")).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            "n_outliers",
+            (
+                F.col("n_outliers").cast("double")
+                / F.col("n").cast("bigint")
+            ).alias("outlier_share"),
+        )
+    )
