@@ -1,5 +1,8 @@
-"""Corpus-analytics extras: bigram LM surprisal, Zipf fit, language-ID
-evaluation, mix rebalancing, and event-audience overlap.
+"""Corpus-analytics extras: bigram LM surprisal (in-corpus and held-out
+train/test), Zipf fit, language-ID evaluation, mix rebalancing,
+event-audience overlap, per-batch shingle novelty, near-dup incidence by
+length band, BM25 self-retrieval recall, corpus snapshot reconciliation,
+tokenizer fertility, and exact 3-sigma value outliers.
 
 Registered LAST in ``plans.load_all`` so the driver's 50-query rotation
 window over never-checked queries is not displaced (README "Driver
