@@ -139,3 +139,48 @@ def test_bm25_index_compact_preserves_scores(spark, sf_dir, tmp_path):
         ti.bm25_index_query(spark, lp2, ld2, TERMS, n_shards=m2["n_shards"])
     )
     assert after == before and len(after) > 0
+
+
+def test_bm25_cli_add_and_compact_roundtrip(spark, sf_dir, tmp_path, capsys):
+    """The CLI add/compact surface: an incremental add reports the
+    idempotence split, a replayed add adds 0, compact reports a file
+    drop, and the post-compact query equals the pre-compact one."""
+    from pyspark.sql import functions as F
+
+    from planet_dump_ng_spark.bm25_cli import main as bm25_main
+
+    docs = table(spark, sf_dir, "documents")
+    head_p = str(tmp_path / "head.parquet")
+    tail_p = str(tmp_path / "tail.parquet")
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(head_p)
+    docs.filter(F.col("doc_id") % 3 != 0).write.parquet(tail_p)
+    idx = str(tmp_path / "cli_add_idx")
+
+    assert bm25_main(["build", "--input", head_p, "--index-dir", idx]) == 0
+    capsys.readouterr()
+    assert bm25_main(["add", "--input", tail_p, "--index-dir", idx]) == 0
+    added = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert added["added"] > 0 and added["skipped_existing"] == 0
+
+    # replay the same batch: idempotent, nothing added
+    assert bm25_main(["add", "--input", tail_p, "--index-dir", idx]) == 0
+    replay = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert replay["added"] == 0
+    assert replay["skipped_existing"] == added["added"]
+
+    def _query():
+        assert bm25_main(
+            ["query", "--index-dir", idx, "--terms", *TERMS, "--k", "5"]
+        ) == 0
+        return [
+            json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+
+    before = _query()
+    assert bm25_main(["compact", "--index-dir", idx]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (
+        stats["postings"]["files_after"] < stats["postings"]["files_before"]
+    )
+    assert _query() == before and len(before) == 5
