@@ -550,3 +550,103 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+# -- C4-style duplicated-span removal ------------------------------------------
+
+
+def span_occurrences(
+    docs: DataFrame,
+    span_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Every non-overlapping ``span_tokens``-token window of every document
+    as one row ``(doc_id, span_idx, span_text, n_span_tokens, h)`` with
+    ``h = xxhash64(span_text)`` — the exploded occurrence table the
+    span-dedup election runs on.  The final window is allowed to be short
+    (token mass must be conserved); empty documents produce no spans.
+    """
+    toks = tokens(text_col)
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    # sequence(1, 0) would yield a DESCENDING [1, 0]; guard empties out.
+    idx = F.when(n_spans >= 1, F.sequence(F.lit(1), n_spans)).otherwise(
+        F.array().cast("array<int>")
+    )
+    span = lambda i: F.slice(  # noqa: E731
+        toks, (i - F.lit(1)) * span_tokens + F.lit(1), F.lit(span_tokens)
+    )
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i - F.lit(1)).cast("int").alias("span_idx"),
+            F.array_join(span(i), " ").alias("span_text"),
+            F.size(span(i)).alias("n_span_tokens"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("s"))
+        .select("doc_id", "s.span_idx", "s.span_text", "s.n_span_tokens")
+        .withColumn("h", F.xxhash64("span_text"))
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style corpus-wide duplicated-span removal, reported per document.
+
+    C4 deletes every repeated three-sentence span from all but one of the
+    documents containing it; with sentence-free synthetic text the span
+    unit is the non-overlapping ``span_tokens``-token window.  The kept
+    occurrence of each span value is the globally FIRST one — lowest
+    ``(doc_id, span_idx)`` — elected as one ``MIN(struct)`` per span hash,
+    so retention is deterministic and a span repeated WITHIN a document
+    also collapses to its first occurrence.
+
+    Returns one row per non-empty document: ``n_spans``,
+    ``n_removed_spans``, ``n_kept_tokens`` (conserved token mass of the
+    surviving text), and ``retained_md5`` — the md5 of the surviving spans
+    re-joined in span order (md5('') when everything was removed), proving
+    the reassembled output, not just the counts.
+
+    Scale shape: the occurrence table shuffles once on the 8-byte span
+    hash for the election (map-side combinable MIN), once more joining the
+    winner back, then one per-doc aggregate — all keys are either the
+    span hash or doc_id, no pair space anywhere, cost linear in corpus
+    token mass.  Identical-hash collisions merge spans in both engines
+    alike (the oracle replays the same xxhash64).
+    """
+    occ = span_occurrences(docs, span_tokens, id_col, text_col)
+    winner = occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("w")
+    )
+    flagged = occ.join(winner, "h").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("w.doc_id"))
+        & (F.col("span_idx") == F.col("w.span_idx")),
+    )
+    kept_struct = F.when(
+        F.col("kept"), F.struct("span_idx", "span_text")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed_spans"),
+        F.sum(F.when(F.col("kept"), F.col("n_span_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            )
+        ).alias("retained_md5"),
+    )

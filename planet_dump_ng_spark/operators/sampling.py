@@ -186,3 +186,61 @@ def stratified_take(
         .filter(F.col("_rn") <= n_per_group)
         .drop("_rn")
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    key: str,
+    quotas: tuple[float, ...] = (0.25, 0.5, 0.75, 1.0),
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Quality-weighted downsampling: rank rows into score quartiles and
+    keep a rising fraction of each tier (the DCLM/FineWeb-style soft gate
+    — a hard percentile cutoff throws away ALL lower-tier text, but some
+    of it is wanted for robustness; tempering by quality keeps the mix
+    biased toward the top without zeroing the tail).
+
+    Tier t (0 = bottom quartile) keeps ``quotas[t]`` of its rows via the
+    content-hash bucket gate every sampler here uses
+    (``xxhash64(key) % buckets < quota*buckets``), so membership is
+    stable across runs, partitionings, and appends, and raising a quota
+    only ever ADDS rows.
+
+    Tiers come from the three global ``percentile_disc`` cuts of
+    ``score_col`` — discrete percentiles of the input values, so the cut
+    table (one broadcast row) is engine-exact for integer scores.  Plan:
+    one map-side-combinable percentile aggregate, broadcast back,
+    map-only gate — the fact table never shuffles.
+
+    Adds (tier, bucket, keep_threshold); returns kept rows only.
+    """
+    assert len(quotas) == 4, "quotas is one keep fraction per quartile"
+    cuts = df.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY {score_col})"
+            )
+            .cast("bigint")
+            .alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    tier = (
+        F.when(F.col(score_col) >= F.col("p75"), 3)
+        .when(F.col(score_col) >= F.col("p50"), 2)
+        .when(F.col(score_col) >= F.col("p25"), 1)
+        .otherwise(0)
+    )
+    thr: Column = F.lit(None).cast("bigint")
+    for t, q in enumerate(quotas):
+        thr = F.when(F.col("tier") == t, int(round(q * buckets))).otherwise(thr)
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(buckets))
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("tier", tier)
+        .drop("p25", "p50", "p75")
+        .withColumn("bucket", bucket)
+        .withColumn("keep_threshold", thr)
+        .filter(F.col("bucket") < F.col("keep_threshold"))
+    )

@@ -328,3 +328,62 @@ def lsh_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def rerank_exact(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of an ANN shortlist (FAISS's IndexRefine):
+    ``candidates`` is any (query_id, neighbor_id) candidate table — an
+    IVFPQ/LSH/PQ shortlist at k' > k — and the output is the exact-cosine
+    top-``k`` WITHIN those candidates per query.
+
+    This is the standard recall-repair stage: the compressed index does
+    the corpus-scale winnowing (n_sub bytes per vector), then the float
+    vectors are fetched for only |Q| * k' candidate rows and scored
+    exactly, so ranking errors introduced by quantization are repaired at
+    a cost proportional to the shortlist, never the corpus.
+
+    Plan: one equi-join of the shortlist against the corpus on
+    neighbor_id (shuffle keyed on the 8-byte id; the corpus side prunes
+    to candidate ids via the join), query vectors broadcast, then the
+    same hoisted-norm exact-fold cosine and (cosine DESC, id ASC) window
+    rank as :func:`cosine_topk` — bit-identical scoring, so the exact
+    and re-ranked paths agree wherever they overlap.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        candidates.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_exact(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -27,3 +27,7 @@ def load_all() -> None:
     # never-green queries in plans.QUERIES order — importing it last keeps
     # the established never-checked set at the front of the 50-row window.
     from planet_dump_ng_spark.plans import extras_plans  # noqa: F401
+
+    # curation_plans (round 5) imports after extras_plans for the same
+    # reason: its entries queue BEHIND the established never-checked set.
+    from planet_dump_ng_spark.plans import curation_plans  # noqa: F401

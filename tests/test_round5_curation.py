@@ -1,0 +1,140 @@
+"""Round-5 curation extras: C4-style span dedup, quality-weighted
+sampling, and the exact re-rank stage over the IVFPQ shortlist."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from planet_dump_ng_spark.operators.dedup import span_dedup, span_occurrences
+from planet_dump_ng_spark.operators.sampling import quality_weighted_sample
+from planet_dump_ng_spark.operators.similarity import cosine_topk, rerank_exact
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_span_occurrences_windows_and_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(7))), (2, ""), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.span_idx): (r.span_text, r.n_span_tokens)
+        for r in span_occurrences(docs, span_tokens=3).collect()
+    }
+    # doc 1: 7 tokens -> spans of 3, 3, 1; doc 2 empty -> none; doc 3 -> 1
+    assert rows == {
+        (1, 0): ("w0 w1 w2", 3),
+        (1, 1): ("w3 w4 w5", 3),
+        (1, 2): ("w6", 1),
+        (3, 0): ("solo", 1),
+    }
+
+
+def test_span_dedup_hand_fixture(spark):
+    # span unit = 2 tokens.  doc 1 owns "a b" and "c d"; doc 2 repeats
+    # "a b" (removed) then adds "e f"; doc 3 is entirely doc 1 (all
+    # removed); doc 4 repeats its OWN first span in-document.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b e f"),
+            (3, "a b c d"),
+            (4, "x y x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, span_tokens=2).collect()}
+    assert out[1].n_spans == 2 and out[1].n_removed_spans == 0
+    assert out[1].n_kept_tokens == 4
+    assert out[1].retained_md5 == _md5("a b c d")
+    assert out[2].n_removed_spans == 1 and out[2].n_kept_tokens == 2
+    assert out[2].retained_md5 == _md5("e f")
+    assert out[3].n_removed_spans == 2 and out[3].n_kept_tokens == 0
+    assert out[3].retained_md5 == _md5("")
+    # within-doc repeat collapses to the first occurrence
+    assert out[4].n_removed_spans == 1
+    assert out[4].retained_md5 == _md5("x y")
+
+
+def test_span_dedup_token_mass_conserved(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = span_dedup(docs, span_tokens=10)
+    # kept + removed spans account for every span; kept tokens never
+    # exceed the doc's token count
+    bad = out.filter(
+        (F.col("n_removed_spans") > F.col("n_spans"))
+        | (F.col("n_kept_tokens") < 0)
+    )
+    assert bad.count() == 0
+    assert out.filter(F.col("n_removed_spans") > 0).count() > 0
+
+
+def test_quality_weighted_sample_gate(spark):
+    rows = [(i, i % 97) for i in range(400)]  # scores 0..96
+    df = spark.createDataFrame(rows, ["k", "score"])
+    kept = quality_weighted_sample(df, "score", "k").collect()
+    assert 0 < len(kept) < 400
+    quota = {0: 2500, 1: 5000, 2: 7500, 3: 10000}
+    for r in kept:
+        assert r.keep_threshold == quota[r.tier]
+        assert r.bucket < r.keep_threshold
+    # top tier keeps everything under its 100% quota; keep RATE rises
+    # with tier on the full assignment (check via thresholds alone)
+    tiers = {r.tier for r in kept}
+    assert tiers == {0, 1, 2, 3}
+
+
+def test_quality_weighted_sample_superset_stable(spark):
+    df = spark.createDataFrame([(i, i) for i in range(300)], ["k", "score"])
+    base = {r.k for r in quality_weighted_sample(df, "score", "k").collect()}
+    wider = {
+        r.k
+        for r in quality_weighted_sample(
+            df, "score", "k", quotas=(0.5, 0.75, 1.0, 1.0)
+        ).collect()
+    }
+    assert base <= wider  # raising quotas only ever ADDS rows
+
+
+def test_rerank_exact_restores_exact_order(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    # re-ranking the exact top-25 must reproduce the exact top-5 rows
+    cand = cosine_topk(emb, queries, k=25).select("query_id", "neighbor_id")
+    rr = rerank_exact(cand, emb, queries, k=5)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in rr.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_rerank_subset_of_candidates(spark, sf_dir):
+    from planet_dump_ng_spark.operators.ivf import ivfpq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cand = ivfpq_adc_topk(emb, queries, dim=64, k=25)
+    rr = rerank_exact(cand, emb, queries, k=5)
+    cset = {(r.query_id, r.neighbor_id) for r in cand.collect()}
+    rset = {(r.query_id, r.neighbor_id) for r in rr.collect()}
+    assert rset <= cset and len(rset) > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "span_dedup_c4",
+        "quality_weighted_sample",
+        "ann_ivfpq_rerank_topk",
+        "ann_ivfpq_rerank_recall",
+    ],
+)
+def test_new_queries_run(spark, sf_dir, name):
+    from planet_dump_ng_spark import plans
+
+    plans.load_all()
+    df = plans.QUERIES[name].spark(spark, sf_dir)
+    assert df.count() >= 0
