@@ -69,6 +69,7 @@ def curate(
     leakage_free: bool = False,
     split_jaccard: float = 0.3,
     lang_temperature: float | None = None,
+    span_dedup_tokens: int | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -98,6 +99,17 @@ def curate(
 
     # 1. exact dedup: keep the first occurrence per canonical fingerprint
     docs = checkpoint("exact_dedup", dd.dedup_keep_first(docs))
+
+    # 1b. optional C4-style span dedup: REWRITE each doc to only the
+    # spans whose first corpus-wide occurrence it owns (repeated
+    # boilerplate is excised, the unique remainder survives); docs left
+    # empty drop.  Runs before near-dedup so boilerplate mass can no
+    # longer vote two otherwise-distinct pages into near-duplicates.
+    if span_dedup_tokens is not None:
+        docs = checkpoint(
+            "span_dedup",
+            dd.span_dedup_rewrite(docs, span_tokens=span_dedup_tokens),
+        )
 
     # 2. near-dup removal: LSH candidates -> exact-Jaccard verify; the
     # larger doc id of every verified pair drops (min-id survivor rule,
@@ -326,6 +338,14 @@ def main(argv: list[str] | None = None) -> int:
         "natural mix; off when omitted)",
     )
     p.add_argument(
+        "--span-dedup-tokens",
+        type=int,
+        help="enable C4-style span dedup: rewrite each document to only "
+        "the N-token spans whose first corpus-wide occurrence it owns "
+        "(repeated boilerplate is excised, not the whole page; docs "
+        "left empty drop; off when omitted — 10 is a typical N)",
+    )
+    p.add_argument(
         "--build-bm25-index",
         metavar="DIR",
         help="after materialization, build the persisted BM25 index "
@@ -373,6 +393,7 @@ def main(argv: list[str] | None = None) -> int:
         leakage_free=args.leakage_free_split,
         split_jaccard=args.split_jaccard,
         lang_temperature=args.lang_temperature,
+        span_dedup_tokens=args.span_dedup_tokens,
     )
     if args.export_jsonl:
         (

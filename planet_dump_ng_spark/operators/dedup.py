@@ -650,3 +650,53 @@ def span_dedup(
             )
         ).alias("retained_md5"),
     )
+
+
+def span_dedup_rewrite(
+    docs: DataFrame,
+    span_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation-stage form of :func:`span_dedup`: returns ``docs``
+    with ``text_col`` REWRITTEN to only its surviving spans (C4 excises
+    the repeated span and keeps the page) — documents left with no text
+    at all drop.  All other columns pass through unchanged.
+
+    Same election as span_dedup (globally-first occurrence per span hash
+    wins), so running the two side by side gives matching attrition
+    numbers; the join back to ``docs`` is keyed on the 8-byte id.
+    """
+    occ = span_occurrences(docs, span_tokens, id_col, text_col)
+    winner = occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("w")
+    )
+    retained = (
+        occ.join(winner, "h")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("span_idx") == F.col("w.span_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("span_idx", "span_text"))
+                    ),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            ).alias("_retained")
+        )
+        .filter(F.length("_retained") > 0)
+        .withColumnRenamed("doc_id", "_sd_id")
+    )
+    out_cols = [
+        F.col("_retained").alias(text_col) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return (
+        docs.join(retained, F.col(id_col) == F.col("_sd_id"))
+        .select(*out_cols)
+    )

@@ -220,3 +220,186 @@ def ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(
         emb, queries, _ivfpq_rerank(spark, sf_dir, k=_RECALL_K)
     )
+
+
+def _margin_sql() -> str:
+    """The linear quality-classifier margin as one DuckDB expression —
+    identical fold order to operators.text.linear_quality_score (bias,
+    then + w_i * f_i left to right), shared with the
+    quality_classifier_score oracle."""
+    from planet_dump_ng_spark.plans.text_plans import _hits_sql
+
+    feats = {
+        "stop_ratio": f"{_hits_sql(tx.LANG_STOPWORDS['en'])}::DOUBLE"
+        f" / greatest(len({_TOKS}), 1)",
+        "punct_ratio": "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE"
+        " / greatest(length(text), 1)",
+        "digit_ratio": "len(regexp_extract_all(text, '[0-9]'))::DOUBLE"
+        " / greatest(length(text), 1)",
+        "len_feat": f"least(len({_TOKS}), 300)::DOUBLE / 300.0",
+    }
+    return str(tx.QUALITY_MODEL_BIAS) + "".join(
+        f" + {w!r} * ({feats[name]})" for name, w in tx.QUALITY_MODEL_WEIGHTS
+    )
+
+
+def _token_budget_oracle() -> str:
+    return f"""
+    WITH q AS (SELECT doc_id, len({_TOKS}) AS n_tokens,
+                      CAST(floor(({_margin_sql()}) * 100) AS INT) AS qbin
+               FROM documents),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM q),
+    bins AS (SELECT qbin, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+             FROM q GROUP BY qbin),
+    prev AS (SELECT a.qbin,
+                    CAST(SUM(b.bin_tokens) AS BIGINT) - MIN(a.bin_tokens)
+                      AS prev_cum
+             FROM bins a JOIN bins b ON b.qbin >= a.qbin
+             GROUP BY a.qbin),
+    win AS (SELECT doc_id, qbin, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY qbin ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS within_cum
+            FROM q)
+    SELECT w.doc_id, w.qbin, w.n_tokens,
+           CAST(p.prev_cum + w.within_cum AS BIGINT) AS cum_tokens
+    FROM win w JOIN prev p USING (qbin), tot
+    WHERE p.prev_cum + w.within_cum <= tot.budget
+    """
+
+
+@register(
+    "token_budget_select",
+    _token_budget_oracle(),
+    doc="Token-budget data selection: keep the highest-quality documents "
+    "until HALF the corpus token mass is spent — the 'best N tokens' "
+    "question every fixed-budget training run asks.  Greedy order is "
+    "(quality bin DESC, doc_id ASC) with bins = floor(100 x the "
+    "linear-classifier margin); the budget boundary cuts mid-bin "
+    "exactly.  Distributed shape: NO global sort and NO partition-less "
+    "window — per-bin token masses (a bounded few-hundred-row table) "
+    "get running totals via a broadcast self-join, each doc adds its "
+    "within-bin running sum from a window PARTITIONED by bin, and a "
+    "doc is kept iff prev-bins + within-bin cumulative <= budget.  "
+    "Margin, x100 multiply and floor are engine-exact IEEE ops, so "
+    "bins — and the kept set — hash-match.",
+    tags=("text", "sampling"),
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = tx.linear_quality_score(table(spark, sf_dir, "documents"))
+    q = scored.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        F.floor(F.col("quality_margin") * 100).cast("int").alias("qbin"),
+    )
+    tot = q.agg(
+        (F.sum("n_tokens").cast("bigint") / F.lit(2))
+        .cast("bigint")
+        .alias("budget")
+    )
+    bins = q.groupBy("qbin").agg(
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens")
+    )
+    a, b = bins.alias("a"), bins.alias("b")
+    prev = (
+        a.join(F.broadcast(b), F.col("b.qbin") >= F.col("a.qbin"))
+        .groupBy(F.col("a.qbin").alias("qbin"))
+        .agg(
+            (
+                F.sum(F.col("b.bin_tokens")).cast("bigint")
+                - F.min(F.col("a.bin_tokens"))
+            ).alias("prev_cum")
+        )
+    )
+    w = (
+        Window.partitionBy("qbin")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win = q.withColumn("within_cum", F.sum("n_tokens").over(w))
+    return (
+        win.join(F.broadcast(prev), "qbin")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_tokens",
+            (F.col("prev_cum") + F.col("within_cum")).cast("bigint"),
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "qbin", "n_tokens", "cum_tokens")
+    )
+
+
+def _unsigned_str(expr: str, prefix: str) -> str:
+    """Unsigned [0, 2^64) HUGEINT of Spark's signed xxhash64(varchar)."""
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_inline
+
+    m64 = "18446744073709551616::HUGEINT"
+    h = xxh64_inline(expr, prefix=prefix)
+    return f"((CAST({h} AS HUGEINT) % {m64} + {m64}) % {m64})"
+
+
+def _bloom_screen_oracle(m_bits: int = 1 << 20, k: int = 3) -> str:
+    from planet_dump_ng_spark.plans.text_plans import _SHINGLES
+
+    pos = ", ".join(f"(lo + {i} * hi) % {m_bits}" for i in range(k))
+    return f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+    bk AS (SELECT DISTINCT s AS key FROM sh WHERE doc_id % 20 = 0),
+    bu AS (SELECT key, {_unsigned_str('key', 'cb')} AS u FROM bk),
+    bs AS (SELECT key, CAST(u % 4294967296 AS BIGINT) AS lo,
+                  CAST(u // 4294967296 AS BIGINT) | 1 AS hi FROM bu),
+    bits AS (SELECT DISTINCT pos
+             FROM (SELECT unnest([{pos}]) AS pos FROM bs) q),
+    pk AS (SELECT DISTINCT doc_id, s AS pkey FROM sh WHERE doc_id % 20 <> 0),
+    pu AS (SELECT doc_id, pkey, {_unsigned_str('pkey', 'cp')} AS u FROM pk),
+    ps AS (SELECT doc_id, pkey, CAST(u % 4294967296 AS BIGINT) AS lo,
+                  CAST(u // 4294967296 AS BIGINT) | 1 AS hi FROM pu),
+    pp AS (SELECT doc_id, pkey, unnest([{pos}]) AS pos FROM ps),
+    hits AS (SELECT doc_id, pkey, COUNT(*) AS n_hit
+             FROM pp JOIN bits USING (pos) GROUP BY doc_id, pkey),
+    passed AS (SELECT doc_id, pkey FROM hits WHERE n_hit = {k})
+    SELECT p.doc_id,
+           COUNT(*) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN b.key IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_true_match,
+           CAST(SUM(CASE WHEN b.key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos
+    FROM passed p LEFT JOIN bk b ON p.pkey = b.key
+    GROUP BY p.doc_id
+    """
+
+
+@register(
+    "contamination_bloom_screen",
+    _bloom_screen_oracle(),
+    doc="Benchmark-contamination SCREEN via a Bloom filter (m=2^20 bits, "
+    "k=3 Kirsch-Mitzenmacher probes): the eval set's distinct shingles "
+    "set bit positions once, and every training doc counts how many of "
+    "its shingles pass all 3 probes — by construction zero false "
+    "negatives, so docs with no passes are PROVABLY clean and skip the "
+    "exact containment join entirely (contamination_check then runs "
+    "on the flagged sliver only).  The 100 TB shape the exact scan "
+    "lacks: the filter is O(m) broadcast state independent of corpus "
+    "size, the probe is map-side (corpus never shuffles on shingles), "
+    "and n_false_pos measures the screen's precision against the true "
+    "key set.  Plan reuses operators.sketches.bloom_prune_join with "
+    "doc_id as the probe group; the oracle replays the string-xxhash64 "
+    "split and double-hash positions bit-for-bit.",
+    tags=("text", "dedup", "sketch"),
+)
+def contamination_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators import sketches as sk
+    from planet_dump_ng_spark.operators.dedup import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", F.explode(shingles("text", 3)).alias("s")
+    )
+    build = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.explode(shingles("text", 3)).alias("s")
+    )
+    return sk.bloom_prune_join(
+        probe, build, "s", "s", "doc_id", m_bits=1 << 20, k=3
+    )

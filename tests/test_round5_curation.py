@@ -138,3 +138,83 @@ def test_new_queries_run(spark, sf_dir, name):
     plans.load_all()
     df = plans.QUERIES[name].spark(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_span_dedup_rewrite_fixture(spark):
+    from planet_dump_ng_spark.operators.dedup import span_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en"),
+            (2, "a b e f", "en"),
+            (3, "a b c d", "zh"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r.doc_id: r for r in span_dedup_rewrite(docs, span_tokens=2).collect()}
+    assert out[1].text == "a b c d" and out[1].lang == "en"
+    assert out[2].text == "e f"
+    assert 3 not in out  # fully-duplicated doc drops
+    assert set(out[1].asDict()) == {"doc_id", "text", "lang"}
+
+
+def test_curate_span_dedup_stage(spark, sf_dir, tmp_path):
+    from planet_dump_ng_spark.llm_pipeline import curate
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "curated_span")
+    manifest, report = curate(docs, out, span_dedup_tokens=10)
+    stages = dict(report.stages)
+    assert "span_dedup" in stages
+    assert stages["span_dedup"] <= stages["exact_dedup"]
+    written = spark.read.parquet(out)
+    assert written.count() == stages[report.stages[-1][0]]
+
+
+def test_token_budget_select_greedy_exact(spark, sf_dir):
+    from planet_dump_ng_spark import plans
+
+    plans.load_all()
+    out = plans.QUERIES["token_budget_select"].spark(spark, sf_dir)
+    rows = sorted(out.collect(), key=lambda r: (-r.qbin, r.doc_id))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from planet_dump_ng_spark.operators.text import linear_quality_score, token_count
+
+    scored = linear_quality_score(docs).select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.floor(F.col("quality_margin") * 100).cast("int").alias("qbin"),
+    )
+    ref = sorted(scored.collect(), key=lambda r: (-r.qbin, r.doc_id))
+    budget = sum(r.n_tokens for r in ref) // 2
+    # driver-side replay of the greedy: prefix of the (qbin desc, id)
+    # order whose cumulative mass fits the budget
+    cum, expect = 0, []
+    for r in ref:
+        if cum + r.n_tokens > budget:
+            break
+        cum += r.n_tokens
+        expect.append(r.doc_id)
+    assert [r.doc_id for r in rows] == expect
+    assert rows and rows[-1].cum_tokens <= budget
+
+
+def test_bloom_screen_no_false_negatives(spark, sf_dir):
+    from planet_dump_ng_spark import plans
+    from planet_dump_ng_spark.operators.dedup import containment_pairs
+
+    plans.load_all()
+    out = plans.QUERIES["contamination_bloom_screen"].spark(spark, sf_dir)
+    flagged = {r.doc_id for r in out.collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    probe = docs.filter(F.col("doc_id") % 20 != 0)
+    # every doc sharing ANY shingle with the bench set must be flagged
+    truly = {
+        r.train_id
+        for r in containment_pairs(
+            probe, bench, k=3, threshold=1e-9
+        ).collect()
+    }
+    assert truly <= flagged
