@@ -21,6 +21,8 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import functions as F
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="planet-dump-ng-spark-ann")
@@ -46,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--coarse-rounds", type=int, default=2)
     b.add_argument("--pq-cells", type=int, default=8)
     b.add_argument("--pq-rounds", type=int, default=2)
+    b.add_argument(
+        "--store-vectors",
+        action="store_true",
+        help="also persist the raw vectors cell-partitioned beside the "
+        "codes (FAISS IndexRefineFlat shape) so `query --rerank` can "
+        "exact-re-score its shortlist; adds keep the table in sync",
+    )
 
     a = sub.add_parser("add", help="encode a new batch against the frozen index")
     a.add_argument("--embeddings", required=True)
@@ -64,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--queries", required=True, help="parquet of query vectors")
     q.add_argument("--k", type=int, default=5)
     q.add_argument("--n-probe", type=int, default=2)
+    q.add_argument(
+        "--rerank",
+        type=int,
+        metavar="K_CAND",
+        help="exact-re-rank an ADC shortlist of this width (needs an "
+        "index built with --store-vectors); output scores become "
+        "exact cosine instead of approximate ADC distance",
+    )
     q.add_argument("--out", required=True, help="output parquet path")
     return p
 
@@ -104,12 +121,19 @@ def main(argv: list[str] | None = None) -> int:
             pq_rounds=args.pq_rounds, id_col=args.id_col,
             vec_col=args.vec_col,
         )
-        write_ivfpq_index(coarse, books, codes, args.index_dir)
+        write_ivfpq_index(
+            coarse, books, codes, args.index_dir,
+            vectors=emb.select(
+                F.col(args.id_col).alias("vec_id"),
+                F.col(args.vec_col).alias("embedding"),
+            ) if args.store_vectors else None,
+        )
         n = codes.count()
         codes.unpersist()
         print(json.dumps({"built": args.index_dir, "n_vectors": n,
                           "dim": dim, "n_sub": args.n_sub,
-                          "n_cells": n_cells}))
+                          "n_cells": n_cells,
+                          "store_vectors": bool(args.store_vectors)}))
         return 0
 
     if args.cmd == "add":
@@ -150,10 +174,27 @@ def main(argv: list[str] | None = None) -> int:
     coarse, books, codes = read_ivfpq_index(
         spark, args.index_dir, n_sub=args.n_sub
     )
-    out = ivfpq_query(
-        coarse, books, codes, queries, dim, k=args.k, n_sub=len(books),
-        n_probe=args.n_probe, id_col=args.id_col, vec_col=args.vec_col,
-    )
+    if args.rerank:
+        from planet_dump_ng_spark.operators.ivf import (
+            ivfpq_query_rerank,
+            read_ivfpq_vectors,
+        )
+
+        try:
+            vectors = read_ivfpq_vectors(spark, args.index_dir)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        out = ivfpq_query_rerank(
+            coarse, books, codes, vectors, queries, dim, k=args.k,
+            k_cand=args.rerank, n_sub=len(books), n_probe=args.n_probe,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+    else:
+        out = ivfpq_query(
+            coarse, books, codes, queries, dim, k=args.k, n_sub=len(books),
+            n_probe=args.n_probe, id_col=args.id_col, vec_col=args.vec_col,
+        )
     out.write.mode("overwrite").parquet(args.out)
     print(json.dumps({
         "queried": queries.count(), "k": args.k,

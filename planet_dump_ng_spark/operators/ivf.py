@@ -951,7 +951,11 @@ def ivfpq_build(
 
 
 def write_ivfpq_index(
-    coarse: DataFrame, books: list[DataFrame], codes: DataFrame, out_dir: str
+    coarse: DataFrame,
+    books: list[DataFrame],
+    codes: DataFrame,
+    out_dir: str,
+    vectors: DataFrame | None = None,
 ) -> None:
     """Persist the trained index as three parquet tables (coarse /
     codebooks / codes) PLUS a ``meta.json`` header recording the
@@ -961,7 +965,15 @@ def write_ivfpq_index(
     codebook frames and garbage rankings instead of an error.
     Codebooks stack into one table with a ``subspace`` key.  The codes
     table is the only corpus-sized piece (n_sub small ints + cell per
-    vector)."""
+    vector).
+
+    ``vectors`` (the raw (vec_id, embedding) corpus) turns the artifact
+    into FAISS's IndexRefineFlat shape: the floats are stored beside
+    the codes, PARTITIONED BY the same coarse cell, so
+    :func:`ivfpq_query_rerank` can repair ADC ranking errors by exact
+    re-scoring — reading only the probed cells' vector files (dynamic
+    partition pruning on the (cell, id) join), never the whole flat
+    table."""
     import json
 
     d = out_dir.rstrip("/")
@@ -977,6 +989,14 @@ def write_ivfpq_index(
     # n_probe/n_cells of the index" promise realized at the storage
     # layer, not just in the join filter (pinned by the plan test).
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{d}/codes")
+    if vectors is not None:
+        (
+            vectors.select("vec_id", "embedding")
+            .join(codes.select("vec_id", "cell"), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{d}/vectors")
+        )
     head = coarse.select("centroid").first()
     book_head = books[0].select("centroid").first()
     meta = {
@@ -986,6 +1006,7 @@ def write_ivfpq_index(
         "sub_dim": len(book_head["centroid"]),
         "n_cells": coarse.count(),
         "pq_cells": books[0].count(),
+        "has_vectors": vectors is not None,
     }
     with open(f"{d}/meta.json", "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
@@ -1048,11 +1069,16 @@ def ivfpq_query(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_cell: bool = False,
 ) -> DataFrame:
     """Serve top-k from a (possibly loaded-from-disk) IVFPQ index: probe
     the n_probe nearest coarse cells, rank by summed residual-LUT
     lookups over the stored codes.  Reads only the code table plus the
-    broadcast-sized centroid/codebook tables — never raw vectors."""
+    broadcast-sized centroid/codebook tables — never raw vectors.
+
+    ``with_cell`` appends each neighbor's coarse cell to the output —
+    the key the re-rank stage needs to fetch its float vector with
+    partition pruning instead of a flat-table scan."""
     sub_dim = dim // n_sub
     # query side: n_probe nearest coarse cells, query residual per probe
     pw = W.partitionBy("query_id").orderBy("dist", "cell")
@@ -1105,8 +1131,9 @@ def ivfpq_query(
     dist = F.col("_d0")
     for s in range(1, n_sub):
         dist = dist + F.col(f"_d{s}")
+    extra = ["cell"] if with_cell else []
     scored = adc.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", dist.alias("adc_dist")
+        "query_id", "neighbor_id", *extra, dist.alias("adc_dist")
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
@@ -1114,7 +1141,83 @@ def ivfpq_query(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
+        .select("query_id", "neighbor_id", *extra, "rank", "adc_dist")
+    )
+
+
+def read_ivfpq_vectors(spark, index_dir: str) -> DataFrame:
+    """The stored flat vectors of an IndexRefineFlat-shaped artifact
+    (cell, vec_id, embedding); raises if the index was built without
+    stored vectors."""
+    d = index_dir.rstrip("/")
+    meta = read_ivfpq_meta(d)
+    if not (meta or {}).get("has_vectors"):
+        raise ValueError(
+            f"{d} stores no flat vectors (built without store-vectors) "
+            "— exact re-rank needs them; rebuild with vectors or query "
+            "without --rerank"
+        )
+    return spark.read.parquet(f"{d}/vectors")
+
+
+def ivfpq_query_rerank(
+    coarse: DataFrame,
+    books: list[DataFrame],
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    k_cand: int = 25,
+    n_sub: int = 4,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve exact-re-ranked top-k from a persisted IndexRefineFlat
+    artifact: the ADC path produces a ``k_cand`` shortlist from stored
+    codes, then ONLY those |Q| x k_cand candidates fetch their float
+    vectors from the cell-partitioned flat table — the (cell, id) join
+    key lets dynamic partition pruning skip every unprobed cell's
+    vector files — and re-score with the exact-fold cosine, the same
+    scoring (and therefore bit-identical ranking) as
+    operators.similarity.rerank_exact."""
+    from planet_dump_ng_spark.operators.similarity import _dot_exact, _norm
+
+    short = ivfpq_query(
+        coarse, books, codes, queries, dim, k=k_cand, n_sub=n_sub,
+        n_probe=n_probe, id_col=id_col, vec_col=vec_col, with_cell=True,
+    )
+    cv = vectors.select(
+        "cell",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        short.select("query_id", "neighbor_id", "cell")
+        .join(cv, ["cell", "neighbor_id"])
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_exact(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * _norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
 
@@ -1206,6 +1309,12 @@ def ivfpq_add_to_dir(
         id_col,
         "left_anti",
     )
+    # localCheckpoint, NOT persist: the append below writes into the
+    # same codes path this plan reads, and Spark's recache-by-path then
+    # RECOMPUTES cached dependents from the grown files (the anti-join
+    # would see its own output and collapse to zero rows mid-function).
+    # Checkpointing materializes the rows and cuts the lineage to the
+    # parquet source, so the batch stays stable across both appends.
     added = ivfpq_add(
         coarse,
         books,
@@ -1214,10 +1323,28 @@ def ivfpq_add_to_dir(
         n_sub=meta["n_sub"],
         id_col=id_col,
         vec_col=vec_col,
-    ).persist()
+    ).localCheckpoint(eager=True)
     n_added = added.count()
     if n_added:
         added.write.mode("append").partitionBy("cell").parquet(f"{d}/codes")
+        if meta.get("has_vectors"):
+            # IndexRefineFlat artifacts keep the flat vectors in sync
+            # with the codes: the same fresh batch, cell from the codes
+            # just encoded, appended into the same cell partitioning.
+            # Join the RAW batch against the persisted `added` rows —
+            # `fresh` is a lazy anti-join against the codes parquet,
+            # which the append above just grew, so re-evaluating it
+            # here would see its own output and produce nothing.
+            (
+                new_vectors.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"),
+                )
+                .join(added.select("vec_id", "cell"), "vec_id")
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(f"{d}/vectors")
+            )
     added.unpersist()
     return n_added
 
@@ -1240,9 +1367,9 @@ def ivfpq_compact(spark, index_dir: str) -> dict:
     import shutil
 
     d = index_dir.rstrip("/")
-    if read_ivfpq_meta(d) is None:
+    meta = read_ivfpq_meta(d)
+    if meta is None:
         raise ValueError(f"{d} has no meta.json — not an IVFPQ index")
-    src, tmp, old = f"{d}/codes", f"{d}/codes.compact", f"{d}/codes.old"
 
     def _nfiles(path: str) -> int:
         return sum(
@@ -1252,11 +1379,16 @@ def ivfpq_compact(spark, index_dir: str) -> dict:
             if f.endswith(".parquet")
         )
 
-    before = _nfiles(src)
-    spark.read.parquet(src).repartition(F.col("cell")).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(tmp)
-    os.rename(src, old)
-    os.rename(tmp, src)
-    shutil.rmtree(old)
-    return {"files_before": before, "files_after": _nfiles(src)}
+    tables = ["codes"] + (["vectors"] if meta.get("has_vectors") else [])
+    before = after = 0
+    for t in tables:
+        src, tmp, old = f"{d}/{t}", f"{d}/{t}.compact", f"{d}/{t}.old"
+        before += _nfiles(src)
+        spark.read.parquet(src).repartition(F.col("cell")).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(tmp)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        after += _nfiles(src)
+    return {"files_before": before, "files_after": after}

@@ -496,6 +496,7 @@ def test_ivfpq_index_header_guards(spark, sf_dir, tmp_path):
     assert meta == {
         "format": "ivfpq-parquet-v1", "dim": 64, "n_sub": 4,
         "sub_dim": 16, "n_cells": 8, "pq_cells": 8,
+        "has_vectors": False,
     }
     # header-derived load needs no n_sub at all
     _, lbooks, _ = read_ivfpq_index(spark, idx)
