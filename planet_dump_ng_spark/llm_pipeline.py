@@ -43,12 +43,20 @@ from planet_dump_ng_spark.operators.sampling import weighted_mix
 
 @dataclass
 class CurationReport:
-    """Row counts entering each stage, in order — the attrition audit."""
+    """Row counts entering each stage, in order — the attrition audit.
+
+    ``tokens`` carries the parallel per-stage TOKEN mass: doc counts
+    alone under-report stages that rewrite text (span dedup excises
+    boilerplate from surviving pages — the docs column barely moves
+    while the token column shows exactly what was cut)."""
 
     stages: list[tuple[str, int]] = field(default_factory=list)
+    tokens: list[tuple[str, int]] = field(default_factory=list)
 
-    def log(self, stage: str, n: int) -> None:
+    def log(self, stage: str, n: int, n_tokens: int | None = None) -> None:
         self.stages.append((stage, n))
+        if n_tokens is not None:
+            self.tokens.append((stage, n_tokens))
 
 
 def curate(
@@ -70,6 +78,8 @@ def curate(
     split_jaccard: float = 0.3,
     lang_temperature: float | None = None,
     span_dedup_tokens: int | None = None,
+    quality_temper: tuple[float, float, float, float] | None = None,
+    token_budget: int | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -78,7 +88,16 @@ def curate(
     contamination at 50% containment of an eval item's shingles.
     """
     report = CurationReport()
-    report.log("raw", docs.count())
+
+    def _counts(df: DataFrame) -> tuple[int, int]:
+        # one aggregate pass gives both audit columns (docs, tokens)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(tx.token_count("text")).cast("bigint").alias("t"),
+        ).first()
+        return row["n"], row["t"] or 0
+
+    report.log("raw", *_counts(docs))
 
     # Stage checkpointing: each filtering stage persists its survivor set,
     # counts it for the attrition audit FROM THE CACHE, and releases the
@@ -91,7 +110,7 @@ def curate(
     def checkpoint(stage: str, df: DataFrame) -> DataFrame:
         nonlocal prev
         df = df.persist()
-        report.log(stage, df.count())
+        report.log(stage, *_counts(df))
         if prev is not None:
             prev.unpersist()
         prev = df
@@ -209,6 +228,46 @@ def curate(
                 docs, "doc_id", "lang", alpha=lang_temperature
             ).drop("bucket", "keep_threshold"),
         )
+
+    # 6c. optional quality tempering (soft quality gate): keep a rising
+    # hash-gated fraction of each token-count quartile instead of a hard
+    # cutoff — tilts the mix toward substantial documents while keeping
+    # some short-text robustness mass.
+    if quality_temper is not None:
+        from planet_dump_ng_spark.operators.sampling import (
+            quality_weighted_sample,
+        )
+
+        scored = docs.withColumn(
+            "_qt_score", tx.token_count("text").cast("bigint")
+        )
+        docs = checkpoint(
+            "quality_tempered",
+            quality_weighted_sample(
+                scored, "_qt_score", "doc_id", quotas=tuple(quality_temper)
+            ).drop("_qt_score", "tier", "bucket", "keep_threshold"),
+        )
+
+    # 6d. optional token budget: greedy best-documents-first (classifier-
+    # margin bins) until the budget is spent — the LAST filter, so the
+    # budget buys the highest-quality mass that survived everything else.
+    if token_budget is not None:
+        from planet_dump_ng_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        g = (
+            tx.linear_quality_score(docs)
+            .withColumn(
+                "_tb_bin",
+                F.floor(F.col("quality_margin") * 100).cast("int"),
+            )
+            .withColumn("_tb_tok", tx.token_count("text").cast("bigint"))
+        )
+        kept = select_token_budget(
+            g, "_tb_bin", "_tb_tok", "doc_id", token_budget
+        )
+        docs = checkpoint("token_budget", kept.select(*docs.columns))
 
     # 7. split + materialize (partitioned parquet, per-split manifest).
     # leakage_free: hash the near-dup CLUSTER representative instead of the
@@ -338,6 +397,19 @@ def main(argv: list[str] | None = None) -> int:
         "natural mix; off when omitted)",
     )
     p.add_argument(
+        "--quality-temper",
+        help="soft quality gate: comma list of 4 keep fractions for the "
+        "token-count quartiles bottom-to-top, e.g. '0.25,0.5,0.75,1.0' "
+        "(off when omitted; a hard cutoff is --min-tokens)",
+    )
+    p.add_argument(
+        "--token-budget",
+        type=int,
+        help="cap the curated corpus at this many whitespace tokens, "
+        "keeping the highest classifier-margin documents first (the "
+        "budget boundary cuts exactly; runs last, before the split)",
+    )
+    p.add_argument(
         "--span-dedup-tokens",
         type=int,
         help="enable C4-style span dedup: rewrite each document to only "
@@ -394,6 +466,10 @@ def main(argv: list[str] | None = None) -> int:
         split_jaccard=args.split_jaccard,
         lang_temperature=args.lang_temperature,
         span_dedup_tokens=args.span_dedup_tokens,
+        quality_temper=tuple(
+            float(x) for x in args.quality_temper.split(",")
+        ) if args.quality_temper else None,
+        token_budget=args.token_budget,
     )
     if args.export_jsonl:
         (
@@ -415,8 +491,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{'bm25_index':16s} {meta['n_docs']} docs indexed")
     if n_quarantined:
         print(f"{'quarantined':16s} {n_quarantined}")
+    toks = dict(report.tokens)
     for stage, n in report.stages:
-        print(f"{stage:16s} {n}")
+        t = f" tokens={toks[stage]}" if stage in toks else ""
+        print(f"{stage:16s} {n}{t}")
     for r in manifest.collect():
         print(f"split={r.split:6s} rows={r.n_rows} ids={r.n_ids}")
     return 0

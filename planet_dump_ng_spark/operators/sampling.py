@@ -244,3 +244,56 @@ def quality_weighted_sample(
         .withColumn("keep_threshold", thr)
         .filter(F.col("bucket") < F.col("keep_threshold"))
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    bin_col: str,
+    tokens_col: str,
+    order_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy token-budget selection: walk rows in (``bin_col`` DESC,
+    ``order_col`` ASC) order and keep them while the cumulative
+    ``tokens_col`` mass fits ``budget`` — the "best N tokens" subset a
+    fixed-budget training run wants, with the boundary cut exactly
+    mid-bin.
+
+    Distributed shape (NO global sort, NO partition-less window): the
+    per-bin token masses — a bounded table, one row per quality bin —
+    get running totals via a broadcast self-join; each row adds its
+    within-bin running sum from a window PARTITIONED by bin; a row is
+    kept iff previous-bins mass + its within-bin cumulative <= budget.
+    Adds ``cum_tokens`` (the row's global cumulative position).
+    """
+    from pyspark.sql import Window
+
+    bins = df.groupBy(bin_col).agg(
+        F.sum(tokens_col).cast("bigint").alias("_bin_tokens")
+    )
+    a, b = bins.alias("a"), bins.alias("b")
+    prev = (
+        a.join(F.broadcast(b), F.col(f"b.{bin_col}") >= F.col(f"a.{bin_col}"))
+        .groupBy(F.col(f"a.{bin_col}").alias(bin_col))
+        .agg(
+            (
+                F.sum(F.col("b._bin_tokens")).cast("bigint")
+                - F.min(F.col("a._bin_tokens"))
+            ).alias("_prev_cum")
+        )
+    )
+    w = (
+        Window.partitionBy(bin_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_within_cum", F.sum(tokens_col).over(w))
+        .join(F.broadcast(prev), bin_col)
+        .withColumn(
+            "cum_tokens",
+            (F.col("_prev_cum") + F.col("_within_cum")).cast("bigint"),
+        )
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+        .drop("_within_cum", "_prev_cum")
+    )

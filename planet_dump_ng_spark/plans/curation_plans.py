@@ -286,7 +286,7 @@ def _token_budget_oracle() -> str:
     tags=("text", "sampling"),
 )
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from planet_dump_ng_spark.operators.sampling import select_token_budget
 
     scored = tx.linear_quality_score(table(spark, sf_dir, "documents"))
     q = scored.select(
@@ -294,40 +294,9 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count("text").alias("n_tokens"),
         F.floor(F.col("quality_margin") * 100).cast("int").alias("qbin"),
     )
-    tot = q.agg(
-        (F.sum("n_tokens").cast("bigint") / F.lit(2))
-        .cast("bigint")
-        .alias("budget")
-    )
-    bins = q.groupBy("qbin").agg(
-        F.sum("n_tokens").cast("bigint").alias("bin_tokens")
-    )
-    a, b = bins.alias("a"), bins.alias("b")
-    prev = (
-        a.join(F.broadcast(b), F.col("b.qbin") >= F.col("a.qbin"))
-        .groupBy(F.col("a.qbin").alias("qbin"))
-        .agg(
-            (
-                F.sum(F.col("b.bin_tokens")).cast("bigint")
-                - F.min(F.col("a.bin_tokens"))
-            ).alias("prev_cum")
-        )
-    )
-    w = (
-        Window.partitionBy("qbin")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    win = q.withColumn("within_cum", F.sum("n_tokens").over(w))
-    return (
-        win.join(F.broadcast(prev), "qbin")
-        .crossJoin(F.broadcast(tot))
-        .withColumn(
-            "cum_tokens",
-            (F.col("prev_cum") + F.col("within_cum")).cast("bigint"),
-        )
-        .filter(F.col("cum_tokens") <= F.col("budget"))
-        .select("doc_id", "qbin", "n_tokens", "cum_tokens")
+    budget = q.agg(F.sum("n_tokens").cast("bigint")).first()[0] // 2
+    return select_token_budget(q, "qbin", "n_tokens", "doc_id", budget).select(
+        "doc_id", "qbin", "n_tokens", "cum_tokens"
     )
 
 

@@ -890,3 +890,37 @@ def lsh_dedup_stream(
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", "band")
     )
+
+
+def corpus_span_hashes(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
+    """Distinct span-hash table of the standing corpus — the precomputed
+    artifact the streaming span-novelty probe anti-joins.  Batch-side:
+    compute once per corpus snapshot (operators.dedup.span_occurrences),
+    persist; at real scale keep it bucketed by h."""
+    from planet_dump_ng_spark.operators.dedup import span_occurrences
+
+    return span_occurrences(docs, span_tokens).select("h").distinct()
+
+
+def span_novelty_stream(
+    docs: DataFrame, corpus_spans: DataFrame, span_tokens: int = 10
+) -> DataFrame:
+    """Streaming span novelty: the live tail of C4-style span dedup.
+    Incoming documents explode into non-overlapping ``span_tokens``-token
+    windows (map-only) and LEFT-ANTI join the STANDING corpus span-hash
+    table — emitting exactly the spans the batch rewrite would KEEP,
+    i.e. the text mass a new batch actually adds (a span the corpus
+    already owns would be excised).  Stateless stream-static join: any
+    row emits in append mode with zero watermark bookkeeping, and the
+    emitted set is identical to the batch anti-join over the same
+    batch/corpus split (pinned in tests).  Spans repeated WITHIN the
+    stream are each emitted (first-occurrence election among themselves
+    belongs to the batch compactor, same division of labor as
+    lsh_dedup_stream's downstream verifier).
+    """
+    from planet_dump_ng_spark.operators.dedup import span_occurrences
+
+    occ = span_occurrences(docs, span_tokens)
+    return occ.join(corpus_spans.select("h"), "h", "left_anti").select(
+        "doc_id", "span_idx", "n_span_tokens", "h"
+    )

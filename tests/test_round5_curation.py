@@ -218,3 +218,68 @@ def test_bloom_screen_no_false_negatives(spark, sf_dir):
         ).collect()
     }
     assert truly <= flagged
+
+
+def test_span_novelty_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed novel-span set equals the batch anti-join for the
+    same new-batch/corpus split, under any micro-batch slicing."""
+    from planet_dump_ng_spark.operators.dedup import span_occurrences
+    from planet_dump_ng_spark.streaming import jobs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    spans = jobs.corpus_span_hashes(corpus).persist()
+    spans.count()
+
+    docs_dir = str(tmp_path / "span_docs_stream")
+    docs.repartition(4).write.mode("overwrite").parquet(docs_dir)
+    stream = jobs.read_documents_stream(spark, docs_dir, max_files_per_trigger=2)
+    jobs.run_to_memory(
+        jobs.span_novelty_stream(
+            stream.filter(F.col("doc_id") % 10 == 0), spans
+        ),
+        "spannovel_mem",
+        output_mode="append",
+    )
+    got = {
+        (r.doc_id, r.span_idx)
+        for r in spark.table("spannovel_mem").collect()
+    }
+    expected = {
+        (r.doc_id, r.span_idx)
+        for r in span_occurrences(new)
+        .join(spans, "h", "left_anti")
+        .collect()
+    }
+    assert got == expected and expected
+    # novel mass is a strict subset of the batch's span mass
+    assert len(expected) < span_occurrences(new).count()
+    spans.unpersist()
+
+
+def test_curate_quality_temper_and_token_budget(spark, sf_dir, tmp_path):
+    from planet_dump_ng_spark.llm_pipeline import curate
+    from planet_dump_ng_spark.operators.text import token_count
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "curated_budget")
+    budget = 5000
+    manifest, report = curate(
+        docs, out,
+        quality_temper=(0.25, 0.5, 0.75, 1.0),
+        token_budget=budget,
+    )
+    stages = dict(report.stages)
+    assert "quality_tempered" in stages and "token_budget" in stages
+    toks = dict(report.tokens)
+    # the budget stage's token mass respects the cap, and the parallel
+    # token audit recorded it
+    assert toks["token_budget"] <= budget
+    written = spark.read.parquet(out)
+    assert written.count() == stages["token_budget"]
+    got = written.agg(F.sum(token_count("text"))).first()[0]
+    assert got == toks["token_budget"]
+    # attrition columns stay monotone
+    assert stages["token_budget"] <= stages["quality_tempered"]
