@@ -283,3 +283,61 @@ def test_curate_quality_temper_and_token_budget(spark, sf_dir, tmp_path):
     assert got == toks["token_budget"]
     # attrition columns stay monotone
     assert stages["token_budget"] <= stages["quality_tempered"]
+
+
+def _py_span_dedup(texts, span_tokens):
+    """Pure-Python reference of operators.dedup.span_dedup (same election,
+    Python dict instead of Spark aggregation) — hash collisions are not
+    modeled, which is fine for tiny fixtures."""
+    out = {}
+    first = {}
+    for doc_id in sorted(texts):
+        toks = [t for t in texts[doc_id].split() if t]
+        spans = [
+            " ".join(toks[i : i + span_tokens])
+            for i in range(0, len(toks), span_tokens)
+        ]
+        kept_texts, removed, kept_tok = [], 0, 0
+        for idx, s in enumerate(spans):
+            if s in first:
+                removed += 1
+            else:
+                first[s] = (doc_id, idx)
+                kept_texts.append(s)
+                kept_tok += len(s.split())
+        if spans:
+            out[doc_id] = (
+                len(spans),
+                removed,
+                kept_tok,
+                hashlib.md5(" ".join(kept_texts).encode()).hexdigest(),
+            )
+    return out
+
+
+def test_span_dedup_matches_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+    doc = st.lists(word, max_size=23).map(" ".join)
+
+    @given(st.lists(doc, min_size=1, max_size=12), st.integers(2, 5))
+    @settings(max_examples=15, deadline=None)
+    def check(texts, span_tokens):
+        data = {i: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(
+            [(i, t) for i, t in data.items()], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: (
+                r.n_spans,
+                r.n_removed_spans,
+                r.n_kept_tokens,
+                r.retained_md5,
+            )
+            for r in span_dedup(df, span_tokens=span_tokens).collect()
+        }
+        assert got == _py_span_dedup(data, span_tokens)
+
+    check()
