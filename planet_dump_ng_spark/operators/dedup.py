@@ -620,7 +620,9 @@ def span_dedup(
     token mass.  Identical-hash collisions merge spans in both engines
     alike (the oracle replays the same xxhash64).
     """
-    occ = span_occurrences(docs, span_tokens, id_col, text_col)
+    # both the election and the join-back read the exploded table;
+    # persist so tokenize+slice+hash runs once, not twice
+    occ = span_occurrences(docs, span_tokens, id_col, text_col).persist()
     winner = occ.groupBy("h").agg(
         F.min(F.struct("doc_id", "span_idx")).alias("w")
     )
@@ -667,7 +669,8 @@ def span_dedup_rewrite(
     wins), so running the two side by side gives matching attrition
     numbers; the join back to ``docs`` is keyed on the 8-byte id.
     """
-    occ = span_occurrences(docs, span_tokens, id_col, text_col)
+    # persist: the election and the winner filter both read the explode
+    occ = span_occurrences(docs, span_tokens, id_col, text_col).persist()
     winner = occ.groupBy("h").agg(
         F.min(F.struct("doc_id", "span_idx")).alias("w")
     )
