@@ -314,6 +314,136 @@ def curate(
     return manifest, report
 
 
+def curate_increment(
+    new_docs: DataFrame,
+    dataset_dir: str,
+    bench: DataFrame | None = None,
+    jaccard_threshold: float = 0.8,
+    containment_threshold: float = 0.5,
+    min_tokens: int = 20,
+    max_stopword_ratio: float = 0.7,
+    scrub_pii: bool = True,
+    fractions: dict[str, float] | None = None,
+) -> tuple[DataFrame, CurationReport]:
+    """Incremental curation: run a NEW batch through the curation gates
+    AGAINST the standing curated dataset and append the survivors — the
+    continuous-ingest shape where re-curating the whole corpus per batch
+    is the thing a 100 TB pipeline cannot afford.
+
+    Per-batch cost discipline: every corpus-sized interaction is the
+    asymmetric ingest form — already-present ids anti-join away (a
+    retried batch appends NOTHING, so the operation is idempotent),
+    exact dedup probes the corpus FINGERPRINT set (16-byte digests, the
+    only corpus-derived table this stage shuffles), near-dedup is the
+    batch-vs-corpus banded LSH join (operators.dedup.minhash_lsh_join —
+    per-batch cost proportional to the batch, the corpus side a
+    precomputable bucket artifact), and the standing dataset is only
+    ever READ.  Survivors take their split from the same content-stable
+    xxhash gate the original run used, so the grown dataset is
+    split-consistent with a from-scratch curation; the append lands via
+    ``materialize_splits(mode="append")``.
+
+    Returns (increment manifest, attrition report) — the report carries
+    the same per-stage (docs, tokens) audit as :func:`curate`.
+    """
+    spark = new_docs.sparkSession
+    corpus = spark.read.parquet(dataset_dir)
+    report = CurationReport()
+
+    def _counts(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(tx.token_count("text")).cast("bigint").alias("t"),
+        ).first()
+        return row["n"], row["t"] or 0
+
+    report.log("raw", *_counts(new_docs))
+    prev: DataFrame | None = None
+
+    def checkpoint(stage: str, df: DataFrame) -> DataFrame:
+        nonlocal prev
+        df = df.persist()
+        report.log(stage, *_counts(df))
+        if prev is not None:
+            prev.unpersist()
+        prev = df
+        return df
+
+    # 1. idempotence + within-batch exact dedup: ids the dataset already
+    # holds drop first (a redelivered batch is a no-op), then the batch
+    # keeps one doc per canonical fingerprint
+    docs = new_docs.join(corpus.select("doc_id"), "doc_id", "left_anti")
+    docs = checkpoint("batch_exact", dd.dedup_keep_first(docs))
+
+    # 2. exact dedup vs the corpus: probe the fingerprint set — digests,
+    # never text, cross the shuffle
+    corp_fp = corpus.select(tx.fingerprint("text").alias("_fp")).distinct()
+    docs = checkpoint(
+        "corpus_exact",
+        docs.withColumn("_fp", tx.fingerprint("text"))
+        .join(corp_fp, "_fp", "left_anti")
+        .drop("_fp"),
+    )
+
+    # 3. near-dedup: within-batch self-LSH plus the asymmetric
+    # batch-vs-corpus join; both verified with exact Jaccard on the
+    # candidate pairs only
+    self_cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+    self_pairs = dd.ngram_jaccard_pairs(
+        docs, k=3, threshold=jaccard_threshold, candidates=self_cands
+    )
+    self_losers = self_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    cross_cands = dd.minhash_lsh_join(docs, corpus, num_hashes=64, bands=16, k=3)
+    both = docs.select("doc_id", "text").unionByName(
+        corpus.select("doc_id", "text")
+    )
+    cross_pairs = dd.ngram_jaccard_pairs(
+        both, k=3, threshold=jaccard_threshold, candidates=cross_cands
+    )
+    cross_losers = cross_pairs.select(F.col("id_a").alias("doc_id")).distinct()
+    docs = checkpoint(
+        "near_dedup",
+        docs.join(self_losers, "doc_id", "left_anti").join(
+            cross_losers, "doc_id", "left_anti"
+        ),
+    )
+
+    # 4. decontamination / scrub / quality gates — identical to curate()
+    if bench is not None:
+        dirty = dd.containment_pairs(
+            docs, bench, k=3, threshold=containment_threshold
+        ).select(F.col("train_id").alias("doc_id")).distinct()
+        docs = checkpoint(
+            "decontaminated", docs.join(dirty, "doc_id", "left_anti")
+        )
+    if scrub_pii:
+        docs = docs.withColumn("text", tx.scrub_pii("text"))
+    feats = tx.repetition_features(tx.quality_features(docs))
+    keep = feats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & F.col("repetition_keep")
+    ).select("doc_id")
+    docs = checkpoint("quality", docs.join(keep, "doc_id", "left_semi"))
+
+    # 5. append with the same content-stable split gate.
+    # localCheckpoint first: every stage above reads dataset_dir, and the
+    # append below triggers Spark's recache-by-path — a lazy survivor
+    # plan would be recomputed against the GROWN dataset (the id
+    # anti-join then sees its own output and the manifest collapses to
+    # zero).  Checkpointing materializes the survivors and cuts the
+    # lineage to the dataset path.
+    docs = docs.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    manifest = materialize_splits(
+        docs, dataset_dir, "doc_id", fractions, mode="append"
+    )
+    manifest = manifest.persist()
+    manifest.count()
+    return manifest, report
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI: ``python -m planet_dump_ng_spark.llm_pipeline --input docs.parquet
     --output ./curated [--bench eval.parquet]``"""
@@ -335,6 +465,15 @@ def main(argv: list[str] | None = None) -> int:
         "(auditable ingest; never silent drops)",
     )
     p.add_argument("--output", required=True, help="dataset output dir")
+    p.add_argument(
+        "--increment",
+        action="store_true",
+        help="treat --input as a NEW batch and APPEND its survivors to "
+        "the existing --output dataset (idempotent continuous ingest: "
+        "exact/near dedup run batch-vs-corpus, never a corpus rescan; "
+        "splits stay content-consistent).  Stage flags beyond the dedup/"
+        "decontamination/quality gates are ignored in this mode.",
+    )
     p.add_argument("--bench", help="eval-set parquet to decontaminate against")
     p.add_argument(
         "--embeddings",
@@ -448,6 +587,24 @@ def main(argv: list[str] | None = None) -> int:
     embeddings = (
         spark.read.parquet(args.embeddings) if args.embeddings else None
     )
+    if args.increment:
+        manifest, report = curate_increment(
+            docs,
+            args.output,
+            bench=bench,
+            jaccard_threshold=args.jaccard_threshold,
+            containment_threshold=args.containment_threshold,
+            min_tokens=args.min_tokens,
+            max_stopword_ratio=args.max_stopword_ratio,
+            scrub_pii=not args.no_pii_scrub,
+        )
+        toks = dict(report.tokens)
+        for stage, n in report.stages:
+            t = f" tokens={toks[stage]}" if stage in toks else ""
+            print(f"{stage:16s} {n}{t}")
+        for r in manifest.collect():
+            print(f"split={r.split:6s} appended={r.n_rows}")
+        return 0
     manifest, report = curate(
         docs,
         args.output,

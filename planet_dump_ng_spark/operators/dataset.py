@@ -26,6 +26,7 @@ def materialize_splits(
     fractions: dict[str, float] | None = None,
     shards_per_split: int | None = None,
     split_key: str | None = None,
+    mode: str = "overwrite",
 ) -> DataFrame:
     """Assign xxhash splits and write ``out_dir/split=<name>/`` parquet.
 
@@ -35,7 +36,10 @@ def materialize_splits(
     a DIFFERENT column than ``key`` for the split decision (e.g. a
     near-dup cluster representative for leakage-free splits) while
     sharding/manifesting still run on ``key``; it is dropped from the
-    written dataset.
+    written dataset.  ``mode="append"`` folds an increment into an
+    existing dataset: the content-stable hash assigns the same split a
+    from-scratch run would, so the grown dataset stays split-consistent
+    (the returned manifest covers the INCREMENT only).
     """
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     n = shards_per_split or df.sparkSession.sparkContext.defaultParallelism
@@ -48,7 +52,7 @@ def materialize_splits(
         # contents AND clustered ids (parquet min/max stats stay selective)
         .repartitionByRange(n, "split", F.col(key))
         .sortWithinPartitions("split", key)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("split")
         .parquet(out_dir)
     )

@@ -341,3 +341,82 @@ def test_span_dedup_matches_python_reference(spark):
         assert got == _py_span_dedup(data, span_tokens)
 
     check()
+
+
+def test_curate_increment_end_to_end(spark, sf_dir, tmp_path):
+    """Incremental curation: idempotent append, no cross-batch near-dups
+    above threshold, split-consistency with the content-stable gate."""
+    from planet_dump_ng_spark.llm_pipeline import curate, curate_increment
+    from planet_dump_ng_spark.operators.dedup import (
+        minhash_lsh_join,
+        ngram_jaccard_pairs,
+    )
+    from planet_dump_ng_spark.operators.sampling import xxhash_split
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = str(tmp_path / "inc_dataset")
+    curate(base, out)
+    before = spark.read.parquet(out)
+    n_before = before.count()
+
+    manifest, report = curate_increment(batch, out)
+    stages = dict(report.stages)
+    after = spark.read.parquet(out)
+    n_inc = sum(r.n_rows for r in manifest.collect())
+    assert after.count() == n_before + n_inc
+    assert n_inc == stages["quality"] > 0
+    # ids are disjoint (idempotence base case)
+    assert after.select("doc_id").distinct().count() == after.count()
+
+    # no appended doc near-dups the pre-existing dataset above threshold
+    appended = after.join(before.select("doc_id"), "doc_id", "left_anti")
+    cands = minhash_lsh_join(appended, before)
+    both = appended.select("doc_id", "text").unionByName(
+        before.select("doc_id", "text")
+    )
+    assert (
+        ngram_jaccard_pairs(both, k=3, threshold=0.8, candidates=cands).count()
+        == 0
+    )
+
+    # splits match what the content hash dictates (consistency with a
+    # from-scratch run)
+    expect = {
+        r.doc_id: r.split
+        for r in xxhash_split(
+            appended.select("doc_id"), "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    got = {r.doc_id: r.split for r in appended.select("doc_id", "split").collect()}
+    assert got == expect
+
+    # re-delivering the same batch appends nothing
+    manifest2, report2 = curate_increment(batch, out)
+    assert sum(r.n_rows for r in manifest2.collect()) == 0
+    assert spark.read.parquet(out).count() == n_before + n_inc
+
+
+def test_curate_increment_cli(spark, sf_dir, tmp_path, capsys):
+    from planet_dump_ng_spark import llm_pipeline
+    from planet_dump_ng_spark.llm_pipeline import curate
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    base_path = str(tmp_path / "base.parquet")
+    batch_path = str(tmp_path / "batch.parquet")
+    docs.filter(F.col("doc_id") % 4 != 0).write.parquet(base_path)
+    docs.filter(F.col("doc_id") % 4 == 0).write.parquet(batch_path)
+    out = str(tmp_path / "cli_inc_dataset")
+    curate(spark.read.parquet(base_path), out)
+    n_before = spark.read.parquet(out).count()
+    rc = llm_pipeline.main([
+        "--input", batch_path, "--output", out, "--increment",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "appended=" in text and "quality" in text
+    assert spark.read.parquet(out).count() > n_before
