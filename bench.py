@@ -129,6 +129,40 @@ def curation_bench(spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench") -> 
     return out
 
 
+def increment_bench(
+    spark, sf_dir: str, work: str = "/tmp/pdng-incr-bench"
+) -> dict:
+    """Time incremental curation: build the standing dataset from 75% of
+    the corpus once (not timed), then time curating the remaining 25%
+    batch INTO it (llm_pipeline.curate_increment).  The datum that makes
+    the continuous-ingest claim checkable: per-batch cost should sit
+    well under the full re-curation the increment path exists to avoid.
+    Returns {"total": sec, "batch_rows": N, "appended": N}."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(docs_path):
+        return {}
+    from pyspark.sql import functions as F
+
+    from planet_dump_ng_spark.llm_pipeline import curate, curate_increment
+
+    shutil.rmtree(work, ignore_errors=True)
+    docs = spark.read.parquet(docs_path)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    curate(base, work)
+    t0 = time.perf_counter()
+    manifest, report = curate_increment(batch, work)
+    total = round(time.perf_counter() - t0, 2)
+    appended = sum(r.n_rows for r in manifest.collect())
+    out = {
+        "total": total,
+        "batch_rows": dict(report.stages).get("raw", 0),
+        "appended": appended,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -209,6 +243,7 @@ def main() -> int:
     cur = min((c for c in cur_runs if c), key=lambda c: c["total"], default={})
     if cur:
         cur["runs"] = [c.get("total") for c in cur_runs if c]
+    incr = increment_bench(spark, sf_dir)
 
     t0 = time.perf_counter()
     acc = 0
@@ -230,6 +265,7 @@ def main() -> int:
                 "scale_ratio": scale_ratio,
                 "pipeline": pipe,
                 "curation": cur,
+                "increment": incr,
                 "registry": {
                     "n_queries": len(plans.QUERIES),
                     "n_oracled": sum(

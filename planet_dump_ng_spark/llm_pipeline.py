@@ -59,6 +59,29 @@ class CurationReport:
             self.tokens.append((stage, n_tokens))
 
 
+def _dedup_artifact_dir(dataset_dir: str) -> str:
+    return dataset_dir.rstrip("/") + "_dedup"
+
+
+def _write_dedup_artifact(
+    docs: DataFrame, dataset_dir: str, mode: str = "overwrite"
+) -> None:
+    """Persist the dataset's dedup probe tables beside it — the corpus
+    fingerprint set (16-byte digests) and the LSH bucket table
+    ``(id, band, bh)``.  Built once per curation (one survivor-sized
+    pass) so every later increment probes these artifacts instead of
+    re-deriving corpus-sized signatures per batch; increments APPEND
+    their own survivors, keeping the artifact exactly in step with the
+    dataset."""
+    from planet_dump_ng_spark.streaming.jobs import corpus_lsh_buckets
+
+    d = _dedup_artifact_dir(dataset_dir)
+    docs.select(
+        F.col("doc_id"), tx.fingerprint("text").alias("fp")
+    ).write.mode(mode).parquet(f"{d}/fingerprints")
+    corpus_lsh_buckets(docs).write.mode(mode).parquet(f"{d}/buckets")
+
+
 def curate(
     docs: DataFrame,
     out_dir: str,
@@ -309,6 +332,8 @@ def curate(
             capacity=pack_capacity,
         )
         packed.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}_pack")
+    # dedup artifact beside the dataset: what curate_increment probes
+    _write_dedup_artifact(docs, out_dir)
     if prev is not None:  # the dataset is on disk; release the last cache
         prev.unpersist()
     return manifest, report
@@ -376,8 +401,21 @@ def curate_increment(
     docs = checkpoint("batch_exact", dd.dedup_keep_first(docs))
 
     # 2. exact dedup vs the corpus: probe the fingerprint set — digests,
-    # never text, cross the shuffle
-    corp_fp = corpus.select(tx.fingerprint("text").alias("_fp")).distinct()
+    # never text, cross the shuffle.  The persisted _dedup artifact
+    # (written by curate(), extended by every increment) makes this a
+    # read of precomputed digests; without it, fall back to one
+    # corpus-sized derivation.
+    import os
+
+    art = _dedup_artifact_dir(dataset_dir)
+    have_art = os.path.exists(f"{art}/buckets")
+    corp_fp = (
+        spark.read.parquet(f"{art}/fingerprints").select(
+            F.col("fp").alias("_fp")
+        )
+        if have_art
+        else corpus.select(tx.fingerprint("text").alias("_fp"))
+    ).distinct()
     docs = checkpoint(
         "corpus_exact",
         docs.withColumn("_fp", tx.fingerprint("text"))
@@ -387,16 +425,27 @@ def curate_increment(
 
     # 3. near-dedup: within-batch self-LSH plus the asymmetric
     # batch-vs-corpus join; both verified with exact Jaccard on the
-    # candidate pairs only
+    # candidate pairs only.  The corpus side of the LSH join is the
+    # precomputed bucket artifact when present (per-batch cost is then
+    # proportional to the batch), and only corpus docs that actually
+    # appear as candidates get shingled for the verify.
     self_cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
     self_pairs = dd.ngram_jaccard_pairs(
         docs, k=3, threshold=jaccard_threshold, candidates=self_cands
     )
     self_losers = self_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    cross_cands = dd.minhash_lsh_join(docs, corpus, num_hashes=64, bands=16, k=3)
-    both = docs.select("doc_id", "text").unionByName(
-        corpus.select("doc_id", "text")
+    cross_cands = dd.minhash_lsh_join(
+        docs, corpus, num_hashes=64, bands=16, k=3,
+        corpus_buckets=(
+            spark.read.parquet(f"{art}/buckets") if have_art else None
+        ),
     )
+    corpus_needed = corpus.select("doc_id", "text").join(
+        cross_cands.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    both = docs.select("doc_id", "text").unionByName(corpus_needed)
     cross_pairs = dd.ngram_jaccard_pairs(
         both, k=3, threshold=jaccard_threshold, candidates=cross_cands
     )
@@ -441,6 +490,17 @@ def curate_increment(
     )
     manifest = manifest.persist()
     manifest.count()
+    # extend the dedup artifact with the appended docs so the NEXT
+    # increment probes them too; docs is checkpointed, so the artifact
+    # appends cannot be poisoned by their own writes.  A pre-artifact
+    # dataset gets a one-time backfill from the GROWN dataset (a fresh
+    # read, so it already includes this increment exactly once).
+    if have_art:
+        _write_dedup_artifact(docs, dataset_dir, mode="append")
+    else:
+        _write_dedup_artifact(
+            spark.read.parquet(dataset_dir), dataset_dir, mode="overwrite"
+        )
     return manifest, report
 
 

@@ -258,6 +258,7 @@ def minhash_lsh_join(
     bands: int = 16,
     k: int = 3,
     seed: int = 42,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric banded-LSH candidate join: distinct ``(id_a, id_b)``
     where ``id_a`` is a NEW document sharing at least one band bucket with
@@ -268,7 +269,11 @@ def minhash_lsh_join(
     re-self-joining the whole corpus.  At 100 TB the corpus bucket table
     ``(id, band, bh)`` is a precomputed artifact (bucketed/partitioned by
     ``(band, bh)``) that each ingest batch equi-joins against: per-batch
-    cost is proportional to the batch, not the corpus.  Band hashes are
+    cost is proportional to the batch, not the corpus — pass it as
+    ``corpus_buckets`` (streaming.jobs.corpus_lsh_buckets builds it, the
+    curation dataset persists it as the ``_dedup`` artifact); without it
+    the bucket table is re-derived from ``corpus`` per call, paying a
+    corpus-sized signature pass.  Band hashes are
     uniform by construction, so the join keys don't skew; a boilerplate
     mega-bucket (both sides hot) is AQE skew-join territory.  Within-batch
     duplicates are out of scope here — run the self-join variant on the
@@ -283,7 +288,12 @@ def minhash_lsh_join(
             "id", F.explode(lsh_bands("sig", bands, rows)).alias("bb")
         ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    bn, bc = buckets(new).alias("n"), buckets(corpus).alias("c")
+    bc = (
+        corpus_buckets.select("id", "band", "bh")
+        if corpus_buckets is not None
+        else buckets(corpus)
+    ).alias("c")
+    bn = buckets(new).alias("n")
     return (
         bn.join(
             bc,

@@ -420,3 +420,39 @@ def test_curate_increment_cli(spark, sf_dir, tmp_path, capsys):
     text = capsys.readouterr().out
     assert "appended=" in text and "quality" in text
     assert spark.read.parquet(out).count() > n_before
+
+
+def test_dedup_artifact_tracks_dataset(spark, sf_dir, tmp_path):
+    """curate() writes the _dedup probe artifact; increments extend it to
+    stay row-for-row with the dataset, and a second increment uses it
+    (equal results with or without the artifact)."""
+    from planet_dump_ng_spark.llm_pipeline import (
+        _dedup_artifact_dir,
+        curate,
+        curate_increment,
+    )
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "art_dataset")
+    curate(docs.filter(F.col("doc_id") % 3 == 0), out)
+    art = _dedup_artifact_dir(out)
+    fp = spark.read.parquet(f"{art}/fingerprints")
+    assert fp.count() == spark.read.parquet(out).count()
+
+    curate_increment(docs.filter(F.col("doc_id") % 3 == 1), out)
+    n_after = spark.read.parquet(out).count()
+    assert spark.read.parquet(f"{art}/fingerprints").count() == n_after
+    # bucket table covers exactly the dataset ids
+    bucket_ids = (
+        spark.read.parquet(f"{art}/buckets").select("id").distinct().count()
+    )
+    assert bucket_ids == n_after
+
+    # a pre-artifact dataset gets backfilled on first increment
+    import shutil
+
+    shutil.rmtree(art)
+    curate_increment(docs.filter(F.col("doc_id") % 3 == 2), out)
+    n_final = spark.read.parquet(out).count()
+    assert spark.read.parquet(f"{art}/fingerprints").count() == n_final
