@@ -108,6 +108,7 @@ def curation_bench(spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench") -> 
     from planet_dump_ng_spark.llm_pipeline import curate
 
     shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(work + "_dedup", ignore_errors=True)
     docs = spark.read.parquet(docs_path)
     bench_set = docs.filter((docs.doc_id % 97) == 0).select("doc_id", "text")
     t0 = time.perf_counter()
@@ -126,6 +127,7 @@ def curation_bench(spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench") -> 
         "rows_out": min(stages.values()) if stages else 0,
     }
     shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(work + "_dedup", ignore_errors=True)
     return out
 
 
@@ -146,6 +148,7 @@ def increment_bench(
     from planet_dump_ng_spark.llm_pipeline import curate, curate_increment
 
     shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(work + "_dedup", ignore_errors=True)
     docs = spark.read.parquet(docs_path)
     base = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
@@ -160,6 +163,7 @@ def increment_bench(
         "appended": appended,
     }
     shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(work + "_dedup", ignore_errors=True)
     return out
 
 

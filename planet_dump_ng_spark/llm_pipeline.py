@@ -63,23 +63,73 @@ def _dedup_artifact_dir(dataset_dir: str) -> str:
     return dataset_dir.rstrip("/") + "_dedup"
 
 
+#: the ONE definition of the dedup probe geometry — artifact writer and
+#: increment prober both read these, so they can never silently diverge
+#: (divergent band params would make every LSH probe miss and quietly
+#: disable near-dedup; the meta.json header below catches an artifact
+#: written by different code).
+_DEDUP_LSH = {"num_hashes": 64, "bands": 16, "k": 3, "seed": 42}
+_DEDUP_META = {
+    "format": "dedup-artifact-v1",
+    "fingerprint": "md5-casefold-ws-collapse",
+    **_DEDUP_LSH,
+}
+
+
 def _write_dedup_artifact(
     docs: DataFrame, dataset_dir: str, mode: str = "overwrite"
 ) -> None:
     """Persist the dataset's dedup probe tables beside it — the corpus
     fingerprint set (16-byte digests) and the LSH bucket table
-    ``(id, band, bh)``.  Built once per curation (one survivor-sized
-    pass) so every later increment probes these artifacts instead of
-    re-deriving corpus-sized signatures per batch; increments APPEND
-    their own survivors, keeping the artifact exactly in step with the
+    ``(id, band, bh)`` — plus a ``meta.json`` header recording the
+    probe geometry (the same header discipline as the IVFPQ/BM25
+    artifacts: a prober must never have to guess the band parameters,
+    because mismatched bands make every probe miss SILENTLY).  Built
+    once per curation (one survivor-sized pass) so every later
+    increment probes these artifacts instead of re-deriving
+    corpus-sized signatures per batch; increments APPEND their own
+    survivors, keeping the artifact exactly in step with the
     dataset."""
+    import json
+    import os
+
     from planet_dump_ng_spark.streaming.jobs import corpus_lsh_buckets
 
     d = _dedup_artifact_dir(dataset_dir)
     docs.select(
         F.col("doc_id"), tx.fingerprint("text").alias("fp")
     ).write.mode(mode).parquet(f"{d}/fingerprints")
-    corpus_lsh_buckets(docs).write.mode(mode).parquet(f"{d}/buckets")
+    corpus_lsh_buckets(docs, **_DEDUP_LSH).write.mode(mode).parquet(
+        f"{d}/buckets"
+    )
+    os.makedirs(d, exist_ok=True)
+    with open(f"{d}/meta.json", "w", encoding="utf-8") as fh:
+        json.dump(_DEDUP_META, fh)
+
+
+def _check_dedup_meta(art: str) -> None:
+    """Raise if an artifact's recorded geometry contradicts this
+    code's probe parameters (pre-header artifacts pass — same policy as
+    read_ivfpq_index)."""
+    import json
+    import os
+
+    path = f"{art}/meta.json"
+    if not os.path.exists(path):
+        return
+    with open(path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    mismatched = {
+        k: (meta.get(k), v) for k, v in _DEDUP_META.items()
+        if meta.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"dedup artifact {art} was written with different probe "
+            f"geometry {mismatched} — probing it with this build would "
+            "silently miss every candidate; re-run a full curation to "
+            "rebuild it"
+        )
 
 
 def curate(
@@ -103,12 +153,16 @@ def curate(
     span_dedup_tokens: int | None = None,
     quality_temper: tuple[float, float, float, float] | None = None,
     token_budget: int | None = None,
+    write_dedup_artifact: bool = True,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
     ``bench`` is the eval set to decontaminate against (defaults to none).
     Thresholds follow common curation practice: near-dups at Jaccard 0.8,
     contamination at 50% containment of an eval item's shingles.
+    ``write_dedup_artifact=False`` skips the ``<out_dir>_dedup`` probe
+    tables (one survivor-sized fingerprint+signature pass) for datasets
+    that will never take increments.
     """
     report = CurationReport()
 
@@ -333,7 +387,8 @@ def curate(
         )
         packed.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}_pack")
     # dedup artifact beside the dataset: what curate_increment probes
-    _write_dedup_artifact(docs, out_dir)
+    if write_dedup_artifact:
+        _write_dedup_artifact(docs, out_dir)
     if prev is not None:  # the dataset is on disk; release the last cache
         prev.unpersist()
     return manifest, report
@@ -349,6 +404,8 @@ def curate_increment(
     max_stopword_ratio: float = 0.7,
     scrub_pii: bool = True,
     fractions: dict[str, float] | None = None,
+    leakage_free: bool = False,
+    split_jaccard: float = 0.3,
 ) -> tuple[DataFrame, CurationReport]:
     """Incremental curation: run a NEW batch through the curation gates
     AGAINST the standing curated dataset and append the survivors — the
@@ -396,8 +453,17 @@ def curate_increment(
 
     # 1. idempotence + within-batch exact dedup: ids the dataset already
     # holds drop first (a redelivered batch is a no-op), then the batch
-    # keeps one doc per canonical fingerprint
+    # keeps one doc per canonical fingerprint.  The PII scrub runs HERE
+    # — before any fingerprint/shingle probe — because the dataset
+    # stores SCRUBBED text: probing it with raw-batch fingerprints
+    # would miss every stored doc whose text the scrub rewrote, letting
+    # exact duplicates through.  (Span-rewritten datasets keep the same
+    # caveat for the rewritten docs themselves: a raw re-crawl of an
+    # excised page is a NEAR-dup, caught by the Jaccard stage, not an
+    # exact-fingerprint match.)
     docs = new_docs.join(corpus.select("doc_id"), "doc_id", "left_anti")
+    if scrub_pii:
+        docs = docs.withColumn("text", tx.scrub_pii("text"))
     docs = checkpoint("batch_exact", dd.dedup_keep_first(docs))
 
     # 2. exact dedup vs the corpus: probe the fingerprint set — digests,
@@ -408,7 +474,16 @@ def curate_increment(
     import os
 
     art = _dedup_artifact_dir(dataset_dir)
+    _check_dedup_meta(art)
     have_art = os.path.exists(f"{art}/buckets")
+    if have_art:
+        # repair a STALE artifact (a crash between a prior increment's
+        # dataset append and its artifact append): fingerprint rows must
+        # match the dataset row-for-row, else rebuild from the dataset —
+        # the redelivered batch can't repair it (its ids anti-join away)
+        n_fp = spark.read.parquet(f"{art}/fingerprints").count()
+        if n_fp != corpus.count():
+            _write_dedup_artifact(corpus, dataset_dir, mode="overwrite")
     corp_fp = (
         spark.read.parquet(f"{art}/fingerprints").select(
             F.col("fp").alias("_fp")
@@ -429,13 +504,17 @@ def curate_increment(
     # precomputed bucket artifact when present (per-batch cost is then
     # proportional to the batch), and only corpus docs that actually
     # appear as candidates get shingled for the verify.
-    self_cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+    self_cands = dd.minhash_lsh_candidates(
+        docs, num_hashes=_DEDUP_LSH["num_hashes"],
+        bands=_DEDUP_LSH["bands"], k=_DEDUP_LSH["k"],
+    )
     self_pairs = dd.ngram_jaccard_pairs(
-        docs, k=3, threshold=jaccard_threshold, candidates=self_cands
+        docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
+        candidates=self_cands,
     )
     self_losers = self_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     cross_cands = dd.minhash_lsh_join(
-        docs, corpus, num_hashes=64, bands=16, k=3,
+        docs, corpus, **_DEDUP_LSH,
         corpus_buckets=(
             spark.read.parquet(f"{art}/buckets") if have_art else None
         ),
@@ -465,8 +544,6 @@ def curate_increment(
         docs = checkpoint(
             "decontaminated", docs.join(dirty, "doc_id", "left_anti")
         )
-    if scrub_pii:
-        docs = docs.withColumn("text", tx.scrub_pii("text"))
     feats = tx.repetition_features(tx.quality_features(docs))
     keep = feats.filter(
         (F.col("n_tokens") >= min_tokens)
@@ -474,6 +551,86 @@ def curate_increment(
         & F.col("repetition_keep")
     ).select("doc_id")
     docs = checkpoint("quality", docs.join(keep, "doc_id", "left_semi"))
+
+    # 4b. leakage-free split inheritance: a dataset curated with
+    # leakage_free=True guarantees no near-dup pair above split_jaccard
+    # straddles train/test; a plain hash split on appended docs would
+    # reopen that channel (a batch doc at Jaccard 0.5 vs a train doc
+    # could hash into test).  So: batch docs inherit the split of their
+    # existing near-dup partner (min corpus id, elected per batch-side
+    # connected component so linked batch docs stay together), docs in
+    # a component whose partners ALREADY straddle splits (bridge docs —
+    # history the increment cannot rewrite) are dropped, and unpartnered
+    # components hash on their component representative.
+    forced_split_col = None
+    split_key = None
+    if leakage_free:
+        from planet_dump_ng_spark.operators.graph import connected_components
+
+        k_sh = _DEDUP_LSH["k"]
+        sc2 = dd.minhash_lsh_candidates(
+            docs, num_hashes=_DEDUP_LSH["num_hashes"],
+            bands=_DEDUP_LSH["bands"], k=k_sh,
+        )
+        sp2 = dd.ngram_jaccard_pairs(
+            docs, k=k_sh, threshold=split_jaccard, candidates=sc2
+        )
+        comp = connected_components(
+            docs.select(F.col("doc_id").alias("id")),
+            sp2.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        )
+        cc2 = dd.minhash_lsh_join(
+            docs, corpus, **_DEDUP_LSH,
+            corpus_buckets=(
+                spark.read.parquet(f"{art}/buckets") if have_art else None
+            ),
+        )
+        corpus_needed2 = corpus.select("doc_id", "text").join(
+            cc2.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        cp2 = dd.ngram_jaccard_pairs(
+            docs.select("doc_id", "text").unionByName(corpus_needed2),
+            k=k_sh, threshold=split_jaccard, candidates=cc2,
+        )
+        # ALL partner rows, not a per-doc election: the distinct-split
+        # count below must see every partner's split, or a doc bridging
+        # train and test content would count a single (elected) split
+        # and slip through
+        part = (
+            cp2.select(F.col("id_a").alias("id"), F.col("id_b").alias("pid"))
+            .join(
+                corpus.select(
+                    F.col("doc_id").alias("pid"), F.col("split").alias("ps")
+                ),
+                "pid",
+            )
+        )
+        cstat = (
+            comp.join(part, "id", "left")
+            .groupBy("component")
+            .agg(
+                F.min(
+                    F.when(F.col("pid").isNotNull(), F.struct("pid", "ps"))
+                ).alias("w"),
+                F.countDistinct("ps").alias("nsplits"),
+            )
+        )
+        assign = comp.join(cstat, "component").select(
+            F.col("id").alias("doc_id"),
+            F.col("component"),
+            F.col("w.ps").alias("_forced_split"),
+            "nsplits",
+        )
+        docs = checkpoint(
+            "split_guard",
+            docs.join(assign, "doc_id").filter(F.col("nsplits") <= 1).drop(
+                "nsplits"
+            ),
+        )
+        forced_split_col = "_forced_split"
+        split_key = "component"
 
     # 5. append with the same content-stable split gate.
     # localCheckpoint first: every stage above reads dataset_dir, and the
@@ -486,7 +643,8 @@ def curate_increment(
     if prev is not None:
         prev.unpersist()
     manifest = materialize_splits(
-        docs, dataset_dir, "doc_id", fractions, mode="append"
+        docs, dataset_dir, "doc_id", fractions, mode="append",
+        split_key=split_key, forced_split_col=forced_split_col,
     )
     manifest = manifest.persist()
     manifest.count()
@@ -657,6 +815,8 @@ def main(argv: list[str] | None = None) -> int:
             min_tokens=args.min_tokens,
             max_stopword_ratio=args.max_stopword_ratio,
             scrub_pii=not args.no_pii_scrub,
+            leakage_free=args.leakage_free_split,
+            split_jaccard=args.split_jaccard,
         )
         toks = dict(report.tokens)
         for stage, n in report.stages:

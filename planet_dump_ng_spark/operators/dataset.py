@@ -27,6 +27,7 @@ def materialize_splits(
     shards_per_split: int | None = None,
     split_key: str | None = None,
     mode: str = "overwrite",
+    forced_split_col: str | None = None,
 ) -> DataFrame:
     """Assign xxhash splits and write ``out_dir/split=<name>/`` parquet.
 
@@ -44,6 +45,14 @@ def materialize_splits(
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     n = shards_per_split or df.sparkSession.sparkContext.defaultParallelism
     assigned = xxhash_split(df, split_key or key, fractions)
+    if forced_split_col:
+        # rows with a non-null forced split OVERRIDE the hash assignment
+        # (incremental leakage-free splitting inherits the split of an
+        # existing near-dup partner); values must be keys of fractions —
+        # the caller owns that contract
+        assigned = assigned.withColumn(
+            "split", F.coalesce(F.col(forced_split_col), F.col("split"))
+        ).drop(forced_split_col)
     if split_key:
         assigned = assigned.drop(split_key)
     (

@@ -644,7 +644,7 @@ def span_dedup(
     kept_struct = F.when(
         F.col("kept"), F.struct("span_idx", "span_text")
     )
-    return flagged.groupBy("doc_id").agg(
+    out = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum(F.when(~F.col("kept"), 1).otherwise(0))
         .cast("bigint")
@@ -661,7 +661,13 @@ def span_dedup(
                 " ",
             )
         ).alias("retained_md5"),
-    )
+    ).persist()
+    # materialize, then release the corpus-text-sized span cache — a
+    # lazily-leaked occ cache would squat executor memory for the rest
+    # of the session (the superset_containment_pairs discipline)
+    out.count()
+    occ.unpersist()
+    return out
 
 
 def span_dedup_rewrite(
@@ -709,7 +715,11 @@ def span_dedup_rewrite(
         F.col("_retained").alias(text_col) if c == text_col else F.col(c)
         for c in docs.columns
     ]
-    return (
+    out = (
         docs.join(retained, F.col(id_col) == F.col("_sd_id"))
         .select(*out_cols)
+        .persist()
     )
+    out.count()
+    occ.unpersist()
+    return out

@@ -1326,25 +1326,40 @@ def ivfpq_add_to_dir(
     ).localCheckpoint(eager=True)
     n_added = added.count()
     if n_added:
-        added.write.mode("append").partitionBy("cell").parquet(f"{d}/codes")
         if meta.get("has_vectors"):
             # IndexRefineFlat artifacts keep the flat vectors in sync
             # with the codes: the same fresh batch, cell from the codes
             # just encoded, appended into the same cell partitioning.
-            # Join the RAW batch against the persisted `added` rows —
-            # `fresh` is a lazy anti-join against the codes parquet,
-            # which the append above just grew, so re-evaluating it
-            # here would see its own output and produce nothing.
-            (
+            # Vectors land FIRST, idempotently (anti-join against the
+            # stored vector ids): idempotence of the whole add is keyed
+            # on the CODES table (written last), so a crash between the
+            # two appends is self-repairing — the redelivered batch is
+            # still "fresh" (its codes are missing), the vector rows it
+            # already wrote anti-join away, and the codes append
+            # completes the pair.  Writing codes first would strand the
+            # vectors forever (the retry would see the codes and skip).
+            # Join the RAW batch against the checkpointed `added` rows —
+            # `fresh` is a lazy anti-join against the codes parquet and
+            # must not be re-evaluated after any append.
+            spark = new_vectors.sparkSession
+            new_vecs = (
                 new_vectors.select(
                     F.col(id_col).alias("vec_id"),
                     F.col(vec_col).alias("embedding"),
                 )
                 .join(added.select("vec_id", "cell"), "vec_id")
-                .write.mode("append")
-                .partitionBy("cell")
-                .parquet(f"{d}/vectors")
+                .join(
+                    spark.read.parquet(f"{d}/vectors").select("vec_id"),
+                    "vec_id",
+                    "left_anti",
+                )
+                # cut lineage to the vectors path before appending to it
+                .localCheckpoint(eager=True)
             )
+            new_vecs.write.mode("append").partitionBy("cell").parquet(
+                f"{d}/vectors"
+            )
+        added.write.mode("append").partitionBy("cell").parquet(f"{d}/codes")
     added.unpersist()
     return n_added
 

@@ -215,7 +215,14 @@ def quality_weighted_sample(
 
     Adds (tier, bucket, keep_threshold); returns kept rows only.
     """
-    assert len(quotas) == 4, "quotas is one keep fraction per quartile"
+    if len(quotas) != 4:
+        # a hard error, not an assert: under `python -O` a short list
+        # would otherwise leave the TOP quartile's threshold NULL and
+        # silently drop every highest-quality row
+        raise ValueError(
+            f"quotas needs one keep fraction per quartile (4), got "
+            f"{len(quotas)}: {quotas!r}"
+        )
     cuts = df.agg(
         *[
             F.expr(

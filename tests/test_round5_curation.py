@@ -456,3 +456,95 @@ def test_dedup_artifact_tracks_dataset(spark, sf_dir, tmp_path):
     curate_increment(docs.filter(F.col("doc_id") % 3 == 2), out)
     n_final = spark.read.parquet(out).count()
     assert spark.read.parquet(f"{art}/fingerprints").count() == n_final
+
+
+def test_curate_increment_leakage_free(spark, sf_dir, tmp_path):
+    """Incrementing a leakage-free dataset keeps the guarantee: no
+    near-dup pair at or above split_jaccard straddles splits in the
+    grown dataset (appended docs inherit their partner's split)."""
+    from planet_dump_ng_spark.llm_pipeline import curate, curate_increment
+    from planet_dump_ng_spark.operators.dedup import (
+        minhash_lsh_join,
+        ngram_jaccard_pairs,
+    )
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = str(tmp_path / "lf_inc_dataset")
+    curate(base, out, leakage_free=True, split_jaccard=0.3)
+    # snapshot ids driver-side: a cached 'before' frame would be
+    # recached-by-path after the append and silently become 'after'
+    before_ids = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+
+    manifest, report = curate_increment(
+        batch, out, leakage_free=True, split_jaccard=0.3
+    )
+    stages = dict(report.stages)
+    assert "split_guard" in stages
+    after = spark.read.parquet(out)
+    appended = after.filter(~F.col("doc_id").isin(list(before_ids))).persist()
+    assert appended.count() > 0
+
+    # invariant: no >= split_jaccard pair between an appended doc and ANY
+    # dataset doc crosses splits
+    cands = minhash_lsh_join(appended, after)
+    pairs = ngram_jaccard_pairs(
+        after.select("doc_id", "text"), k=3, threshold=0.3, candidates=cands
+    )
+    sp = after.select("doc_id", "split")
+    crossed = (
+        pairs.join(sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert crossed.count() == 0
+    appended.unpersist()
+
+
+def test_increment_split_inheritance_fixture(spark, tmp_path):
+    """Controlled fixture for the leakage-free increment mechanics:
+    a batch doc near a train doc inherits 'train', a doc bridging a
+    train doc and a test doc is dropped, a novel doc hash-splits."""
+    from planet_dump_ng_spark.llm_pipeline import curate_increment
+    from planet_dump_ng_spark.operators.dedup import minhash_lsh_join
+
+    # token spellings chosen so the deterministic MinHash draw collides
+    # for exactly the intended pairs: 10-3 (inherit), 12-1 and 12-2
+    # (bridge), and NOT between the batch docs themselves (10 must not
+    # join 12's component or it would share 12's correct bridge-drop)
+    X = " ".join(f"x{i}" for i in range(70))
+    Y = " ".join(f"w{i}" for i in range(70))
+    Z = " ".join(f"g{i}" for i in range(70))
+    out = str(tmp_path / "fixture_ds")
+    spark.createDataFrame(
+        [(1, X, "train"), (2, Y, "test"), (3, Z, "train")],
+        ["doc_id", "text", "split"],
+    ).write.partitionBy("split").parquet(out)
+
+    near_z = Z + " " + " ".join(f"q{i}" for i in range(20))  # J~0.74 vs Z
+    bridge = X + " " + Y  # J~0.49 vs each of X and Y
+    novel = " ".join(f"z{i}" for i in range(40))
+    batch = spark.createDataFrame(
+        [(10, near_z), (12, bridge), (11, novel)], ["doc_id", "text"]
+    )
+    corpus = spark.read.parquet(out)
+    hits = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_join(batch, corpus).collect()
+    }
+    assert (10, 3) in hits and (12, 1) in hits and (12, 2) in hits
+
+    manifest, report = curate_increment(
+        batch, out, leakage_free=True, split_jaccard=0.3,
+        min_tokens=20, scrub_pii=False,
+    )
+    rows = {r.doc_id: r.split for r in spark.read.parquet(out).collect()}
+    assert rows[10] == "train"  # inherited from partner doc 1
+    assert 12 not in rows  # bridge between train and test content drops
+    assert 11 in rows  # novel doc lands via the hash gate
+    stages = dict(report.stages)
+    assert stages["quality"] - stages["split_guard"] == 1
