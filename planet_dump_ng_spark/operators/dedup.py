@@ -207,7 +207,7 @@ def lsh_bands(sig_col: Column | str, bands: int, rows: int) -> Column:
     )
 
 
-def minhash_lsh_candidates(
+def lsh_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -216,25 +216,105 @@ def minhash_lsh_candidates(
     k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
-
-    Returns distinct (id_a, id_b) with id_a < id_b.  Plan shape:
-    scan -> signature (map-only) -> explode bands -> self equi-join on
-    (band, band_hash) -> distinct.  At 100 TB the join is the only
-    shuffle and is keyed on band hashes, which are uniform by
-    construction; ``spark.sql.adaptive.skewJoin`` splits any boilerplate
-    mega-bucket.
-    """
+    """The LSH bucket table ``(id, band, bh)`` — one row per document per
+    band.  This is the shared substrate of the self-join candidate
+    generator, the asymmetric ingest join, and the persisted corpus
+    bucket artifact (streaming.jobs.corpus_lsh_buckets delegates here)."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
     sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, k, seed)
+    return sigs.select(
+        "id", F.explode(lsh_bands("sig", bands, rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def lsh_bucket_stats(buckets: DataFrame, min_size: int = 2) -> DataFrame:
+    """Bucket-size histogram ``(bucket_size, n_buckets)`` over an LSH
+    bucket table — the loud audit for the pair-quadratic risk: a row
+    like (10_000, 3) says three buckets would each emit ~5*10^7
+    candidate pairs under all-pairs emission.  Read it BEFORE choosing
+    ``mode``/``max_bucket`` on :func:`minhash_lsh_candidates`.  One
+    map-side-combinable aggregation; singleton buckets (no pairs) are
+    dropped by ``min_size``."""
+    return (
+        buckets.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") >= min_size)
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    mode: str = "pairs",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.  Plan shape:
+    scan -> signature (map-only) -> explode bands -> bucket join ->
+    distinct.  The join keys are uniform band hashes, so the SHUFFLE
+    never skews — but candidate OUTPUT mass is governed by ``mode``:
+
+    - ``mode="pairs"`` (default): self equi-join on (band, bh) emitting
+      every in-bucket pair — all B*(B-1)/2 of a B-doc bucket.  Exhaustive
+      (every bucket-sharing pair reaches the verifier) but a viral-
+      boilerplate mega-cluster (B ~ 10^6 in a real crawl) emits ~5*10^11
+      rows from ONE bucket; AQE skew-join splits partitions, not output
+      mass, so it cannot contain this.  Use for bounded corpora or with
+      ``max_bucket``.
+    - ``mode="star"``: emit (bucket_min_id, id) per bucket — B-1 edges
+      with the SAME connected components as all-pairs (every in-bucket
+      pair is linked through the bucket minimum), so connectivity
+      consumers (dedup_cluster_sizes / dedup_canonical_docs /
+      leakage_free_split / curate's min-id survivor rule) lose nothing
+      while a mega-bucket costs O(B), not O(B^2).  The bucket minimum is
+      a map-side-combinable groupBy MIN + an equi-join back (AQE splits
+      the hot bucket's join across tasks; the min side is one row per
+      bucket), never a single-task window.  Note the verify stage then
+      scores star edges only: a transitive cluster (A~B~C, A!~C) keeps C
+      when the bucket min A fails the threshold vs C — at dedup
+      thresholds in-bucket docs are mutually similar, and that recall
+      trade is the price of surviving 100 TB.
+
+    ``max_bucket`` (pairs mode): drop buckets larger than this bound
+    BEFORE the self-join — the same discipline as the inverted-index
+    ``max_df`` cap (superset_containment_pairs).  Docs in a dropped
+    bucket still pair through their 15 other bands; audit what you
+    dropped with :func:`lsh_bucket_stats` first.  Ignored in star mode
+    (star is already linear).
+    """
+    if mode not in ("pairs", "star"):
+        raise ValueError(f"mode must be 'pairs' or 'star', got {mode!r}")
     buckets = (
-        sigs.select("id", F.explode(lsh_bands("sig", bands, rows)).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-        # persist: one cached pass feeds BOTH sides of the self-join below
-        # instead of recomputing the signature aggregation twice.
+        lsh_buckets(df, text_col, id_col, num_hashes, bands, k, seed)
+        # persist: one cached pass feeds BOTH sides of the bucket join
+        # below instead of recomputing the signature aggregation twice.
         .persist()
     )
+    if mode == "star":
+        mins = buckets.groupBy("band", "bh").agg(F.min("id").alias("mn"))
+        return (
+            buckets.join(mins, ["band", "bh"])
+            .filter(F.col("id") > F.col("mn"))
+            .select(F.col("mn").alias("id_a"), F.col("id").alias("id_b"))
+            .distinct()
+        )
+    if max_bucket is not None:
+        small = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "bh")
+        )
+        buckets = buckets.join(small, ["band", "bh"], "left_semi")
     left = buckets.alias("a")
     right = buckets.alias("b")
     return (
@@ -259,6 +339,7 @@ def minhash_lsh_join(
     k: int = 3,
     seed: int = 42,
     corpus_buckets: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Asymmetric banded-LSH candidate join: distinct ``(id_a, id_b)``
     where ``id_a`` is a NEW document sharing at least one band bucket with
@@ -274,26 +355,38 @@ def minhash_lsh_join(
     curation dataset persists it as the ``_dedup`` artifact); without it
     the bucket table is re-derived from ``corpus`` per call, paying a
     corpus-sized signature pass.  Band hashes are
-    uniform by construction, so the join keys don't skew; a boilerplate
-    mega-bucket (both sides hot) is AQE skew-join territory.  Within-batch
+    uniform by construction, so the join keys don't skew; but a hot
+    corpus bucket (B boilerplate docs) hands EVERY batch doc that probes
+    it B candidates — ``max_bucket`` caps the corpus side at its
+    ``max_bucket`` SMALLEST ids per bucket (deterministic representative
+    probing: a batch doc near-identical to a boilerplate cluster still
+    verifies against the cluster's representatives; only the long tail
+    of a mega-bucket stops being individually named as ``id_b``).  At
+    real scale bake the cap into the persisted bucket artifact once at
+    build time instead of re-ranking per probe.  Within-batch
     duplicates are out of scope here — run the self-join variant on the
     batch for those.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rows = num_hashes // bands
-
-    def buckets(df: DataFrame) -> DataFrame:
-        sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, k, seed)
-        return sigs.select(
-            "id", F.explode(lsh_bands("sig", bands, rows)).alias("bb")
-        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     bc = (
         corpus_buckets.select("id", "band", "bh")
         if corpus_buckets is not None
-        else buckets(corpus)
-    ).alias("c")
-    bn = buckets(new).alias("n")
+        else lsh_buckets(corpus, text_col, id_col, num_hashes, bands, k, seed)
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bh").orderBy("id")
+        bc = (
+            bc.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
+    bc = bc.alias("c")
+    bn = lsh_buckets(new, text_col, id_col, num_hashes, bands, k, seed).alias(
+        "n"
+    )
     return (
         bn.join(
             bc,

@@ -60,27 +60,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_oracle(
-    num_hashes: int = 64,
-    bands: int = 16,
-    seed: int = 42,
-    pair_pred: str = "x.doc_id < y.doc_id",
-) -> str:
-    """Full DuckDB replica of the MinHash+LSH candidate pipeline.
+def _lsh_bnd_ctes(num_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
+    """The shared CTE chain shingles -> hashes -> signatures -> band keys
+    (``sh``/``ex``/``hh``/``sig``/``bnd``) that every LSH oracle builds on.
 
-    The banding internals ARE SQL-expressible once DuckDB can reproduce
-    Spark's xxhash64 (plans/duck_xxh64.py, byte-exact): shingle hashes are
-    pmod(xxhash64(shingle), P); signatures are 64 min-aggregates with the
-    same deterministic (a, b) permutation constants; bands compare the raw
-    4-value signature slices (Spark equi-joins on xxhash64 of the same
-    comma-joined slice, so equality of keys is identical up to 64-bit hash
-    collisions); candidates are then verified with exact Jaccard >= 0.1,
-    matching operators.dedup.ngram_jaccard_pairs(candidates=...) exactly.
-
-    ``pair_pred`` selects which (x, y) bucket-sharing pairs survive —
-    the self-join default, or an asymmetric new-batch/corpus split for
-    the incremental variant.
-    """
+    DuckDB reproduces Spark's xxhash64 byte-exactly (plans/duck_xxh64.py):
+    shingle hashes are pmod(xxhash64(shingle), P); signatures are
+    ``num_hashes`` min-aggregates with the same deterministic (a, b)
+    permutation constants; bands compare the raw signature slices (Spark
+    equi-joins on xxhash64 of the same comma-joined slice, so key
+    equality is identical up to 64-bit hash collisions)."""
     from planet_dump_ng_spark.operators.dedup import _MERSENNE_31, _hash_params
     from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_pmod_inline
 
@@ -91,16 +80,48 @@ def _minhash_lsh_oracle(
     )
     hash_expr = xxh64_pmod_inline("s", _MERSENNE_31)
     return f"""
-    WITH sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
     ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
     hh AS (SELECT doc_id, {hash_expr} AS h FROM ex),
     sig AS MATERIALIZED (SELECT doc_id, [{mins}] AS sig FROM hh GROUP BY doc_id),
     bnd AS (SELECT doc_id, bn,
                    array_to_string(sig[{rows} * bn + 1 : {rows} * bn + {rows}], ',') AS bk
-            FROM sig, (SELECT unnest(range(0, {bands})) AS bn)),
-    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM sig, (SELECT unnest(range(0, {bands})) AS bn))"""
+
+
+#: star-mode candidate emission: each bucket member pairs with the bucket
+#: MINIMUM id — B-1 edges per bucket, same connected components as the
+#: all-pairs self-join (mirrors operators.dedup.minhash_lsh_candidates
+#: mode="star")
+_STAR_CAND = """SELECT DISTINCT m.mn AS id_a, y.doc_id AS id_b
+             FROM bnd y JOIN (SELECT bn, bk, MIN(doc_id) AS mn
+                              FROM bnd GROUP BY bn, bk) m
+               ON y.bn = m.bn AND y.bk = m.bk AND y.doc_id > m.mn"""
+
+
+def _minhash_lsh_oracle(
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    pair_pred: str = "x.doc_id < y.doc_id",
+    cand_sql: str | None = None,
+) -> str:
+    """Full DuckDB replica of the MinHash+LSH candidate pipeline: the
+    shared band CTEs (:func:`_lsh_bnd_ctes`), a candidate CTE, then the
+    exact-Jaccard >= 0.1 verify, matching
+    operators.dedup.ngram_jaccard_pairs(candidates=...) exactly.
+
+    ``pair_pred`` selects which (x, y) bucket-sharing pairs survive —
+    the self-join default, or an asymmetric new-batch/corpus split for
+    the incremental variant; ``cand_sql`` replaces the candidate SELECT
+    wholesale (star emission, capped buckets).
+    """
+    cand = cand_sql or f"""SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
              FROM bnd x JOIN bnd y
-               ON x.bn = y.bn AND x.bk = y.bk AND {pair_pred})
+               ON x.bn = y.bn AND x.bk = y.bk AND {pair_pred}"""
+    return f"""
+    WITH {_lsh_bnd_ctes(num_hashes, bands, seed)},
+    cand AS ({cand})
     SELECT c.id_a, c.id_b,
            len(list_intersect(sa.sh, sb.sh))::DOUBLE
              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
@@ -902,3 +923,127 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.unpersist()
     comp.unpersist()
     return out
+
+# -- round 6: mega-bucket containment ------------------------------------------
+# A viral-boilerplate cluster of B near-identical docs shares every LSH
+# bucket; all-pairs emission costs B^2/2 candidate rows from ONE bucket no
+# matter how the join is partitioned (AQE splits partitions, not output
+# mass).  The queries below pin the three containment tools: star-edge
+# emission (O(B), same connected components), representative-capped
+# incremental probing, and the bucket-size audit that tells an operator
+# which regime a corpus is in.
+
+
+@register(
+    "dedup_lsh_star",
+    _minhash_lsh_oracle(cand_sql=_STAR_CAND),
+    doc="Star-mode MinHash-LSH near-dup pairs: each band bucket emits its "
+    "members paired with the bucket-MINIMUM id (B-1 edges instead of "
+    "B^2/2 — the only candidate shape that survives a viral-boilerplate "
+    "mega-bucket at 100 TB), then exact-Jaccard >= 0.1 verification.  "
+    "Connected components are identical to all-pairs emission because "
+    "every in-bucket pair is linked through the bucket minimum; the "
+    "oracle replays the same bucket-min election via the DuckDB "
+    "xxhash64 replica.",
+    tags=("dedup",),
+)
+def dedup_lsh_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, k=3, mode="star"
+    )
+    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+
+
+@register(
+    "dedup_star_cluster_sizes",
+    f"""
+    WITH RECURSIVE
+    ver AS MATERIALIZED ({_minhash_lsh_oracle(cand_sql=_STAR_CAND)}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM ver
+            UNION SELECT id_b, id_a FROM ver),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.u, r.lab FROM reach r JOIN sym s ON s.v = r.id
+    ),
+    comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+    SELECT component, COUNT(*) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+    doc="Connectivity consumer on the star candidate shape: connected "
+    "components over star-emitted, Jaccard-verified LSH pairs, counted "
+    "per cluster — proves the O(B) candidate emission feeds the "
+    "cluster-election pipeline (dedup_cluster_sizes/dedup_canonical_docs "
+    "semantics) unchanged.  Oracle: recursive min-label CTE over the "
+    "same star-verified pair set.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_star_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, k=3, mode="star"
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+
+
+@register(
+    "lsh_bucket_size_audit",
+    f"""
+    WITH {_lsh_bnd_ctes()}
+    SELECT bucket_size, COUNT(*) AS n_buckets
+    FROM (SELECT bn, bk, COUNT(*) AS bucket_size FROM bnd GROUP BY bn, bk)
+    WHERE bucket_size >= 2
+    GROUP BY bucket_size
+    """,
+    doc="LSH bucket-size histogram (bucket_size, n_buckets), singleton "
+    "buckets dropped: the loud audit for the pair-quadratic risk — a "
+    "row like (10000, 3) says three buckets would each emit ~5e7 "
+    "candidate pairs under all-pairs emission, the signal to switch "
+    "minhash_lsh_candidates to mode='star' or set max_bucket.  Two "
+    "map-side-combinable aggregations; bucket membership matches the "
+    "oracle's raw-slice keys up to xxhash64 collisions.",
+    tags=("dedup", "agg"),
+)
+def lsh_bucket_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    b = dd.lsh_buckets(docs, num_hashes=64, bands=16, k=3)
+    return dd.lsh_bucket_stats(b, min_size=2)
+
+
+@register(
+    "dedup_incremental_lsh_capped",
+    _minhash_lsh_oracle(
+        cand_sql="""SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bnd x
+             JOIN (SELECT doc_id, bn, bk,
+                          ROW_NUMBER() OVER (PARTITION BY bn, bk
+                                             ORDER BY doc_id) AS rk
+                   FROM bnd WHERE doc_id % 10 <> 0) y
+               ON x.bn = y.bn AND x.bk = y.bk AND y.rk <= 4
+             WHERE x.doc_id % 10 = 0"""
+    ),
+    doc="Incremental LSH dedup with representative-capped corpus buckets: "
+    "the batch (doc_id % 10 = 0) probes only the 4 SMALLEST corpus ids "
+    "per bucket, so a hot boilerplate bucket hands each batch doc O(cap) "
+    "candidates instead of O(B) — the ingest-side mega-bucket "
+    "containment (a near-dup batch doc still verifies against the "
+    "cluster's representatives).  Oracle replays the same deterministic "
+    "row_number cap over the corpus-side band table.",
+    tags=("dedup",),
+)
+def dedup_incremental_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cands = dd.minhash_lsh_join(
+        new, corpus, num_hashes=64, bands=16, k=3, max_bucket=4
+    )
+    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)

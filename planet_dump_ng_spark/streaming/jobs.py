@@ -739,19 +739,14 @@ def corpus_lsh_buckets(
     """(id, band, bh) bucket table of the standing corpus — the
     precomputed artifact the streaming near-dup join probes.  Batch-side:
     compute once per corpus snapshot, persist (or at real scale, keep as
-    a table bucketed by (band, bh))."""
-    from planet_dump_ng_spark.operators.dedup import (
-        lsh_bands,
-        minhash_signatures_df,
-    )
+    a table bucketed by (band, bh)).  Delegates to the one bucket-table
+    definition in operators.dedup so artifact writers and probers can
+    never diverge."""
+    from planet_dump_ng_spark.operators.dedup import lsh_buckets
 
-    rows = num_hashes // bands
-    sigs = minhash_signatures_df(
-        corpus, num_hashes=num_hashes, k=k, seed=seed
+    return lsh_buckets(
+        corpus, num_hashes=num_hashes, bands=bands, k=k, seed=seed
     )
-    return sigs.select(
-        "id", F.explode(lsh_bands("sig", bands, rows)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
 EMBEDDINGS_SCHEMA = "vec_id bigint, embedding array<float>, label int"

@@ -152,3 +152,115 @@ def test_simhash_deterministic(spark, docs):
     a = docs.select(dd.simhash64("text").alias("h")).collect()
     b = docs.select(dd.simhash64("text").alias("h")).collect()
     assert [r.h for r in a] == [r.h for r in b]
+
+
+# -- round 6: mega-bucket containment (star mode / caps) -----------------------
+
+
+def test_star_candidates_same_components_as_pairs(spark):
+    """Star emission must preserve the connected components of the
+    all-pairs candidate graph exactly: every in-bucket pair is linked
+    through the bucket minimum."""
+    texts = [BASE, BASE, NEAR, FAR, BASE + " extra trailing tokens here",
+             FAR + " with a small twist appended", "tiny",
+             "yet another wholly unrelated document about parquet files"]
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+
+    def components(edges, n):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            parent[ra] = rb
+        return {i: find(i) for i in range(n)}
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(df, bands=16, mode="pairs").collect()
+    }
+    star = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(df, bands=16, mode="star").collect()
+    }
+    assert star <= pairs  # star edges are a subset of all-pairs edges
+    assert components(star, len(texts)) == components(pairs, len(texts))
+
+
+def test_star_mode_mega_bucket_is_linear(spark):
+    """A B-doc boilerplate cluster (every doc identical -> one bucket per
+    band holds all B) must emit exactly B-1 star edges, not B^2/2."""
+    b = 5000
+    boiler = spark.range(b).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    distinct_tail = spark.createDataFrame(
+        [(b, FAR), (b + 1, "some other unrelated page about window functions")],
+        "doc_id long, text string",
+    )
+    docs = boiler.unionByName(distinct_tail)
+    star = dd.minhash_lsh_candidates(docs, bands=16, mode="star")
+    rows = star.collect()
+    # all-pairs would be b*(b-1)/2 = ~12.5M pairs; star is exactly b-1
+    assert len(rows) == b - 1
+    assert {r.id_a for r in rows} == {0}  # bucket min anchors every edge
+    assert {r.id_b for r in rows} == set(range(1, b))
+
+
+def test_pairs_mode_max_bucket_cap(spark):
+    """max_bucket drops oversized buckets before the self-join; the two
+    remaining near-dup docs (their own small bucket) still pair."""
+    b = 50
+    boiler = [(i, BASE) for i in range(b)]
+    docs = spark.createDataFrame(
+        boiler + [(b, FAR), (b + 1, FAR + " x")], "doc_id long, text string"
+    )
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(
+            docs, bands=16, max_bucket=10
+        ).collect()
+    }
+    assert (b, b + 1) in capped          # small bucket survives the cap
+    assert not any(a < b and bb < b for a, bb in capped)  # mega bucket dropped
+
+
+def test_lsh_join_max_bucket_representatives(spark):
+    """The capped asymmetric join probes only the cap smallest corpus ids
+    per bucket — a batch doc near-identical to a boilerplate cluster is
+    still caught, via the representatives."""
+    corpus = spark.createDataFrame(
+        [(i, BASE) for i in range(1, 40)] + [(99, FAR)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    cands = dd.minhash_lsh_join(batch, corpus, bands=16, max_bucket=3).collect()
+    got = {(r.id_a, r.id_b) for r in cands}
+    # every candidate anchors on the batch doc and hits only the 3
+    # smallest corpus ids of the boilerplate bucket
+    assert got == {(0, 1), (0, 2), (0, 3)}
+
+
+def test_lsh_bucket_stats_histogram(spark):
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(7)] + [(7, FAR), (8, FAR), (9, "tiny")],
+        "doc_id long, text string",
+    )
+    b = dd.lsh_buckets(docs, bands=16)
+    hist = {r.bucket_size: r.n_buckets for r in dd.lsh_bucket_stats(b).collect()}
+    # 16 bands x one 7-doc boilerplate bucket, 16 bands x one 2-doc FAR bucket
+    assert hist == {7: 16, 2: 16}
+
+
+def test_star_mode_rejects_unknown_mode(spark):
+    docs = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mode"):
+        dd.minhash_lsh_candidates(docs, mode="mesh")
