@@ -193,13 +193,19 @@ def main() -> int:
 
     # Two timed passes, report the min: single-shot numbers swing 30%+
     # with JIT tiering and run order in a fresh JVM; min-of-2 measures the
-    # plan, not the noise (cluster sessions are long-lived anyway).
+    # plan, not the noise (cluster sessions are long-lived anyway).  Both
+    # raw runs ride along in "query_runs" so a round-over-round diff can
+    # tell a plan regression (both runs slow) from one noisy sample —
+    # round 5 burned review time on two sub-second "regressions" that the
+    # run lists would have dismissed at a glance.
     timings: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {name: [] for name in bench_specs}
     for _ in range(2):
         for name, spec in bench_specs.items():
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
+            query_runs[name].append(dt)
             timings[name] = min(timings.get(name, dt), dt)
 
     # Scale-ratio probe for the slowest queries: re-time them one SF down
@@ -266,6 +272,7 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "query_runs": query_runs,
                 "scale_ratio": scale_ratio,
                 "pipeline": pipe,
                 "curation": cur,

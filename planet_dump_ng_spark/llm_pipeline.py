@@ -77,7 +77,10 @@ _DEDUP_META = {
 
 
 def _write_dedup_artifact(
-    docs: DataFrame, dataset_dir: str, mode: str = "overwrite"
+    docs: DataFrame,
+    dataset_dir: str,
+    mode: str = "overwrite",
+    extra_meta: dict | None = None,
 ) -> None:
     """Persist the dataset's dedup probe tables beside it — the corpus
     fingerprint set (16-byte digests) and the LSH bucket table
@@ -88,23 +91,38 @@ def _write_dedup_artifact(
     once per curation (one survivor-sized pass) so every later
     increment probes these artifacts instead of re-deriving
     corpus-sized signatures per batch; increments APPEND their own
-    survivors, keeping the artifact exactly in step with the
-    dataset."""
+    survivors, keeping the artifact exactly in step with the dataset.
+
+    Write order is the crash-safety contract: BUCKETS land first,
+    FINGERPRINTS last, because the stale-artifact repair in
+    :func:`curate_increment` uses the fingerprint row count as the
+    commit marker — the same write-the-idempotence-key-last discipline
+    as ivfpq_add_to_dir.  A crash between the two appends leaves the
+    fingerprint count short, which the next increment detects and
+    repairs by rebuild; the reverse order would pass the check with the
+    buckets table silently missing rows (every later LSH probe would
+    miss those docs' near-dups).
+
+    ``extra_meta`` records curation-level parameters (split fractions,
+    leakage_free) on a fresh write; appends never rewrite an existing
+    header, so the original curation's record survives increments."""
     import json
     import os
 
     from planet_dump_ng_spark.streaming.jobs import corpus_lsh_buckets
 
     d = _dedup_artifact_dir(dataset_dir)
-    docs.select(
-        F.col("doc_id"), tx.fingerprint("text").alias("fp")
-    ).write.mode(mode).parquet(f"{d}/fingerprints")
     corpus_lsh_buckets(docs, **_DEDUP_LSH).write.mode(mode).parquet(
         f"{d}/buckets"
     )
+    docs.select(
+        F.col("doc_id"), tx.fingerprint("text").alias("fp")
+    ).write.mode(mode).parquet(f"{d}/fingerprints")
     os.makedirs(d, exist_ok=True)
-    with open(f"{d}/meta.json", "w", encoding="utf-8") as fh:
-        json.dump(_DEDUP_META, fh)
+    meta_path = f"{d}/meta.json"
+    if mode == "overwrite" or not os.path.exists(meta_path):
+        with open(meta_path, "w", encoding="utf-8") as fh:
+            json.dump({**_DEDUP_META, **(extra_meta or {})}, fh)
 
 
 def _check_dedup_meta(art: str) -> None:
@@ -130,6 +148,67 @@ def _check_dedup_meta(art: str) -> None:
             "silently miss every candidate; re-run a full curation to "
             "rebuild it"
         )
+
+
+def _read_dedup_meta(art: str) -> dict:
+    """The artifact's recorded header, {} when absent (pre-header
+    artifacts and artifact-less datasets)."""
+    import json
+    import os
+
+    path = f"{art}/meta.json"
+    if not os.path.exists(path):
+        return {}
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def dedup_compact(spark, dataset_dir: str) -> dict:
+    """Rewrite the ``<dataset>_dedup`` probe tables at full width — the
+    maintenance pass for an artifact grown by many ``curate_increment``
+    appends (each append leaves a handful of small parquet files; probe
+    scan cost becomes file-count-bound).  Content untouched: same rows,
+    so increments probe identically before and after (pinned in tests).
+    Fingerprints range-shard on doc_id and buckets on (band, bh) — the
+    probe join keys, so file min/max stats stay selective.  The rewrite
+    lands in a sibling directory and swaps in via rename (the
+    ivfpq_compact crash-safety discipline): a crash mid-compact never
+    corrupts the live artifact.  Returns {files_before, files_after}.
+    """
+    import os
+    import shutil
+
+    art = _dedup_artifact_dir(dataset_dir)
+    _check_dedup_meta(art)
+    if not os.path.exists(f"{art}/fingerprints"):
+        raise ValueError(f"{art} has no dedup artifact to compact")
+    n = spark.sparkContext.defaultParallelism
+
+    def _nfiles(path: str) -> int:
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    keys = {"fingerprints": ["doc_id"], "buckets": ["band", "bh"]}
+    before = after = 0
+    for t, cols in keys.items():
+        src, tmp, old = f"{art}/{t}", f"{art}/{t}.compact", f"{art}/{t}.old"
+        before += _nfiles(src)
+        (
+            spark.read.parquet(src)
+            .repartitionByRange(n, *[F.col(c) for c in cols])
+            .sortWithinPartitions(*cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        after += _nfiles(src)
+    return {"files_before": before, "files_after": after}
 
 
 def curate(
@@ -386,9 +465,21 @@ def curate(
             capacity=pack_capacity,
         )
         packed.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}_pack")
-    # dedup artifact beside the dataset: what curate_increment probes
+    # dedup artifact beside the dataset: what curate_increment probes.
+    # The header also records the SPLIT parameters: the xxhash split
+    # gate is content-stable only if increments use the same fraction
+    # boundaries (and leakage discipline), so curate_increment defaults
+    # from — and validates against — this record.
     if write_dedup_artifact:
-        _write_dedup_artifact(docs, out_dir)
+        _write_dedup_artifact(
+            docs,
+            out_dir,
+            extra_meta={
+                "fractions": fractions
+                or {"train": 0.8, "val": 0.1, "test": 0.1},
+                "leakage_free": leakage_free,
+            },
+        )
     if prev is not None:  # the dataset is on disk; release the last cache
         prev.unpersist()
     return manifest, report
@@ -404,7 +495,7 @@ def curate_increment(
     max_stopword_ratio: float = 0.7,
     scrub_pii: bool = True,
     fractions: dict[str, float] | None = None,
-    leakage_free: bool = False,
+    leakage_free: bool | None = None,
     split_jaccard: float = 0.3,
 ) -> tuple[DataFrame, CurationReport]:
     """Incremental curation: run a NEW batch through the curation gates
@@ -425,12 +516,45 @@ def curate_increment(
     split-consistent with a from-scratch curation; the append lands via
     ``materialize_splits(mode="append")``.
 
+    ``fractions`` and ``leakage_free`` DEFAULT from the dedup
+    artifact's recorded curation parameters (written by :func:`curate`)
+    — the xxhash split gate is content-stable only if the fraction
+    boundaries match the original run's, so passing nothing inherits
+    the right ones, and passing values that CONTRADICT the record
+    raises instead of silently mis-splitting appended docs.
+
     Returns (increment manifest, attrition report) — the report carries
     the same per-stage (docs, tokens) audit as :func:`curate`.
     """
     spark = new_docs.sparkSession
     corpus = spark.read.parquet(dataset_dir)
     report = CurationReport()
+
+    recorded = _read_dedup_meta(_dedup_artifact_dir(dataset_dir))
+    if fractions is None:
+        fractions = recorded.get("fractions")
+    elif (
+        recorded.get("fractions") is not None
+        and recorded["fractions"] != fractions
+    ):
+        raise ValueError(
+            f"increment fractions {fractions} contradict the dataset's "
+            f"recorded curation fractions {recorded['fractions']} — the "
+            "content-stable split gate only holds when the boundaries "
+            "match; omit fractions to inherit the recorded ones"
+        )
+    if leakage_free is None:
+        leakage_free = bool(recorded.get("leakage_free", False))
+    elif (
+        recorded.get("leakage_free") is not None
+        and bool(recorded["leakage_free"]) != leakage_free
+    ):
+        raise ValueError(
+            f"leakage_free={leakage_free} contradicts the dataset's "
+            f"recorded leakage_free={recorded['leakage_free']} — a "
+            "dataset curated one way cannot take increments split the "
+            "other way; omit the flag to inherit the recorded policy"
+        )
 
     def _counts(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -483,7 +607,18 @@ def curate_increment(
         # the redelivered batch can't repair it (its ids anti-join away)
         n_fp = spark.read.parquet(f"{art}/fingerprints").count()
         if n_fp != corpus.count():
-            _write_dedup_artifact(corpus, dataset_dir, mode="overwrite")
+            # rebuild preserves the recorded curation parameters — the
+            # repair must not erase the fractions/leakage_free record
+            _write_dedup_artifact(
+                corpus,
+                dataset_dir,
+                mode="overwrite",
+                extra_meta={
+                    k: recorded[k]
+                    for k in ("fractions", "leakage_free")
+                    if k in recorded
+                },
+            )
     corp_fp = (
         spark.read.parquet(f"{art}/fingerprints").select(
             F.col("fp").alias("_fp")
@@ -526,7 +661,10 @@ def curate_increment(
     )
     both = docs.select("doc_id", "text").unionByName(corpus_needed)
     cross_pairs = dd.ngram_jaccard_pairs(
-        both, k=3, threshold=jaccard_threshold, candidates=cross_cands
+        both,
+        k=_DEDUP_LSH["k"],
+        threshold=jaccard_threshold,
+        candidates=cross_cands,
     )
     cross_losers = cross_pairs.select(F.col("id_a").alias("doc_id")).distinct()
     docs = checkpoint(
@@ -646,18 +784,29 @@ def curate_increment(
         docs, dataset_dir, "doc_id", fractions, mode="append",
         split_key=split_key, forced_split_col=forced_split_col,
     )
-    manifest = manifest.persist()
-    manifest.count()
+    # collect the manifest driver-side (one row per split) and hand the
+    # caller a literal DataFrame: forces materialization BEFORE the
+    # artifact appends below without leaving a persist() cached for the
+    # session's lifetime, and severs any lineage back to dataset_dir
+    manifest_rows = manifest.collect()
+    manifest = spark.createDataFrame(manifest_rows, manifest.schema)
     # extend the dedup artifact with the appended docs so the NEXT
     # increment probes them too; docs is checkpointed, so the artifact
     # appends cannot be poisoned by their own writes.  A pre-artifact
     # dataset gets a one-time backfill from the GROWN dataset (a fresh
     # read, so it already includes this increment exactly once).
+    extra = {
+        "fractions": fractions or {"train": 0.8, "val": 0.1, "test": 0.1},
+        "leakage_free": leakage_free,
+    }
     if have_art:
-        _write_dedup_artifact(docs, dataset_dir, mode="append")
+        _write_dedup_artifact(docs, dataset_dir, mode="append", extra_meta=extra)
     else:
         _write_dedup_artifact(
-            spark.read.parquet(dataset_dir), dataset_dir, mode="overwrite"
+            spark.read.parquet(dataset_dir),
+            dataset_dir,
+            mode="overwrite",
+            extra_meta=extra,
         )
     return manifest, report
 
@@ -673,7 +822,10 @@ def main(argv: list[str] | None = None) -> int:
         prog="planet-dump-ng-spark-curate",
         description="Curate a raw document corpus into a training dataset.",
     )
-    p.add_argument("--input", required=True, help="documents input path")
+    p.add_argument(
+        "--input",
+        help="documents input path (required except with --compact-dedup)",
+    )
     p.add_argument(
         "--input-format",
         choices=("parquet", "jsonl"),
@@ -775,6 +927,15 @@ def main(argv: list[str] | None = None) -> int:
         "left empty drop; off when omitted — 10 is a typical N)",
     )
     p.add_argument(
+        "--compact-dedup",
+        action="store_true",
+        help="maintenance mode: rewrite the <output>_dedup probe artifact "
+        "at full width (many increments leave many small files; probe "
+        "cost becomes file-count-bound).  Rename-swap crash safety; "
+        "content and probe results are unchanged.  Runs alone — no "
+        "--input needed.",
+    )
+    p.add_argument(
         "--build-bm25-index",
         metavar="DIR",
         help="after materialization, build the persisted BM25 index "
@@ -783,6 +944,17 @@ def main(argv: list[str] | None = None) -> int:
         "`bm25_cli add` as new batches curate in",
     )
     args = p.parse_args(argv)
+    if args.compact_dedup:
+        from planet_dump_ng_spark.session import get_spark as _gs
+
+        stats = dedup_compact(_gs("planet-dump-ng-spark-curate"), args.output)
+        print(
+            f"{'dedup_compact':16s} files {stats['files_before']} -> "
+            f"{stats['files_after']}"
+        )
+        return 0
+    if not args.input:
+        p.error("--input is required (except with --compact-dedup)")
     mix = None
     if args.mix_weights:
         mix = {
@@ -815,7 +987,10 @@ def main(argv: list[str] | None = None) -> int:
             min_tokens=args.min_tokens,
             max_stopword_ratio=args.max_stopword_ratio,
             scrub_pii=not args.no_pii_scrub,
-            leakage_free=args.leakage_free_split,
+            # absent flag = None = inherit the dataset's recorded policy
+            # (an increment must not silently downgrade a leakage-free
+            # dataset just because the flag was omitted)
+            leakage_free=True if args.leakage_free_split else None,
             split_jaccard=args.split_jaccard,
         )
         toks = dict(report.tokens)

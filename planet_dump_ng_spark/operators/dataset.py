@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from planet_dump_ng_spark.operators.sampling import xxhash_split
 
@@ -96,7 +96,9 @@ def pack_contiguous(
        data that ever reaches the driver — are cumulated driver-side
        into bucket base offsets (same contract as the IVF centroid
        collect: bounded by a config constant, not by data size);
-    3. a literal CASE maps each row's bucket to its base offset.
+    3. a BROADCAST join on bkt maps each row to its base offset (a
+       literal CASE chain would grow the plan linearly with
+       num_buckets — fine at 32, pathological at 10^4).
 
     Global order is (bucket, hash, key) — fully deterministic and
     replayable by a SQL oracle.  Emits start_off / first_bin / last_bin
@@ -127,15 +129,13 @@ def pack_contiguous(
     for b in range(num_buckets):
         base[b] = acc
         acc += int(totals.get(b, 0))
-    off: Column | None = None
-    for b in range(num_buckets):
-        off = (
-            F.when(F.col("bkt") == b, F.lit(base[b]))
-            if off is None
-            else off.when(F.col("bkt") == b, F.lit(base[b]))
-        )
-    start = (F.col("cum_in_bkt") - F.col("n_tok") + off).alias("start_off")
-    out = cum.select(key, "n_tok", "bkt", start)
+    base_df = df.sparkSession.createDataFrame(
+        [(b, base[b]) for b in range(num_buckets)], "bkt bigint, _base bigint"
+    )
+    start = (F.col("cum_in_bkt") - F.col("n_tok") + F.col("_base")).alias(
+        "start_off"
+    )
+    out = cum.join(F.broadcast(base_df), "bkt").select(key, "n_tok", "bkt", start)
     first = F.expr(f"start_off div {capacity}")
     last = F.when(
         F.col("n_tok") > 0,

@@ -175,3 +175,38 @@ def test_compress_command_failure_is_loud(spark, work):
             generator=GENERATOR,
             compress_command="sh -c 'exit 3'",
         )
+
+
+def test_empty_dump_all_five_outputs(spark, work):
+    """Zero elements of every type through ALL five output variants: the
+    headers, <bound> line, PBF header blob and inter-type emit order must
+    hold on a dump whose element tables are all empty (the reference's
+    empty.dmp fixture covers only changesets in its own suite)."""
+    from planet_dump_ng_spark.sinks import pbf_sink
+
+    sql = _extract(work, "empty")
+    outs = [
+        pipeline.OutputSpec(str(work / "e-planet.osm"), "planet"),
+        pipeline.OutputSpec(str(work / "e-history.osm"), "history"),
+        pipeline.OutputSpec(str(work / "e-cs.osm"), "changesets"),
+        pipeline.OutputSpec(str(work / "e-planet.osm.pbf"), "pbf"),
+        pipeline.OutputSpec(str(work / "e-history.osm.pbf"), "pbf-history"),
+    ]
+    pipeline.run_dump(spark, sql, outs, str(work / "w-empty5"),
+                      generator=GENERATOR)
+
+    for name in ("e-planet.osm", "e-history.osm"):
+        xml = (work / name).read_text()
+        assert xml.startswith('<?xml version="1.0" encoding="UTF-8"?>\n<osm ')
+        assert ' <bound box="-90,-180,90,180"' in xml
+        assert f'generator="{GENERATOR}"' in xml
+        assert "<node" not in xml and "<way" not in xml
+        assert "<relation" not in xml and "<changeset" not in xml
+        assert xml.rstrip().endswith("</osm>")
+    cs = (work / "e-cs.osm").read_text()
+    assert "<changeset" not in cs and cs.rstrip().endswith("</osm>")
+
+    for name in ("e-planet.osm.pbf", "e-history.osm.pbf"):
+        got = pbf_sink.read_pbf(str(work / name))
+        assert got["nodes"] == [] and got["ways"] == []
+        assert got["relations"] == []

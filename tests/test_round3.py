@@ -224,6 +224,42 @@ def test_pbf_strict_changeset_check(spark, node_frames, tmp_path):
     got = pbf_sink.read_pbf(str(tmp_path / "a.pbf"))
     # current view: node 1's latest version is a delete -> only node 2 remains
     assert [n[0] for n in got["nodes"]] == [2]
+    # XML stays the silent-anonymous path (xml_writer.cpp:376-386): the
+    # SAME frames write fine and the missing-changeset element renders
+    # with no uid/user attribution — the one place the reference's two
+    # sinks deliberately diverge
+    # XML stays the silent-anonymous path (xml_writer.cpp:376-386): the
+    # SAME frames write fine — the strict check guards PBF outputs only
+    pipeline.write_outputs(
+        frames, [pipeline.OutputSpec(str(tmp_path / "x.osm"), "history")]
+    )
+    xml = open(tmp_path / "x.osm").read()
+    assert 'changeset="11"' in xml  # the offending element still renders
+
+
+def test_attribute_elements_missing_changeset_goes_anonymous(spark):
+    """The assembly-side half of the XML/PBF divergence: attribution of
+    an element whose changeset is absent yields NULL uid/user (the XML
+    writer then omits the attributes) instead of erroring — strictness
+    is check_changesets_present, applied by write_outputs to PBF kinds
+    only (pbf_writer.cpp:312-318 vs xml_writer.cpp:376-386)."""
+    from planet_dump_ng_spark.operators.assembly import attribute_elements
+
+    elements = spark.createDataFrame(
+        [(1, 10), (2, 11)], "id long, changeset_id long"
+    )
+    changesets = spark.createDataFrame(
+        [(10, 7)], "id long, user_id int"
+    )
+    users = spark.createDataFrame(
+        [(7, "alice", True)], "id long, display_name string, data_public boolean"
+    )
+    got = {
+        r.id: (r.uid, r.user)
+        for r in attribute_elements(elements, changesets, users).collect()
+    }
+    assert got[1] == (7, "alice")      # present changeset, public user
+    assert got[2] == (None, None)      # missing changeset -> anonymous
 
 
 def test_compress_command_families_and_suffix_crosscheck():

@@ -1,0 +1,189 @@
+"""Round-6 curation hardening: the dedup artifact records the curation's
+split parameters (fractions / leakage_free) and increments inherit or
+validate them; the artifact's two tables commit in crash-safe order
+(buckets first, fingerprints last = the commit marker)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.llm_pipeline import (
+    _dedup_artifact_dir,
+    curate,
+    curate_increment,
+)
+from planet_dump_ng_spark.plans.registry import table
+
+
+def _base_batch(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 4 != 0),
+        docs.filter(F.col("doc_id") % 4 == 0),
+    )
+
+
+def test_meta_records_fractions_and_increment_inherits(spark, sf_dir, tmp_path):
+    """Custom fractions recorded at curate() time govern increments that
+    pass none — the content-stable gate needs matching boundaries."""
+    from planet_dump_ng_spark.operators.sampling import xxhash_split
+
+    base, batch = _base_batch(spark, sf_dir)
+    out = str(tmp_path / "frac_ds")
+    fr = {"train": 0.9, "test": 0.1}
+    curate(base, out, fractions=fr)
+
+    meta = json.load(open(f"{_dedup_artifact_dir(out)}/meta.json"))
+    assert meta["fractions"] == fr
+    assert meta["leakage_free"] is False
+
+    before_ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    curate_increment(batch, out)  # fractions=None -> inherit 0.9/0.1
+    after = spark.read.parquet(out)
+    appended = after.filter(~F.col("doc_id").isin(list(before_ids)))
+    expect = {
+        r.doc_id: r.split
+        for r in xxhash_split(appended.select("doc_id"), "doc_id", fr).collect()
+    }
+    got = {r.doc_id: r.split for r in appended.select("doc_id", "split").collect()}
+    assert got == expect
+    assert set(got.values()) <= {"train", "test"}
+
+
+def test_increment_fraction_mismatch_raises(spark, sf_dir, tmp_path):
+    base, batch = _base_batch(spark, sf_dir)
+    out = str(tmp_path / "fracfail_ds")
+    curate(base, out, fractions={"train": 0.9, "test": 0.1})
+    with pytest.raises(ValueError, match="fractions"):
+        curate_increment(batch, out, fractions={"train": 0.8, "val": 0.2})
+
+
+def test_increment_leakage_policy_inherited_and_validated(
+    spark, sf_dir, tmp_path
+):
+    base, batch = _base_batch(spark, sf_dir)
+    out = str(tmp_path / "leak_ds")
+    curate(base, out, leakage_free=True, split_jaccard=0.3)
+    meta = json.load(open(f"{_dedup_artifact_dir(out)}/meta.json"))
+    assert meta["leakage_free"] is True
+
+    # contradicting the recorded policy refuses loudly
+    with pytest.raises(ValueError, match="leakage_free"):
+        curate_increment(batch, out, leakage_free=False)
+
+    # omitted flag inherits True: the split-guard stage runs
+    _, report = curate_increment(batch, out)
+    assert "split_guard" in dict(report.stages)
+
+
+def test_fingerprint_count_is_the_commit_marker(spark, sf_dir, tmp_path):
+    """Simulate a crash BETWEEN the artifact's two appends under the
+    round-6 write order (buckets first, fingerprints last): the
+    fingerprint count comes up short, the next increment's repair
+    rebuilds, and the probe artifact ends consistent with the dataset.
+    Under the old order (fingerprints first) this exact state passed the
+    check with the buckets table silently missing rows."""
+    from planet_dump_ng_spark.llm_pipeline import _DEDUP_LSH
+    from planet_dump_ng_spark.streaming.jobs import corpus_lsh_buckets
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    mid = docs.filter(F.col("doc_id") % 3 == 1)
+    batch = docs.filter(F.col("doc_id") % 3 == 2)
+    out = str(tmp_path / "crash_ds")
+    curate(base, out)
+    art = _dedup_artifact_dir(out)
+
+    # crash-state: 'mid' docs landed in the dataset AND the buckets
+    # table, but the process died before the fingerprints append
+    from planet_dump_ng_spark.operators.sampling import xxhash_split
+
+    mid_assigned = xxhash_split(
+        mid, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    mid_assigned.write.mode("append").partitionBy("split").parquet(out)
+    corpus_lsh_buckets(
+        mid.select("doc_id", "text"), **_DEDUP_LSH
+    ).write.mode("append").parquet(f"{art}/buckets")
+
+    n_ds = spark.read.parquet(out).count()
+    assert spark.read.parquet(f"{art}/fingerprints").count() < n_ds  # stale
+
+    curate_increment(batch, out)
+    n_after = spark.read.parquet(out).count()
+    fp = spark.read.parquet(f"{art}/fingerprints")
+    bk = spark.read.parquet(f"{art}/buckets")
+    assert fp.count() == n_after
+    assert fp.select("doc_id").distinct().count() == n_after
+    assert bk.select("id").distinct().count() == n_after
+
+
+def test_increment_manifest_not_left_cached(spark, sf_dir, tmp_path):
+    """The returned manifest must not pin a cached DataFrame for the
+    session's lifetime (one leak per increment in a long-lived ingest)."""
+    from pyspark import StorageLevel
+
+    base, batch = _base_batch(spark, sf_dir)
+    out = str(tmp_path / "cache_ds")
+    curate(base, out)
+    manifest, _ = curate_increment(batch, out)
+    # the returned manifest is a literal (collected) DataFrame, not a
+    # session-lifetime persist() of a lazy plan
+    assert manifest.storageLevel == StorageLevel.NONE
+    # and it is still a usable, collectable manifest with no lineage
+    # back to the (now grown) dataset path
+    assert {r.split for r in manifest.collect()} <= {"train", "val", "test"}
+    assert sum(r.n_rows for r in manifest.collect()) == manifest.agg(
+        F.sum("n_rows")
+    ).first()[0]
+
+
+def test_dedup_compact_preserves_probe_results(spark, sf_dir, tmp_path):
+    """After several increments the artifact is many small files;
+    compaction must shrink the file count without changing a single
+    probe row (fingerprints and buckets compare equal as sets), and a
+    subsequent increment must behave identically."""
+    from planet_dump_ng_spark import llm_pipeline
+    from planet_dump_ng_spark.llm_pipeline import dedup_compact
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "compact_ds")
+    curate(docs.filter(F.col("doc_id") % 5 == 0), out)
+    for m in (1, 2, 3):
+        curate_increment(docs.filter(F.col("doc_id") % 5 == m), out)
+    art = _dedup_artifact_dir(out)
+
+    fp_before = {
+        (r.doc_id, bytes(r.fp) if isinstance(r.fp, (bytes, bytearray)) else r.fp)
+        for r in spark.read.parquet(f"{art}/fingerprints").collect()
+    }
+    bk_before = {
+        (r.id, r.band, r.bh)
+        for r in spark.read.parquet(f"{art}/buckets").collect()
+    }
+
+    stats = dedup_compact(spark, out)
+    assert stats["files_after"] < stats["files_before"]
+
+    fp_after = {
+        (r.doc_id, bytes(r.fp) if isinstance(r.fp, (bytes, bytearray)) else r.fp)
+        for r in spark.read.parquet(f"{art}/fingerprints").collect()
+    }
+    bk_after = {
+        (r.id, r.band, r.bh)
+        for r in spark.read.parquet(f"{art}/buckets").collect()
+    }
+    assert fp_after == fp_before
+    assert bk_after == bk_before
+    # meta survives the swap and a post-compact increment still works
+    meta = json.load(open(f"{art}/meta.json"))
+    assert meta["format"] == "dedup-artifact-v1"
+    manifest, _ = curate_increment(docs.filter(F.col("doc_id") % 5 == 4), out)
+    n_ds = spark.read.parquet(out).count()
+    assert spark.read.parquet(f"{art}/fingerprints").count() == n_ds
+
+    # CLI maintenance mode
+    rc = llm_pipeline.main(["--output", out, "--compact-dedup"])
+    assert rc == 0
+    assert spark.read.parquet(f"{art}/fingerprints").count() == n_ds
