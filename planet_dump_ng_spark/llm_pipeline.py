@@ -233,6 +233,7 @@ def curate(
     quality_temper: tuple[float, float, float, float] | None = None,
     token_budget: int | None = None,
     write_dedup_artifact: bool = True,
+    lsh_mode: str = "pairs",
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -242,7 +243,22 @@ def curate(
     ``write_dedup_artifact=False`` skips the ``<out_dir>_dedup`` probe
     tables (one survivor-sized fingerprint+signature pass) for datasets
     that will never take increments.
+
+    ``lsh_mode`` selects the near-dedup candidate emission
+    (operators.dedup.minhash_lsh_candidates): ``"pairs"`` (default,
+    exhaustive — every bucket-sharing pair is Jaccard-verified) or
+    ``"star"`` (each bucket emits members paired with its minimum id —
+    O(B) per bucket instead of O(B^2), the shape a crawl-scale corpus
+    with viral-boilerplate clusters REQUIRES).  Star mode verifies only
+    star edges, so a transitive chain A~B~C where the bucket minimum A
+    misses the threshold against C keeps C — at dedup thresholds (0.8)
+    in-bucket docs are mutually near-identical and the survivor sets
+    agree; the mode also governs the leakage-free component pass, where
+    star edges change nothing at all if verification passes (connected
+    components of the candidate graph are provably identical).
     """
+    if lsh_mode not in ("pairs", "star"):
+        raise ValueError(f"lsh_mode must be 'pairs' or 'star', got {lsh_mode!r}")
     report = CurationReport()
 
     def _counts(df: DataFrame) -> tuple[int, int]:
@@ -289,7 +305,9 @@ def curate(
     # 2. near-dup removal: LSH candidates -> exact-Jaccard verify; the
     # larger doc id of every verified pair drops (min-id survivor rule,
     # consistent with exact dedup)
-    cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+    cands = dd.minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, k=3, mode=lsh_mode
+    )
     pairs = dd.ngram_jaccard_pairs(
         docs, k=3, threshold=jaccard_threshold, candidates=cands
     )
@@ -434,7 +452,9 @@ def curate(
     if leakage_free:
         from planet_dump_ng_spark.operators.graph import connected_components
 
-        cands2 = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+        cands2 = dd.minhash_lsh_candidates(
+            docs, num_hashes=64, bands=16, k=3, mode=lsh_mode
+        )
         pairs2 = dd.ngram_jaccard_pairs(
             docs, k=3, threshold=split_jaccard, candidates=cands2
         )
@@ -927,6 +947,16 @@ def main(argv: list[str] | None = None) -> int:
         "left empty drop; off when omitted — 10 is a typical N)",
     )
     p.add_argument(
+        "--lsh-mode",
+        choices=("pairs", "star"),
+        default="pairs",
+        help="near-dedup candidate emission: 'pairs' verifies every "
+        "bucket-sharing pair (exhaustive); 'star' pairs bucket members "
+        "with the bucket-minimum id — O(B) per bucket instead of "
+        "O(B^2), required for crawl-scale corpora with viral-"
+        "boilerplate clusters",
+    )
+    p.add_argument(
         "--compact-dedup",
         action="store_true",
         help="maintenance mode: rewrite the <output>_dedup probe artifact "
@@ -1022,6 +1052,7 @@ def main(argv: list[str] | None = None) -> int:
             float(x) for x in args.quality_temper.split(",")
         ) if args.quality_temper else None,
         token_budget=args.token_budget,
+        lsh_mode=args.lsh_mode,
     )
     if args.export_jsonl:
         (

@@ -228,6 +228,25 @@ def lsh_buckets(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
+def cap_lsh_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """Keep only the ``max_bucket`` SMALLEST ids per (band, bh) bucket —
+    deterministic representative election for probe-side containment: a
+    batch/stream doc probing a hot boilerplate bucket meets O(cap)
+    representatives instead of O(B) members.  Apply ONCE when building
+    the persisted corpus bucket artifact (corpus_lsh_buckets /
+    curate's ``_dedup`` tables) rather than re-ranking per probe; the
+    row_number sort is per-bucket and the hot bucket is one task — a
+    one-time build cost, linear in B."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bh").orderBy("id")
+    return (
+        buckets.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_bucket)
+        .drop("_rk")
+    )
+
+
 def lsh_bucket_stats(buckets: DataFrame, min_size: int = 2) -> DataFrame:
     """Bucket-size histogram ``(bucket_size, n_buckets)`` over an LSH
     bucket table — the loud audit for the pair-quadratic risk: a row
@@ -375,14 +394,7 @@ def minhash_lsh_join(
         else lsh_buckets(corpus, text_col, id_col, num_hashes, bands, k, seed)
     )
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bh").orderBy("id")
-        bc = (
-            bc.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_bucket)
-            .drop("_rk")
-        )
+        bc = cap_lsh_buckets(bc, max_bucket)
     bc = bc.alias("c")
     bn = lsh_buckets(new, text_col, id_col, num_hashes, bands, k, seed).alias(
         "n"

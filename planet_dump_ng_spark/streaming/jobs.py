@@ -735,18 +735,24 @@ def corpus_lsh_buckets(
     bands: int = 16,
     k: int = 3,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id, band, bh) bucket table of the standing corpus — the
     precomputed artifact the streaming near-dup join probes.  Batch-side:
     compute once per corpus snapshot, persist (or at real scale, keep as
     a table bucketed by (band, bh)).  Delegates to the one bucket-table
     definition in operators.dedup so artifact writers and probers can
-    never diverge."""
-    from planet_dump_ng_spark.operators.dedup import lsh_buckets
-
-    return lsh_buckets(
-        corpus, num_hashes=num_hashes, bands=bands, k=k, seed=seed
+    never diverge.  ``max_bucket`` bakes the representative cap
+    (operators.dedup.cap_lsh_buckets) into the artifact at build time —
+    every later batch/stream probe then meets O(cap) candidates per hot
+    bucket with no per-probe re-ranking."""
+    from planet_dump_ng_spark.operators.dedup import (
+        cap_lsh_buckets,
+        lsh_buckets,
     )
+
+    b = lsh_buckets(corpus, num_hashes=num_hashes, bands=bands, k=k, seed=seed)
+    return cap_lsh_buckets(b, max_bucket) if max_bucket is not None else b
 
 
 EMBEDDINGS_SCHEMA = "vec_id bigint, embedding array<float>, label int"

@@ -187,3 +187,39 @@ def test_dedup_compact_preserves_probe_results(spark, sf_dir, tmp_path):
     rc = llm_pipeline.main(["--output", out, "--compact-dedup"])
     assert rc == 0
     assert spark.read.parquet(f"{art}/fingerprints").count() == n_ds
+
+
+def test_curate_star_mode_removes_boilerplate_cluster(spark, tmp_path):
+    """Star-mode curation must still collapse a boilerplate cluster to
+    one survivor (the min id) — the whole point of the O(B) emission is
+    keeping THAT guarantee while dropping the B^2 cost."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing outside "
+        "in the garden under a bright morning sun with dew on the grass"
+    )
+    uniq = (
+        "a wholly different page about distributed query planning and "
+        "shuffle partitioning strategies for columnar execution engines "
+        "running analytical workloads over object storage at scale"
+    )
+    rows = [(i, base + f" tail{i % 2}", "s") for i in range(40)]
+    rows += [(100, uniq, "s"), (101, uniq.replace("wholly", "totally"), "s")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = str(tmp_path / "star_ds")
+    _, report = curate(
+        docs, out, min_tokens=5, lsh_mode="star", write_dedup_artifact=False
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    # the 40-doc near-identical cluster (two exact-dup groups at 0/1
+    # tails, mutually near-dup above 0.8) collapses to its minimum id
+    assert kept & set(range(40)) == {0}
+    assert 100 in kept  # uniq survives; 101 is a near-dup of it
+    assert 101 not in kept
+    stages = dict(report.stages)
+    assert stages["near_dedup"] < stages["exact_dedup"]
+
+    with pytest.raises(ValueError, match="lsh_mode"):
+        curate(docs, str(tmp_path / "bad"), lsh_mode="mesh")

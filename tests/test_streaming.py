@@ -869,3 +869,44 @@ def test_ivfpq_ingest_stream_matches_batch_add(spark, sf_dir, tmp_path):
     stream2 = jobs.read_embeddings_stream(spark, src, max_files_per_trigger=2)
     jobs.ivfpq_ingest_stream(stream2, idx_s, str(tmp_path / "ckpt_b"))
     assert _codes(idx_s) == _codes(idx_b)
+
+
+def test_lsh_dedup_stream_capped_matches_batch(spark, sf_dir, tmp_path):
+    """A corpus bucket artifact built WITH the representative cap
+    (corpus_lsh_buckets max_bucket) makes the stream probe equal the
+    capped batch join — the cap is a property of the artifact, applied
+    once at build time, identical for both execution modes."""
+    from planet_dump_ng_spark.operators.dedup import minhash_lsh_join
+    from planet_dump_ng_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    capped = jobs.corpus_lsh_buckets(corpus, max_bucket=2).persist()
+    capped.count()
+    # the cap holds structurally: no bucket exceeds 2 rows
+    over = (
+        capped.groupBy("band", "bh").count().filter(F.col("count") > 2).count()
+    )
+    assert over == 0
+
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+    docs_dir = str(tmp_path / "docs_stream_cap")
+    docs.select(cols).repartition(4).write.mode("overwrite").parquet(docs_dir)
+    stream = jobs.read_documents_stream(spark, docs_dir, max_files_per_trigger=2)
+    new_stream = stream.filter(F.col("doc_id") % 10 == 0)
+    jobs.run_to_memory(
+        jobs.lsh_dedup_stream(new_stream, capped), "lshcap_mem",
+        output_mode="append",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.table("lshcap_mem").select("id_a", "id_b").collect()
+    }
+    expected = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_join(new, corpus, max_bucket=2).collect()
+    }
+    assert got == expected
+    assert expected, "fixture should contain at least one capped candidate"
+    capped.unpersist()
