@@ -498,6 +498,7 @@ def curate(
                 "fractions": fractions
                 or {"train": 0.8, "val": 0.1, "test": 0.1},
                 "leakage_free": leakage_free,
+                "lsh_mode": lsh_mode,
             },
         )
     if prev is not None:  # the dataset is on disk; release the last cache
@@ -517,6 +518,7 @@ def curate_increment(
     fractions: dict[str, float] | None = None,
     leakage_free: bool | None = None,
     split_jaccard: float = 0.3,
+    lsh_mode: str | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Incremental curation: run a NEW batch through the curation gates
     AGAINST the standing curated dataset and append the survivors — the
@@ -536,12 +538,18 @@ def curate_increment(
     split-consistent with a from-scratch curation; the append lands via
     ``materialize_splits(mode="append")``.
 
-    ``fractions`` and ``leakage_free`` DEFAULT from the dedup
-    artifact's recorded curation parameters (written by :func:`curate`)
-    — the xxhash split gate is content-stable only if the fraction
-    boundaries match the original run's, so passing nothing inherits
-    the right ones, and passing values that CONTRADICT the record
-    raises instead of silently mis-splitting appended docs.
+    ``fractions``, ``leakage_free`` and ``lsh_mode`` DEFAULT from the
+    dedup artifact's recorded curation parameters (written by
+    :func:`curate`) — the xxhash split gate is content-stable only if
+    the fraction boundaries match the original run's, so passing
+    nothing inherits the right ones, and passing fractions or a
+    leakage policy that CONTRADICT the record raises instead of
+    silently mis-splitting appended docs.  ``lsh_mode`` governs the
+    WITHIN-BATCH self-dedup candidates (the batch-vs-corpus side is
+    the asymmetric join, already linear in the batch): a dataset
+    curated with star emission takes its increments the same way, so a
+    boilerplate-heavy batch can't reintroduce the B^2 cost the
+    original run avoided.
 
     Returns (increment manifest, attrition report) — the report carries
     the same per-stage (docs, tokens) audit as :func:`curate`.
@@ -575,6 +583,10 @@ def curate_increment(
             "dataset curated one way cannot take increments split the "
             "other way; omit the flag to inherit the recorded policy"
         )
+    if lsh_mode is None:
+        lsh_mode = recorded.get("lsh_mode", "pairs")
+    if lsh_mode not in ("pairs", "star"):
+        raise ValueError(f"lsh_mode must be 'pairs' or 'star', got {lsh_mode!r}")
 
     def _counts(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -635,7 +647,7 @@ def curate_increment(
                 mode="overwrite",
                 extra_meta={
                     k: recorded[k]
-                    for k in ("fractions", "leakage_free")
+                    for k in ("fractions", "leakage_free", "lsh_mode")
                     if k in recorded
                 },
             )
@@ -661,7 +673,7 @@ def curate_increment(
     # appear as candidates get shingled for the verify.
     self_cands = dd.minhash_lsh_candidates(
         docs, num_hashes=_DEDUP_LSH["num_hashes"],
-        bands=_DEDUP_LSH["bands"], k=_DEDUP_LSH["k"],
+        bands=_DEDUP_LSH["bands"], k=_DEDUP_LSH["k"], mode=lsh_mode,
     )
     self_pairs = dd.ngram_jaccard_pairs(
         docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
@@ -728,7 +740,7 @@ def curate_increment(
         k_sh = _DEDUP_LSH["k"]
         sc2 = dd.minhash_lsh_candidates(
             docs, num_hashes=_DEDUP_LSH["num_hashes"],
-            bands=_DEDUP_LSH["bands"], k=k_sh,
+            bands=_DEDUP_LSH["bands"], k=k_sh, mode=lsh_mode,
         )
         sp2 = dd.ngram_jaccard_pairs(
             docs, k=k_sh, threshold=split_jaccard, candidates=sc2
@@ -818,6 +830,7 @@ def curate_increment(
     extra = {
         "fractions": fractions or {"train": 0.8, "val": 0.1, "test": 0.1},
         "leakage_free": leakage_free,
+        "lsh_mode": lsh_mode,
     }
     if have_art:
         _write_dedup_artifact(docs, dataset_dir, mode="append", extra_meta=extra)
@@ -949,12 +962,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--lsh-mode",
         choices=("pairs", "star"),
-        default="pairs",
+        default=None,
         help="near-dedup candidate emission: 'pairs' verifies every "
-        "bucket-sharing pair (exhaustive); 'star' pairs bucket members "
-        "with the bucket-minimum id — O(B) per bucket instead of "
-        "O(B^2), required for crawl-scale corpora with viral-"
-        "boilerplate clusters",
+        "bucket-sharing pair (exhaustive, the fresh-curation default); "
+        "'star' pairs bucket members with the bucket-minimum id — O(B) "
+        "per bucket instead of O(B^2), required for crawl-scale "
+        "corpora with viral-boilerplate clusters.  With --increment, "
+        "omitted = inherit the dataset's recorded mode",
     )
     p.add_argument(
         "--compact-dedup",
@@ -1022,6 +1036,7 @@ def main(argv: list[str] | None = None) -> int:
             # dataset just because the flag was omitted)
             leakage_free=True if args.leakage_free_split else None,
             split_jaccard=args.split_jaccard,
+            lsh_mode=args.lsh_mode,
         )
         toks = dict(report.tokens)
         for stage, n in report.stages:
@@ -1052,7 +1067,7 @@ def main(argv: list[str] | None = None) -> int:
             float(x) for x in args.quality_temper.split(",")
         ) if args.quality_temper else None,
         token_budget=args.token_budget,
-        lsh_mode=args.lsh_mode,
+        lsh_mode=args.lsh_mode or "pairs",
     )
     if args.export_jsonl:
         (

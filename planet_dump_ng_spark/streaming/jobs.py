@@ -217,6 +217,47 @@ def ivfpq_ingest_stream(
     q.awaitTermination()
 
 
+def curate_ingest_stream(
+    docs_stream: DataFrame,
+    dataset_dir: str,
+    checkpoint_dir: str,
+    **curate_kwargs,
+) -> list:
+    """Continuous curation ingest: each micro-batch runs the FULL
+    incremental curation (llm_pipeline.curate_increment — idempotent
+    id/fingerprint dedup vs the dataset, asymmetric batch-vs-corpus LSH
+    probing the persisted ``_dedup`` artifact, decontamination/scrub/
+    quality gates, content-stable split append) and the dataset plus its
+    probe artifact grow in lockstep.  This IS the production 100 TB
+    ingest shape: per-batch cost proportional to the batch, exactly-once
+    EFFECT without sink transactions because the increment itself is
+    idempotent (a redelivered micro-batch anti-joins away on doc_id and
+    appends nothing — the property tests/test_round5_curation.py pins).
+    foreachBatch because the increment is a multi-table artifact write;
+    gates/fractions/leakage policy inherit the dataset's recorded
+    curation parameters unless overridden via ``curate_kwargs``.
+    Returns the per-batch attrition reports (driver-side audit trail).
+    """
+    from planet_dump_ng_spark.llm_pipeline import curate_increment
+
+    reports: list = []
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):  # empty trigger: nothing to curate
+            return
+        _, report = curate_increment(batch_df, dataset_dir, **curate_kwargs)
+        reports.append((batch_id, report))
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return reports
+
+
 def dedup_stream(docs: DataFrame) -> DataFrame:
     """Streaming exact dedup: emit only the FIRST document seen per
     canonical fingerprint (operators.text.fingerprint — same whitespace

@@ -223,3 +223,91 @@ def test_curate_star_mode_removes_boilerplate_cluster(spark, tmp_path):
 
     with pytest.raises(ValueError, match="lsh_mode"):
         curate(docs, str(tmp_path / "bad"), lsh_mode="mesh")
+
+
+def test_increment_inherits_lsh_mode(spark, tmp_path):
+    """A dataset curated with star emission records it; increments
+    inherit the mode for their within-batch self-dedup (a boilerplate
+    batch must not silently reintroduce the B^2 candidate cost)."""
+    base_txt = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing outside"
+    )
+    other = (
+        "an unrelated article about columnar storage formats and "
+        "predicate pushdown in distributed analytical query engines"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"{base_txt} marker{i}", "s") for i in range(10)]
+        + [(50, other, "s")],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "mode_ds")
+    curate(docs, out, min_tokens=5, lsh_mode="star")
+    meta = json.load(open(f"{_dedup_artifact_dir(out)}/meta.json"))
+    assert meta["lsh_mode"] == "star"
+
+    batch = spark.createDataFrame(
+        [(100 + i, f"{other} tail{i % 2}", "s") for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    manifest, report = curate_increment(batch, out, min_tokens=5)
+    # within-batch: 2 exact-dup groups (tail0/tail1), mutual near-dups;
+    # all are near-dups of corpus doc 50 -> nothing should append
+    assert sum(r.n_rows for r in manifest.collect()) == 0
+    # the recorded mode survives the append path
+    meta2 = json.load(open(f"{_dedup_artifact_dir(out)}/meta.json"))
+    assert meta2["lsh_mode"] == "star"
+
+
+def test_curate_ingest_stream_matches_sequential_increments(
+    spark, sf_dir, tmp_path
+):
+    """The streaming ingest (curate_increment per micro-batch via
+    foreachBatch) must converge to exactly the dataset a sequence of
+    batch increments over the same files produces — same surviving ids,
+    same splits, artifact in lockstep."""
+    from planet_dump_ng_spark.streaming import jobs
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+
+    # sequential-batch reference
+    ref = str(tmp_path / "seq_ds")
+    curate(base, ref)
+    curate_increment(b1.select(*cols), ref)
+    curate_increment(b2.select(*cols), ref)
+    want = {
+        (r.doc_id, r.split)
+        for r in spark.read.parquet(ref).select("doc_id", "split").collect()
+    }
+
+    # streaming twin: same base, batches arrive as one file each
+    out = str(tmp_path / "stream_ds")
+    curate(base, out)
+    bus = str(tmp_path / "bus")
+    b1.select(*cols).coalesce(1).write.mode("append").parquet(bus)
+    b2.select(*cols).coalesce(1).write.mode("append").parquet(bus)
+    stream = jobs.read_documents_stream(spark, bus, max_files_per_trigger=1)
+    reports = jobs.curate_ingest_stream(
+        stream, out, str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.doc_id, r.split)
+        for r in spark.read.parquet(out).select("doc_id", "split").collect()
+    }
+    assert got == want
+    assert len(reports) >= 1  # audit trail came back
+    n = spark.read.parquet(out).count()
+    art = _dedup_artifact_dir(out)
+    assert spark.read.parquet(f"{art}/fingerprints").count() == n
+
+    # redelivery: replaying the same files through a FRESH stream (new
+    # checkpoint) appends nothing — the increment's idempotence is the
+    # exactly-once mechanism, not sink transactions
+    stream2 = jobs.read_documents_stream(spark, bus, max_files_per_trigger=1)
+    jobs.curate_ingest_stream(stream2, out, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(out).count() == n
