@@ -945,7 +945,7 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every in-bucket pair is linked through the bucket minimum; the "
     "oracle replays the same bucket-min election via the DuckDB "
     "xxhash64 replica.",
-    tags=("dedup",),
+    tags=("dedup", "bench"),
 )
 def dedup_lsh_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1047,3 +1047,186 @@ def dedup_incremental_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, corpus, num_hashes=64, bands=16, k=3, max_bucket=4
     )
     return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+
+
+@register(
+    "dedup_star_canonical_docs",
+    f"""
+    WITH RECURSIVE
+    ver AS MATERIALIZED ({_minhash_lsh_oracle(cand_sql=_STAR_CAND)}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM ver
+            UNION SELECT id_b, id_a FROM ver),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.u, r.lab FROM reach r JOIN sym s ON s.v = r.id
+    ),
+    comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+    tk AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents)
+    SELECT component, cluster_size, doc_id AS survivor_id,
+           n_tokens AS survivor_tokens
+    FROM (
+      SELECT c.component, tk.doc_id, tk.n_tokens,
+             COUNT(*) OVER (PARTITION BY c.component) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY tk.n_tokens DESC, tk.doc_id) AS rn
+      FROM comp c JOIN tk ON c.id = tk.doc_id
+    ) WHERE rn = 1
+    """,
+    doc="Richest-copy-wins survivor election on the STAR candidate shape: "
+    "connected components over star-emitted, Jaccard-verified LSH pairs, "
+    "then per cluster keep the doc with the most tokens (ties to the "
+    "smallest id) — dedup_canonical_docs' policy riding the O(B) "
+    "emission that survives a viral-boilerplate mega-bucket.  The Spark "
+    "argmax is one lexicographic MAX(struct) aggregate; the oracle "
+    "spells the same election with a row_number window over the "
+    "recursive-CTE components.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_star_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.graph import connected_components
+    from planet_dump_ng_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, k=3, mode="star"
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    n = docs.select(
+        F.col("doc_id").alias("id"), F.size(tokens("text")).alias("n_tokens")
+    )
+    return (
+        comp.join(n, "id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(
+                F.struct(F.col("n_tokens"), (-F.col("id")).alias("nid"))
+            ).alias("m"),
+        )
+        .select(
+            "component",
+            "cluster_size",
+            (-F.col("m.nid")).alias("survivor_id"),
+            F.col("m.n_tokens").alias("survivor_tokens"),
+        )
+    )
+
+
+@register(
+    "lsh_band_match_histogram",
+    f"""
+    WITH {_lsh_bnd_ctes()},
+    shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                      COUNT(*) AS n_shared
+               FROM bnd x JOIN bnd y
+                 ON x.bn = y.bn AND x.bk = y.bk AND x.doc_id < y.doc_id
+               GROUP BY x.doc_id, y.doc_id)
+    SELECT n_shared AS n_shared_bands, COUNT(*) AS n_pairs
+    FROM shared GROUP BY n_shared
+    """,
+    doc="Candidate-pair agreement histogram: for every bucket-sharing "
+    "pair, how many of the 16 bands collide — (n_shared_bands, "
+    "n_pairs).  The geometry health check: near-identical docs pile at "
+    "16/16, borderline pairs at 1-2, and a fat low tail means the "
+    "verifier is wading through LSH false positives (raise rows per "
+    "band); a missing high end means true dups are slipping banding "
+    "entirely (raise bands).  One aggregation over the band self-join; "
+    "the oracle replays the identical bucket keys.",
+    tags=("dedup", "eval", "agg"),
+)
+def lsh_band_match_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    b = dd.lsh_buckets(docs, num_hashes=64, bands=16, k=3).persist()
+    a, c = b.alias("a"), b.alias("b")
+    shared = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return shared.groupBy("n_shared_bands").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "dedup_minhash_lsh_b8",
+    _minhash_lsh_oracle(bands=8),
+    doc="The 8-band x 8-row geometry of the banded-LSH pipeline (vs the "
+    "default 16x4): higher per-band selectivity (s^8 collision curve) "
+    "trades recall at mid Jaccard for a smaller candidate set — running "
+    "both geometries against the same verifier IS the tuning "
+    "experiment the band histogram motivates, with every number "
+    "hash-checked.  Same plan shape; only the banding constants differ "
+    "(the oracle re-derives slices and permutation constants for b=8).",
+    tags=("dedup", "eval"),
+)
+def dedup_minhash_lsh_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=8, k=3)
+    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+
+
+@register(
+    "lsh_collision_curve",
+    f"""
+    WITH {_lsh_bnd_ctes()},
+    shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                      COUNT(*) AS n_shared
+               FROM bnd x JOIN bnd y
+                 ON x.bn = y.bn AND x.bk = y.bk AND x.doc_id < y.doc_id
+               GROUP BY x.doc_id, y.doc_id),
+    ver AS (SELECT s.id_a, s.id_b, s.n_shared,
+                   len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                     / (len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+            FROM shared s
+            JOIN sh sa ON sa.doc_id = s.id_a
+            JOIN sh sb ON sb.doc_id = s.id_b)
+    SELECT id_a, id_b,
+           CAST(trunc(jaccard * 1e12) AS BIGINT) AS jaccard_t,
+           n_shared AS observed_bands,
+           CAST(trunc(16.0 * power(jaccard, 4) * 1e9) AS BIGINT)
+             AS expected_bands_t
+    FROM ver WHERE jaccard >= 0.1
+    """,
+    doc="S-curve calibration per verified pair: exact Jaccard s beside "
+    "the OBSERVED shared-band count and the banding model's EXPECTED "
+    "collision bands b*s^r (16*s^4) — the datum that validates the "
+    "1-(1-s^r)^b recall model before anyone trusts it to pick the "
+    "geometry at 100 TB.  Floats cross engines as truncation-quantized "
+    "integers (verify-skill discipline); pow is IEEE double on both.",
+    tags=("dedup", "eval"),
+)
+def lsh_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    b = dd.lsh_buckets(docs, num_hashes=64, bands=16, k=3).persist()
+    a, c = b.alias("a"), b.alias("b")
+    shared = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("observed_bands"))
+    )
+    cands = shared.select("id_a", "id_b")
+    ver = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+    return ver.join(shared, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        (F.col("jaccard") * 1e12).cast("long").alias("jaccard_t"),
+        "observed_bands",
+        (F.lit(16.0) * F.pow("jaccard", F.lit(4.0)) * 1e9)
+        .cast("long")
+        .alias("expected_bands_t"),
+    )

@@ -221,6 +221,7 @@ def curate_ingest_stream(
     docs_stream: DataFrame,
     dataset_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
     **curate_kwargs,
 ) -> list:
     """Continuous curation ingest: each micro-batch runs the FULL
@@ -236,17 +237,27 @@ def curate_ingest_stream(
     foreachBatch because the increment is a multi-table artifact write;
     gates/fractions/leakage policy inherit the dataset's recorded
     curation parameters unless overridden via ``curate_kwargs``.
-    Returns the per-batch attrition reports (driver-side audit trail).
+    ``compact_every`` folds the dedup_compact maintenance pass in every
+    N processed batches (each increment appends a few small files to
+    the probe artifact; a long-running ingest otherwise degrades to
+    file-count-bound probe scans — the same reason ivfpq/bm25 ingest
+    pair with their compactors).  Returns the per-batch attrition
+    reports (driver-side audit trail).
     """
-    from planet_dump_ng_spark.llm_pipeline import curate_increment
+    from planet_dump_ng_spark.llm_pipeline import curate_increment, dedup_compact
 
     reports: list = []
+    n_done = 0
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_done
         if not batch_df.head(1):  # empty trigger: nothing to curate
             return
         _, report = curate_increment(batch_df, dataset_dir, **curate_kwargs)
         reports.append((batch_id, report))
+        n_done += 1
+        if compact_every and n_done % compact_every == 0:
+            dedup_compact(batch_df.sparkSession, dataset_dir)
 
     q = (
         docs_stream.writeStream.foreachBatch(_fold)

@@ -293,7 +293,7 @@ def test_curate_ingest_stream_matches_sequential_increments(
     b2.select(*cols).coalesce(1).write.mode("append").parquet(bus)
     stream = jobs.read_documents_stream(spark, bus, max_files_per_trigger=1)
     reports = jobs.curate_ingest_stream(
-        stream, out, str(tmp_path / "ckpt")
+        stream, out, str(tmp_path / "ckpt"), compact_every=1
     )
     got = {
         (r.doc_id, r.split)
