@@ -93,15 +93,18 @@ def _write_dedup_artifact(
     corpus-sized signatures per batch; increments APPEND their own
     survivors, keeping the artifact exactly in step with the dataset.
 
-    Write order is the crash-safety contract: BUCKETS land first,
+    Write order is the crash-safety contract: META first, BUCKETS next,
     FINGERPRINTS last, because the stale-artifact repair in
     :func:`curate_increment` uses the fingerprint row count as the
     commit marker — the same write-the-idempotence-key-last discipline
-    as ivfpq_add_to_dir.  A crash between the two appends leaves the
-    fingerprint count short, which the next increment detects and
-    repairs by rebuild; the reverse order would pass the check with the
+    as ivfpq_add_to_dir.  A crash anywhere before the fingerprints
+    append leaves the fingerprint count short (or the table absent),
+    which the next increment detects and repairs by rebuild; writing
+    fingerprints earlier would let the count check pass with the
     buckets table silently missing rows (every later LSH probe would
-    miss those docs' near-dups).
+    miss those docs' near-dups) or with the meta header — and its
+    recorded split fractions — missing, so later increments would
+    inherit nothing and mis-split with defaults.
 
     ``extra_meta`` records curation-level parameters (split fractions,
     leakage_free) on a fresh write; appends never rewrite an existing
@@ -112,17 +115,17 @@ def _write_dedup_artifact(
     from planet_dump_ng_spark.streaming.jobs import corpus_lsh_buckets
 
     d = _dedup_artifact_dir(dataset_dir)
+    os.makedirs(d, exist_ok=True)
+    meta_path = f"{d}/meta.json"
+    if mode == "overwrite" or not os.path.exists(meta_path):
+        with open(meta_path, "w", encoding="utf-8") as fh:
+            json.dump({**_DEDUP_META, **(extra_meta or {})}, fh)
     corpus_lsh_buckets(docs, **_DEDUP_LSH).write.mode(mode).parquet(
         f"{d}/buckets"
     )
     docs.select(
         F.col("doc_id"), tx.fingerprint("text").alias("fp")
     ).write.mode(mode).parquet(f"{d}/fingerprints")
-    os.makedirs(d, exist_ok=True)
-    meta_path = f"{d}/meta.json"
-    if mode == "overwrite" or not os.path.exists(meta_path):
-        with open(meta_path, "w", encoding="utf-8") as fh:
-            json.dump({**_DEDUP_META, **(extra_meta or {})}, fh)
 
 
 def _check_dedup_meta(art: str) -> None:
@@ -171,15 +174,37 @@ def dedup_compact(spark, dataset_dir: str) -> dict:
     so increments probe identically before and after (pinned in tests).
     Fingerprints range-shard on doc_id and buckets on (band, bh) — the
     probe join keys, so file min/max stats stay selective.  The rewrite
-    lands in a sibling directory and swaps in via rename (the
-    ivfpq_compact crash-safety discipline): a crash mid-compact never
-    corrupts the live artifact.  Returns {files_before, files_after}.
+    lands in a sibling ``.compact`` directory and swaps in via a
+    two-rename (``src`` -> ``.old``, ``.compact`` -> ``src``) with a
+    recovery preamble, so every crash window is self-healing on the
+    next call: a crash between the renames leaves ``.old`` holding the
+    live table and ``src`` absent — the preamble renames it back; a
+    crash after the swap but before cleanup leaves a populated ``.old``
+    beside the live table — the preamble deletes it (without the
+    preamble the next ``os.rename(src, old)`` would die ENOTEMPTY and
+    wedge compaction).  An increment that lands inside the
+    mid-swap window recovers independently: curate_increment treats a
+    missing fingerprints table as the stale-artifact state and
+    rebuilds.  Buckets swap first, fingerprints last — the same
+    fingerprints-are-the-commit-marker order as _write_dedup_artifact.
+    Returns {files_before, files_after}.
     """
     import os
     import shutil
 
     art = _dedup_artifact_dir(dataset_dir)
     _check_dedup_meta(art)
+    keys = {"buckets": ["band", "bh"], "fingerprints": ["doc_id"]}
+    # recovery preamble: heal the crash windows of a PRIOR compact
+    for t in keys:
+        src, tmp, old = f"{art}/{t}", f"{art}/{t}.compact", f"{art}/{t}.old"
+        if os.path.exists(old):
+            if not os.path.exists(src):
+                os.rename(old, src)  # died between the two renames
+            else:
+                shutil.rmtree(old)  # died before cleanup
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # stale rewrite; redo it below
     if not os.path.exists(f"{art}/fingerprints"):
         raise ValueError(f"{art} has no dedup artifact to compact")
     n = spark.sparkContext.defaultParallelism
@@ -192,7 +217,6 @@ def dedup_compact(spark, dataset_dir: str) -> dict:
             if f.endswith(".parquet")
         )
 
-    keys = {"fingerprints": ["doc_id"], "buckets": ["band", "bh"]}
     before = after = 0
     for t, cols in keys.items():
         src, tmp, old = f"{art}/{t}", f"{art}/{t}.compact", f"{art}/{t}.old"
@@ -571,6 +595,14 @@ def curate_increment(
             "content-stable split gate only holds when the boundaries "
             "match; omit fractions to inherit the recorded ones"
         )
+    # known-ness BEFORE defaulting: the artifact record written at the
+    # end must carry only values that were actually passed or recorded —
+    # a pre-header dataset (curated before parameters were recorded)
+    # whose increment runs on defaults must NOT have those defaults
+    # enshrined as "the curation record", or a later increment passing
+    # the dataset's true custom fractions would be rejected against a
+    # fabricated one
+    _lf_known = leakage_free is not None or "leakage_free" in recorded
     if leakage_free is None:
         leakage_free = bool(recorded.get("leakage_free", False))
     elif (
@@ -636,8 +668,16 @@ def curate_increment(
         # repair a STALE artifact (a crash between a prior increment's
         # dataset append and its artifact append): fingerprint rows must
         # match the dataset row-for-row, else rebuild from the dataset —
-        # the redelivered batch can't repair it (its ids anti-join away)
-        n_fp = spark.read.parquet(f"{art}/fingerprints").count()
+        # the redelivered batch can't repair it (its ids anti-join away).
+        # fingerprints is the LAST table _write_dedup_artifact lands, so
+        # a crash mid-write can leave buckets without it — treat the
+        # absent table as count -1 so the same rebuild fires instead of
+        # an unreadable-parquet crash that no retry would ever clear.
+        n_fp = (
+            spark.read.parquet(f"{art}/fingerprints").count()
+            if os.path.exists(f"{art}/fingerprints")
+            else -1
+        )
         if n_fp != corpus.count():
             # rebuild preserves the recorded curation parameters — the
             # repair must not erase the fractions/leakage_free record
@@ -827,11 +867,16 @@ def curate_increment(
     # appends cannot be poisoned by their own writes.  A pre-artifact
     # dataset gets a one-time backfill from the GROWN dataset (a fresh
     # read, so it already includes this increment exactly once).
-    extra = {
-        "fractions": fractions or {"train": 0.8, "val": 0.1, "test": 0.1},
-        "leakage_free": leakage_free,
-        "lsh_mode": lsh_mode,
-    }
+    # record only what is KNOWN: fractions is non-None exactly when the
+    # user passed it or the header recorded it; leakage_free likewise via
+    # _lf_known.  lsh_mode is always safe to record — every pre-header
+    # dataset was curated before star mode existed, so "pairs" is its
+    # true history, not a guess.
+    extra = {"lsh_mode": lsh_mode}
+    if fractions is not None:
+        extra["fractions"] = fractions
+    if _lf_known:
+        extra["leakage_free"] = leakage_free
     if have_art:
         _write_dedup_artifact(docs, dataset_dir, mode="append", extra_meta=extra)
     else:

@@ -314,9 +314,14 @@ def minhash_lsh_candidates(
         raise ValueError(f"mode must be 'pairs' or 'star', got {mode!r}")
     buckets = (
         lsh_buckets(df, text_col, id_col, num_hashes, bands, k, seed)
-        # persist: one cached pass feeds BOTH sides of the bucket join
-        # below instead of recomputing the signature aggregation twice.
-        .persist()
+        # localCheckpoint, not persist: one materialized pass feeds BOTH
+        # sides of the bucket join below instead of recomputing the
+        # signature aggregation twice, and the blocks are released when
+        # the result goes out of scope (ContextCleaner on GC) — persist()
+        # here left one CacheManager entry per call for the session's
+        # lifetime, an unbounded leak for per-micro-batch callers
+        # (curate_ingest_stream runs this once or twice per batch).
+        .localCheckpoint(eager=True)
     )
     if mode == "star":
         mins = buckets.groupBy("band", "bh").agg(F.min("id").alias("mn"))

@@ -1141,7 +1141,12 @@ def dedup_star_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_band_match_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    b = dd.lsh_buckets(docs, num_hashes=64, bands=16, k=3).persist()
+    # localCheckpoint, not persist: shares the bucket pass across both
+    # join sides WITHOUT stranding a CacheManager entry per invocation
+    # (bench runs every query twice; persist here never unpersisted)
+    b = dd.lsh_buckets(docs, num_hashes=64, bands=16, k=3).localCheckpoint(
+        eager=True
+    )
     a, c = b.alias("a"), b.alias("b")
     shared = (
         a.join(
@@ -1193,8 +1198,8 @@ def dedup_minhash_lsh_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            CAST(trunc(jaccard * 1e12) AS BIGINT) AS jaccard_t,
            n_shared AS observed_bands,
-           CAST(trunc(16.0 * power(jaccard, 4) * 1e9) AS BIGINT)
-             AS expected_bands_t
+           CAST(trunc(16.0 * ((jaccard * jaccard) * (jaccard * jaccard))
+                      * 1e9) AS BIGINT) AS expected_bands_t
     FROM ver WHERE jaccard >= 0.1
     """,
     doc="S-curve calibration per verified pair: exact Jaccard s beside "
@@ -1207,7 +1212,11 @@ def dedup_minhash_lsh_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    b = dd.lsh_buckets(docs, num_hashes=64, bands=16, k=3).persist()
+    # localCheckpoint, not persist — same no-stranded-cache rationale as
+    # lsh_band_match_histogram above
+    b = dd.lsh_buckets(docs, num_hashes=64, bands=16, k=3).localCheckpoint(
+        eager=True
+    )
     a, c = b.alias("a"), b.alias("b")
     shared = (
         a.join(
@@ -1226,7 +1235,18 @@ def lsh_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         (F.col("jaccard") * 1e12).cast("long").alias("jaccard_t"),
         "observed_bands",
-        (F.lit(16.0) * F.pow("jaccard", F.lit(4.0)) * 1e9)
+        # s^4 by explicit multiplication, NOT pow(): IEEE multiply is
+        # exactly rounded and engine-identical, while Java Math.pow vs
+        # DuckDB libm differ by 1 ulp — enough to cross the truncation
+        # boundary on dense sf0.1 pairs (caught by the sf0.1 gate)
+        (
+            F.lit(16.0)
+            * (
+                (F.col("jaccard") * F.col("jaccard"))
+                * (F.col("jaccard") * F.col("jaccard"))
+            )
+            * 1e9
+        )
         .cast("long")
         .alias("expected_bands_t"),
     )

@@ -227,9 +227,7 @@ def test_pbf_strict_changeset_check(spark, node_frames, tmp_path):
     # XML stays the silent-anonymous path (xml_writer.cpp:376-386): the
     # SAME frames write fine and the missing-changeset element renders
     # with no uid/user attribution — the one place the reference's two
-    # sinks deliberately diverge
-    # XML stays the silent-anonymous path (xml_writer.cpp:376-386): the
-    # SAME frames write fine — the strict check guards PBF outputs only
+    # sinks deliberately diverge (the strict check guards PBF only)
     pipeline.write_outputs(
         frames, [pipeline.OutputSpec(str(tmp_path / "x.osm"), "history")]
     )

@@ -189,6 +189,148 @@ def test_dedup_compact_preserves_probe_results(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{art}/fingerprints").count() == n_ds
 
 
+def test_half_written_artifact_recovers(spark, sf_dir, tmp_path):
+    """A crash AFTER the buckets write but BEFORE the fingerprints write
+    (the window the meta/buckets/fingerprints order creates) must be a
+    repairable stale state, not a brick: the next increment detects the
+    absent fingerprints table and rebuilds, never raising
+    PATH_NOT_FOUND on the read that was supposed to detect it."""
+    import shutil
+
+    base, batch = _base_batch(spark, sf_dir)
+    out = str(tmp_path / "half_ds")
+    curate(base, out, fractions={"train": 0.9, "test": 0.1})
+    art = _dedup_artifact_dir(out)
+    shutil.rmtree(f"{art}/fingerprints")  # the simulated crash state
+
+    curate_increment(batch, out)  # must repair, not raise
+    n = spark.read.parquet(out).count()
+    assert spark.read.parquet(f"{art}/fingerprints").count() == n
+    assert (
+        spark.read.parquet(f"{art}/buckets").select("id").distinct().count()
+        == n
+    )
+    # the rebuild preserved the recorded curation parameters
+    meta = json.load(open(f"{art}/meta.json"))
+    assert meta["fractions"] == {"train": 0.9, "test": 0.1}
+
+
+def test_meta_written_before_tables(spark, sf_dir, tmp_path):
+    """meta.json lands BEFORE either table so the fractions record sits
+    inside the fingerprint commit marker: any artifact whose
+    fingerprints read back complete also has its header — a crash can
+    never yield a complete-looking artifact that silently inherits
+    default fractions."""
+    from planet_dump_ng_spark.llm_pipeline import _write_dedup_artifact
+    import os
+
+    base, _ = _base_batch(spark, sf_dir)
+    out = str(tmp_path / "order_ds")
+    # drive the writer directly and fail the bucket job: header must
+    # already be on disk even though no table ever landed
+    bad = base.withColumn(
+        "text", F.raise_error(F.lit("simulated mid-write crash"))
+    )
+    with pytest.raises(Exception, match="simulated mid-write crash"):
+        _write_dedup_artifact(
+            bad, out, extra_meta={"fractions": {"train": 1.0}}
+        )
+    art = _dedup_artifact_dir(out)
+    assert json.load(open(f"{art}/meta.json"))["fractions"] == {"train": 1.0}
+    assert not os.path.exists(f"{art}/fingerprints")
+
+
+def test_dedup_compact_heals_prior_crash_windows(spark, sf_dir, tmp_path):
+    """Both crash windows of a prior compact self-heal on the next call:
+    (a) died between the two renames -> .old holds the live table and
+    src is gone; (b) died before cleanup -> populated .old beside the
+    live table (an unhealed (b) would wedge every later compact with
+    ENOTEMPTY)."""
+    import os
+    import shutil
+
+    from planet_dump_ng_spark.llm_pipeline import dedup_compact
+
+    base, batch = _base_batch(spark, sf_dir)
+    out = str(tmp_path / "heal_ds")
+    curate(base, out)
+    curate_increment(batch, out)
+    art = _dedup_artifact_dir(out)
+    fp_want = {
+        (r.doc_id, r.fp)
+        for r in spark.read.parquet(f"{art}/fingerprints").collect()
+    }
+
+    # window (a): mid-swap on fingerprints
+    os.rename(f"{art}/fingerprints", f"{art}/fingerprints.old")
+    stats = dedup_compact(spark, out)
+    assert stats["files_after"] <= stats["files_before"]
+    fp_got = {
+        (r.doc_id, r.fp)
+        for r in spark.read.parquet(f"{art}/fingerprints").collect()
+    }
+    assert fp_got == fp_want
+    assert not os.path.exists(f"{art}/fingerprints.old")
+
+    # window (b): swap done, cleanup missed, plus a stale .compact dir
+    shutil.copytree(f"{art}/buckets", f"{art}/buckets.old")
+    shutil.copytree(f"{art}/buckets", f"{art}/buckets.compact")
+    dedup_compact(spark, out)  # pre-fix: ENOTEMPTY on rename
+    assert not os.path.exists(f"{art}/buckets.old")
+    assert not os.path.exists(f"{art}/buckets.compact")
+    # an increment inside window (a) repairs independently
+    os.rename(f"{art}/fingerprints", f"{art}/fingerprints.old")
+    docs = table(spark, sf_dir, "documents")
+    curate_increment(docs.filter(F.col("doc_id") % 7 == 3), out)
+    n = spark.read.parquet(out).count()
+    assert spark.read.parquet(f"{art}/fingerprints").count() == n
+
+
+def test_increment_never_fabricates_curation_record(spark, sf_dir, tmp_path):
+    """An increment on a pre-header dataset (no recorded parameters)
+    must not enshrine the hardcoded defaults as 'the curation record' —
+    a later increment passing the dataset's true custom fractions would
+    be rejected against a record nobody wrote."""
+    import os
+
+    base, batch = _base_batch(spark, sf_dir)
+    out = str(tmp_path / "prehdr_ds")
+    curate(base, out, fractions={"train": 0.9, "test": 0.1})
+    art = _dedup_artifact_dir(out)
+    os.remove(f"{art}/meta.json")  # simulate a pre-header artifact
+
+    docs = table(spark, sf_dir, "documents")
+    b1 = batch.filter(F.col("doc_id") % 2 == 0)
+    b2 = batch.filter(F.col("doc_id") % 2 == 1)
+    curate_increment(b1, out)  # runs on defaults (pre-existing gap)...
+    meta = json.load(open(f"{art}/meta.json"))
+    assert "fractions" not in meta  # ...but records no invented history
+    assert "leakage_free" not in meta
+    assert meta["lsh_mode"] == "pairs"  # pre-star datasets ARE pairs
+    # the dataset's true fractions are still accepted afterwards
+    curate_increment(b2, out, fractions={"train": 0.9, "test": 0.1})
+
+
+def test_lsh_queries_leave_no_cache_entries(spark, sf_dir):
+    """minhash_lsh_candidates and the band-geometry evals share their
+    bucket pass via localCheckpoint, NOT persist(): a long-lived session
+    (streaming ingest runs candidates once or twice per micro-batch)
+    must not accumulate CacheManager entries."""
+    import planet_dump_ng_spark.operators.dedup as dd
+    from planet_dump_ng_spark.plans.dedup_plans import (
+        lsh_band_match_histogram,
+        lsh_collision_curve,
+    )
+
+    spark.catalog.clearCache()
+    docs = table(spark, sf_dir, "documents")
+    for mode in ("pairs", "star"):
+        dd.minhash_lsh_candidates(docs, mode=mode).count()
+    lsh_band_match_histogram(spark, sf_dir).count()
+    lsh_collision_curve(spark, sf_dir).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_curate_star_mode_removes_boilerplate_cluster(spark, tmp_path):
     """Star-mode curation must still collapse a boilerplate cluster to
     one survivor (the min id) — the whole point of the O(B) emission is
