@@ -1032,6 +1032,21 @@ def main(argv: list[str] | None = None) -> int:
         "ship the dataset searchable; extend it later with "
         "`bm25_cli add` as new batches curate in",
     )
+    p.add_argument(
+        "--train-tokenizer",
+        metavar="DIR",
+        help="after materialization, train a BPE tokenizer on the "
+        "curated TRAIN split and persist the artifact "
+        "(operators.tokenizer) into DIR — ship the dataset with the "
+        "tokenizer trained on it; encode any corpus later with "
+        "`tokenizer_cli encode`",
+    )
+    p.add_argument(
+        "--tokenizer-merges",
+        type=int,
+        default=32,
+        help="merge rounds for --train-tokenizer (default 32)",
+    )
     args = p.parse_args(argv)
     if args.compact_dedup:
         from planet_dump_ng_spark.session import get_spark as _gs
@@ -1132,6 +1147,16 @@ def main(argv: list[str] | None = None) -> int:
         ti.write_bm25_index(postings, doclen, args.build_bm25_index)
         meta = ti.read_bm25_meta(args.build_bm25_index)
         print(f"{'bm25_index':16s} {meta['n_docs']} docs indexed")
+    if args.train_tokenizer:
+        from planet_dump_ng_spark.operators import tokenizer as tk
+
+        train = spark.read.parquet(args.output).filter(
+            F.col("split") == "train"
+        )
+        tmeta = tk.write_bpe_tokenizer(
+            train, args.train_tokenizer, n_merges=args.tokenizer_merges
+        )
+        print(f"{'tokenizer':16s} {tmeta['n_rules']} rules learned")
     if n_quarantined:
         print(f"{'quarantined':16s} {n_quarantined}")
     toks = dict(report.tokens)

@@ -1,0 +1,177 @@
+"""The persisted BPE tokenizer artifact (operators/tokenizer.py): the
+train-once / apply-everywhere lifecycle.  Serving with the frozen rule
+table must be bit-equal to training-time encoding (the pandas-UDF fold
+is a twin of the SQL aggregate fold), and the meta.json header must
+refuse incompatible artifacts loudly."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import text as tx
+from planet_dump_ng_spark.operators import tokenizer as tk
+from planet_dump_ng_spark.plans.registry import table
+
+
+N_MERGES = 5
+
+
+def _stats_set(df):
+    return {
+        (
+            r.doc_id,
+            r.n_tokens,
+            r.n_chars,
+            r.n_symbols,
+            round(r.compression, 12),
+        )
+        for r in df.collect()
+    }
+
+
+def test_served_equals_direct(spark, sf_dir, tmp_path):
+    """Encoding through the artifact == text.bpe_encode_stats run fresh:
+    the frozen-rule pandas fold replays _BPE_MERGE_EXPR exactly,
+    including within-round chaining (a fresh merge seeding the next
+    step's left side)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = str(tmp_path / "tok")
+    meta = tk.write_bpe_tokenizer(docs, tok, n_merges=N_MERGES)
+    assert meta["format"] == "bpe-tokenizer-v1"
+
+    merges, meta2 = tk.read_bpe_tokenizer(spark, tok)
+    assert meta2 == meta
+    served = tk.bpe_apply_stats(docs, merges)
+    direct = tx.bpe_encode_stats(docs, n_merges=N_MERGES)
+    assert _stats_set(served) == _stats_set(direct)
+    direct.unpersist()
+
+    # the persisted rule table IS the learned rule list
+    learned = tx.bpe_learn_merges(docs, n_merges=N_MERGES)
+    want = [
+        (r.round, r.pair_left, r.pair_right, r.n)
+        for r in learned.orderBy("round").collect()
+    ]
+    learned.unpersist()
+    got = [
+        (r.round, r.pair_left, r.pair_right, r.n)
+        for r in merges.orderBy("round").collect()
+    ]
+    assert got == want
+
+
+def test_encode_new_corpus_and_vocab(spark, sf_dir, tmp_path):
+    """The artifact encodes a corpus it never saw (the whole point);
+    the vocab table holds exactly the symbols the frozen rules can
+    produce, with corpus-weighted counts."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    tok = str(tmp_path / "tok")
+    tk.write_bpe_tokenizer(train, tok, n_merges=N_MERGES)
+    merges, _ = tk.read_bpe_tokenizer(spark, tok)
+
+    out = tk.bpe_apply_stats(other, merges)
+    n_docs = other.filter(F.length("text") > 0).count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r.n_symbols <= r.n_chars for r in rows)  # merges only shrink
+    assert all(r.n_symbols >= r.n_tokens for r in rows)
+
+    vocab = spark.read.parquet(f"{tok}/vocab")
+    syms = {r.symbol for r in vocab.collect()}
+    rules = {
+        r.pair_left + r.pair_right for r in merges.collect()
+    }
+    # every learned merged symbol that survived folding is a single
+    # vocab entry; multi-char symbols can only come from rules
+    assert all(len(s) == 1 or s in rules for s in syms)
+    # counts are corpus-weighted (total symbol mass == sum of n_symbols)
+    total = vocab.agg(F.sum("n")).first()[0]
+    want_total = (
+        tk.bpe_apply_stats(train, merges).agg(F.sum("n_symbols")).first()[0]
+    )
+    assert total == want_total
+
+
+def test_meta_is_the_commit_marker_and_validates(spark, sf_dir, tmp_path):
+    import shutil
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    tok = str(tmp_path / "tok")
+    tk.write_bpe_tokenizer(docs, tok, n_merges=2)
+
+    # a half-written artifact (crash before meta.json) reads as NO
+    # artifact, never as a silently-shorter rule list
+    half = str(tmp_path / "half")
+    shutil.copytree(tok, half)
+    import os
+
+    os.remove(f"{half}/meta.json")
+    with pytest.raises(ValueError, match="no meta.json"):
+        tk.read_bpe_tokenizer(spark, half)
+
+    # incompatible pre-tokenizer refused loudly
+    bad = json.load(open(f"{tok}/meta.json"))
+    bad["pretokenizer"] = "bytelevel-v9"
+    json.dump(bad, open(f"{tok}/meta.json", "w"))
+    with pytest.raises(ValueError, match="silently diverge"):
+        tk.read_bpe_tokenizer(spark, tok)
+
+
+def test_curation_cli_trains_tokenizer(spark, sf_dir, tmp_path, capsys):
+    """--train-tokenizer ships the dataset with a tokenizer trained on
+    its train split — the artifact encodes and equals a direct train on
+    the same split."""
+    from planet_dump_ng_spark import llm_pipeline
+
+    docs = table(spark, sf_dir, "documents")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "ds")
+    tok = str(tmp_path / "tok")
+    rc = llm_pipeline.main(
+        ["--input", inp, "--output", out, "--train-tokenizer", tok,
+         "--tokenizer-merges", "3"]
+    )
+    assert rc == 0
+    assert "tokenizer" in capsys.readouterr().out
+    merges, meta = tk.read_bpe_tokenizer(spark, tok)
+    assert meta["n_merges"] == 3
+    train = spark.read.parquet(out).filter(F.col("split") == "train")
+    want = tx.bpe_learn_merges(train, n_merges=3)
+    assert {
+        (r.round, r.pair_left, r.pair_right, r.n) for r in merges.collect()
+    } == {
+        (r.round, r.pair_left, r.pair_right, r.n) for r in want.collect()
+    }
+    want.unpersist()
+
+
+def test_tokenizer_cli_roundtrip(spark, sf_dir, tmp_path, capsys):
+    from planet_dump_ng_spark import tokenizer_cli
+
+    docs = table(spark, sf_dir, "documents")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    tok = str(tmp_path / "tok")
+
+    rc = tokenizer_cli.main(
+        ["train", "--input", inp, "--tokenizer-dir", tok, "--n-merges", "3"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rules"] <= 3 and out["trained"] == tok
+
+    stats_out = str(tmp_path / "stats.parquet")
+    rc = tokenizer_cli.main(
+        ["encode", "--input", inp, "--tokenizer-dir", tok, "--out", stats_out]
+    )
+    assert rc == 0
+    enc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    merges, _ = tk.read_bpe_tokenizer(spark, tok)
+    want = tk.bpe_apply_stats(docs, merges)
+    assert enc["encoded_docs"] == want.count()
+    assert enc["n_symbols"] == want.agg(F.sum("n_symbols")).first()[0]
+    assert _stats_set(spark.read.parquet(stats_out)) == _stats_set(want)
