@@ -1145,7 +1145,7 @@ def lsh_band_match_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join sides WITHOUT stranding a CacheManager entry per invocation
     # (bench runs every query twice; persist here never unpersisted)
     b = dd.lsh_buckets(docs, num_hashes=64, bands=16, k=3).localCheckpoint(
-        eager=True
+        eager=False
     )
     a, c = b.alias("a"), b.alias("b")
     shared = (
@@ -1215,7 +1215,7 @@ def lsh_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not persist — same no-stranded-cache rationale as
     # lsh_band_match_histogram above
     b = dd.lsh_buckets(docs, num_hashes=64, bands=16, k=3).localCheckpoint(
-        eager=True
+        eager=False
     )
     a, c = b.alias("a"), b.alias("b")
     shared = (
