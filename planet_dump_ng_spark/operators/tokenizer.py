@@ -170,6 +170,57 @@ def read_bpe_tokenizer(
     return spark.read.parquet(f"{d}/merges"), meta
 
 
+def bpe_apply_stats_stateless(
+    docs: DataFrame, rules: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Per-doc encode statistics as a STATELESS row map — no distinct,
+    no join, no aggregation — so the same plan runs over a streaming
+    DataFrame in append mode (streaming.jobs.bpe_encode_stream) or any
+    batch frame.  Tokenization and character counts stay JVM-side;
+    only the per-word symbol fold crosses to Python, Arrow-batched with
+    a per-batch word memo (a batch's repeated words fold once).  Same
+    output schema and values as :func:`bpe_apply_stats`; that form's
+    distinct-word model table amortizes better when the corpus's
+    word-instance/distinct-word ratio is high, this one when rows must
+    be processed independently (streams)."""
+    toks = tokens(text_col)
+
+    @F.pandas_udf("bigint")
+    def _sum_syms(tok_arrays: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def per_doc(ws) -> int:
+            total = 0
+            for w in ws:
+                n = memo.get(w)
+                if n is None:
+                    n = _fold_word(w, rules)
+                    memo[w] = n
+                total += n
+            return total
+
+        return tok_arrays.map(per_doc)
+
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                toks,
+                F.lit(0).cast("bigint"),
+                lambda acc, w: acc + F.length(w),
+            ).alias("n_chars"),
+            _sum_syms(toks).alias("n_symbols"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "compression",
+            F.col("n_symbols").cast("double")
+            / F.col("n_chars").cast("double"),
+        )
+    )
+
+
 def bpe_apply_stats(
     docs: DataFrame, merges: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -977,3 +977,29 @@ def span_novelty_stream(
     return occ.join(corpus_spans.select("h"), "h", "left_anti").select(
         "doc_id", "span_idx", "n_span_tokens", "h"
     )
+
+
+def bpe_encode_stream(docs: DataFrame, tokenizer_dir: str) -> DataFrame:
+    """Streaming encode under a FROZEN persisted tokenizer
+    (operators.tokenizer): per-doc BPE symbol statistics as a pure
+    stateless row map — tokenization and char counts JVM-side, the
+    per-word symbol fold Arrow-batched with the artifact's rule list
+    broadcast as plan literals.  No aggregation, no watermark: every row
+    emits in append mode, so the live tail of tokenizer-budget
+    accounting (tokens entering a training mix per feed) runs at
+    ingest rate.  The emitted rows are pinned equal to the batch
+    bpe_apply_stats over the same files; the rule list is read ONCE at
+    stream construction — retraining the tokenizer means restarting the
+    stream, which is the point (a training run must never straddle two
+    tokenizers)."""
+    from planet_dump_ng_spark.operators.tokenizer import (
+        bpe_apply_stats_stateless,
+        read_bpe_tokenizer,
+    )
+
+    merges, _ = read_bpe_tokenizer(docs.sparkSession, tokenizer_dir)
+    rules = [
+        (r.pair_left, r.pair_right)
+        for r in merges.orderBy("round").collect()
+    ]
+    return bpe_apply_stats_stateless(docs, rules)

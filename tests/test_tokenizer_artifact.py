@@ -120,6 +120,49 @@ def test_meta_is_the_commit_marker_and_validates(spark, sf_dir, tmp_path):
         tk.read_bpe_tokenizer(spark, tok)
 
 
+def test_stateless_equals_model_join(spark, sf_dir, tmp_path):
+    """The stateless row-map encode (the streaming shape) emits exactly
+    the distinct-word model-join encode's rows."""
+    docs = table(spark, sf_dir, "documents")
+    tok = str(tmp_path / "tok")
+    tk.write_bpe_tokenizer(docs, tok, n_merges=N_MERGES)
+    merges, _ = tk.read_bpe_tokenizer(spark, tok)
+    rules = [
+        (r.pair_left, r.pair_right) for r in merges.orderBy("round").collect()
+    ]
+    a = tk.bpe_apply_stats_stateless(docs, rules)
+    b = tk.bpe_apply_stats(docs, merges)
+    assert _stats_set(a) == _stats_set(b)
+
+
+def test_bpe_encode_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming encode over a file bus == batch encode over the same
+    files (stateless map: no watermark, append mode)."""
+    from planet_dump_ng_spark.streaming import jobs
+
+    docs = table(spark, sf_dir, "documents")
+    tok = str(tmp_path / "tok")
+    tk.write_bpe_tokenizer(docs, tok, n_merges=N_MERGES)
+
+    bus = str(tmp_path / "bus")
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+    docs.filter(F.col("doc_id") % 2 == 0).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(bus)
+    docs.filter(F.col("doc_id") % 2 == 1).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(bus)
+
+    stream = jobs.read_documents_stream(spark, bus, max_files_per_trigger=1)
+    out = jobs.bpe_encode_stream(stream, tok)
+    jobs.run_to_memory(out, "bpe_stream_tbl", output_mode="append")
+    got = spark.table("bpe_stream_tbl")
+
+    merges, _ = tk.read_bpe_tokenizer(spark, tok)
+    want = tk.bpe_apply_stats(spark.read.parquet(bus), merges)
+    assert _stats_set(got) == _stats_set(want)
+
+
 def test_curation_cli_trains_tokenizer(spark, sf_dir, tmp_path, capsys):
     """--train-tokenizer ships the dataset with a tokenizer trained on
     its train split — the artifact encodes and equals a direct train on
