@@ -670,14 +670,15 @@ def curate_increment(
         # match the dataset row-for-row, else rebuild from the dataset —
         # the redelivered batch can't repair it (its ids anti-join away).
         # fingerprints is the LAST table _write_dedup_artifact lands, so
-        # a crash mid-write can leave buckets without it — treat the
-        # absent table as count -1 so the same rebuild fires instead of
-        # an unreadable-parquet crash that no retry would ever clear.
-        n_fp = (
-            spark.read.parquet(f"{art}/fingerprints").count()
-            if os.path.exists(f"{art}/fingerprints")
-            else -1
-        )
+        # a crash mid-write can leave buckets without it — or with only
+        # the committer's _temporary/ debris (a kill mid-job), which
+        # exists on disk but has no readable parquet.  Treat BOTH as
+        # count -1 so the same rebuild fires instead of an
+        # unreadable-parquet crash that no retry would ever clear.
+        try:
+            n_fp = spark.read.parquet(f"{art}/fingerprints").count()
+        except Exception:
+            n_fp = -1
         if n_fp != corpus.count():
             # rebuild preserves the recorded curation parameters — the
             # repair must not erase the fractions/leakage_free record

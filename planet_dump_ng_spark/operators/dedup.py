@@ -324,6 +324,13 @@ def minhash_lsh_candidates(
         # eager=False keeps the operator lazy (the checkpoint runs
         # inside the consumer's first action, no extra up-front job —
         # measured 2.0 s vs eager's 2.3 s on the sf0.1 self-join).
+        # Known trade: checkpoint truncates lineage, so losing an
+        # executor that holds blocks fails the JOB instead of silently
+        # recomputing (persist would recompute — and leak).  Every
+        # consumer retries idempotently: curate_increment re-runs
+        # cleanly, foreachBatch redelivers the micro-batch, and a
+        # re-invoked query rebuilds from the scan — so the failure is
+        # a retry, not corruption.
         .localCheckpoint(eager=False)
     )
     if mode == "star":

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from planet_dump_ng_spark.operators.text import bpe_learn_merges, tokens
+from planet_dump_ng_spark.operators.text import tokens
 
 _FORMAT = "bpe-tokenizer-v1"
 #: recorded in meta.json so an artifact trained against a DIFFERENT
@@ -41,11 +41,13 @@ _FORMAT = "bpe-tokenizer-v1"
 _PRETOKENIZER = "whitespace-v1"
 
 
-def _fold_word(word: str, rules: list[tuple[str, str]]) -> int:
-    """Symbol count after replaying every merge rule in round order —
-    the exact Python twin of text.py's ``_BPE_MERGE_EXPR`` aggregate
-    (left-to-right, non-overlapping, a freshly merged symbol can seed
-    the next step's left side within the same round)."""
+def _fold_symbols(word: str, rules: list[tuple[str, str]]) -> list[str]:
+    """The word's symbol sequence after replaying every merge rule in
+    round order — the ONE Python twin of text.py's ``_BPE_MERGE_EXPR``
+    aggregate (left-to-right, non-overlapping, a freshly merged symbol
+    can seed the next step's left side within the same round).  Every
+    serving path folds through here so the subtle fold semantics can
+    never desync between count and symbol consumers."""
     syms = list(word)
     for a, b in rules:
         acc: list[str] = []
@@ -55,13 +57,25 @@ def _fold_word(word: str, rules: list[tuple[str, str]]) -> int:
             else:
                 acc.append(x)
         syms = acc
-    return len(syms)
+    return syms
+
+
+def _fold_word(word: str, rules: list[tuple[str, str]]) -> int:
+    return len(_fold_symbols(word, rules))
+
+
+def _collect_rules(merges: DataFrame) -> list[tuple[str, str]]:
+    """The frozen rule list in round order — driver-side but bounded
+    (one (left, right) pair per learned merge, the artifact's whole
+    reason to exist)."""
+    return [
+        (r.pair_left, r.pair_right)
+        for r in merges.orderBy("round").collect()
+    ]
 
 
 def bpe_symbol_count(rules: list[tuple[str, str]]) -> Column:
-    """Column factory: ``f(word) -> n_symbols`` under the frozen rule
-    list.  ``rules`` is driver-side but bounded — one (left, right)
-    pair per learned merge, the artifact's whole reason to exist."""
+    """Column factory: ``f(word) -> n_symbols`` under the frozen rules."""
 
     @F.pandas_udf("bigint")
     def _n_sym(ws: pd.Series) -> pd.Series:
@@ -81,67 +95,50 @@ def write_bpe_tokenizer(
     symbol table with corpus-weighted counts — the thing an embedding
     layer is sized from), and ``meta.json`` LAST as the commit marker
     (read_bpe_tokenizer requires it, so a half-written artifact reads
-    as no artifact, never as a silently-shorter rule list).  Returns
-    the header dict."""
+    as no artifact, never as a silently-shorter rule list — which is
+    also why any PRE-EXISTING header is deleted first: a retrain that
+    crashes mid-write must not leave the old header validating the new
+    half-written tables).  Returns the header dict.
+
+    One training pass: the merge loop's final word-symbol table
+    (text._bpe_rounds) provides both the rule rows and the folded
+    symbol arrays, so the vocab build is a vocabulary-sized explode —
+    no second corpus scan, no re-fold."""
+    from functools import reduce
+
+    from planet_dump_ng_spark.operators.text import _bpe_rounds
+
     d = tokenizer_dir.rstrip("/")
-    merges = bpe_learn_merges(docs, text_col=text_col, n_merges=n_merges)
+    os.makedirs(d, exist_ok=True)
+    meta_path = f"{d}/meta.json"
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    cur, rule_dfs, caches = _bpe_rounds(docs, text_col, n_merges)
+    merges = reduce(lambda x, y: x.unionAll(y), rule_dfs)
     merges.orderBy("round").coalesce(1).write.mode("overwrite").parquet(
         f"{d}/merges"
     )
-    rules = [
-        (r.pair_left, r.pair_right)
-        for r in merges.orderBy("round").collect()
-    ]
-    merges.unpersist()
-    # final symbol vocabulary: re-fold the distinct-word table under the
-    # frozen rules (vocabulary-sized, one pass)
-    words = (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    syms = words.select(
-        F.explode(_bpe_symbols_col(rules)(F.col("w"))).alias("symbol"), "cnt"
-    )
+    # final symbol vocabulary straight off the training loop's word table
     (
-        syms.groupBy("symbol")
+        cur.select(F.explode("s").alias("symbol"), "cnt")
+        .groupBy("symbol")
         .agg(F.sum("cnt").cast("bigint").alias("n"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{d}/vocab")
     )
+    n_rules = merges.count()
+    for c in caches:
+        c.unpersist()
     meta = {
         "format": _FORMAT,
         "pretokenizer": _PRETOKENIZER,
         "n_merges": n_merges,
-        "n_rules": len(rules),
+        "n_rules": n_rules,
     }
-    with open(f"{d}/meta.json", "w", encoding="utf-8") as fh:
+    with open(meta_path, "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
     return meta
-
-
-def _bpe_symbols_col(rules: list[tuple[str, str]]):
-    """Column factory returning the full symbol array per word (the
-    vocab build and any downstream wanting actual subwords)."""
-
-    def _syms(word: str) -> list[str]:
-        syms = list(word)
-        for a, b in rules:
-            acc: list[str] = []
-            for x in syms:
-                if acc and acc[-1] == a and x == b:
-                    acc[-1] = acc[-1] + x
-                else:
-                    acc.append(x)
-            syms = acc
-        return syms
-
-    @F.pandas_udf("array<string>")
-    def _col(ws: pd.Series) -> pd.Series:
-        return ws.map(_syms)
-
-    return _col
 
 
 def read_bpe_tokenizer(
@@ -190,6 +187,11 @@ def bpe_apply_stats_stateless(
         memo: dict[str, int] = {}
 
         def per_doc(ws) -> int:
+            # NULL text reaches the UDF as None (the n_tokens>0 filter
+            # sits above this project and need not be pushed below it);
+            # a poison-pill row must not kill a streaming query
+            if ws is None:
+                return 0
             total = 0
             for w in ws:
                 n = memo.get(w)
@@ -229,10 +231,7 @@ def bpe_apply_stats(
     compression), the exact schema of text.bpe_encode_stats so
     served-equals-direct is a set compare.  The fold runs on the
     distinct-word table; documents pay one join."""
-    rules = [
-        (r.pair_left, r.pair_right)
-        for r in merges.orderBy("round").collect()
-    ]
+    rules = _collect_rules(merges)
     dtok = docs.select("doc_id", F.explode(tokens(text_col)).alias("w"))
     wn = (
         dtok.select("w")

@@ -1207,7 +1207,9 @@ def dedup_minhash_lsh_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collision bands b*s^r (16*s^4) — the datum that validates the "
     "1-(1-s^r)^b recall model before anyone trusts it to pick the "
     "geometry at 100 TB.  Floats cross engines as truncation-quantized "
-    "integers (verify-skill discipline); pow is IEEE double on both.",
+    "integers (verify-skill discipline); s^4 is explicit multiplication "
+    "on both engines — pow() is NOT correctly rounded and Java vs DuckDB "
+    "libm differ by 1 ulp, enough to cross a truncation boundary.",
     tags=("dedup", "eval"),
 )
 def lsh_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -993,13 +993,10 @@ def bpe_encode_stream(docs: DataFrame, tokenizer_dir: str) -> DataFrame:
     stream, which is the point (a training run must never straddle two
     tokenizers)."""
     from planet_dump_ng_spark.operators.tokenizer import (
+        _collect_rules,
         bpe_apply_stats_stateless,
         read_bpe_tokenizer,
     )
 
     merges, _ = read_bpe_tokenizer(docs.sparkSession, tokenizer_dir)
-    rules = [
-        (r.pair_left, r.pair_right)
-        for r in merges.orderBy("round").collect()
-    ]
-    return bpe_apply_stats_stateless(docs, rules)
+    return bpe_apply_stats_stateless(docs, _collect_rules(merges))

@@ -59,7 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input)
     stats = tk.bpe_apply_stats(docs, merges, text_col=args.text_col)
     if args.out:
+        # summarize from the written parquet, not the live plan — the
+        # encode job must run once, not once per action
         stats.write.mode("overwrite").parquet(args.out)
+        stats = spark.read.parquet(args.out)
     from pyspark.sql import functions as F
 
     row = stats.agg(

@@ -215,6 +215,26 @@ def test_half_written_artifact_recovers(spark, sf_dir, tmp_path):
     assert meta["fractions"] == {"train": 0.9, "test": 0.1}
 
 
+def test_temporary_only_fingerprints_recovers(spark, sf_dir, tmp_path):
+    """A kill mid-fingerprints-JOB leaves the directory holding only the
+    committer's _temporary/ debris — it exists but has no readable
+    parquet.  The repair must treat it like an absent table and rebuild,
+    not crash on every retry."""
+    import os
+    import shutil
+
+    base, batch = _base_batch(spark, sf_dir)
+    out = str(tmp_path / "tmpdir_ds")
+    curate(base, out)
+    art = _dedup_artifact_dir(out)
+    shutil.rmtree(f"{art}/fingerprints")
+    os.makedirs(f"{art}/fingerprints/_temporary/0")
+
+    curate_increment(batch, out)  # must repair, not raise
+    n = spark.read.parquet(out).count()
+    assert spark.read.parquet(f"{art}/fingerprints").count() == n
+
+
 def test_meta_written_before_tables(spark, sf_dir, tmp_path):
     """meta.json lands BEFORE either table so the fractions record sits
     inside the fingerprint commit marker: any artifact whose

@@ -95,6 +95,37 @@ def test_encode_new_corpus_and_vocab(spark, sf_dir, tmp_path):
     assert total == want_total
 
 
+def test_retrain_crash_never_leaves_stale_header(spark, sf_dir, tmp_path):
+    """Retraining into an existing artifact dir deletes the OLD header
+    before touching the tables: a crash mid-retrain must read as NO
+    artifact, never as the old header validating new half-written
+    tables (the silently-shorter-rule-list failure)."""
+    docs = table(spark, sf_dir, "documents").limit(50)
+    tok = str(tmp_path / "tok")
+    tk.write_bpe_tokenizer(docs, tok, n_merges=2)
+
+    bad = docs.withColumn(
+        "text", F.raise_error(F.lit("simulated retrain crash"))
+    )
+    with pytest.raises(Exception, match="simulated retrain crash"):
+        tk.write_bpe_tokenizer(bad, tok, n_merges=2)
+    with pytest.raises(ValueError, match="no meta.json"):
+        tk.read_bpe_tokenizer(spark, tok)
+
+
+def test_stateless_encode_survives_null_text(spark):
+    """A NULL-text row (legal in the documents schema) must be dropped,
+    not crash the Arrow fold — a poison-pill row on a stream bus would
+    otherwise kill the query on every restart."""
+    docs = spark.createDataFrame(
+        [(1, "hello hello world"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = tk.bpe_apply_stats_stateless(docs, [("l", "l")]).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert rows[0].n_symbols == 13  # 'hello'->4 syms x2 + 'world'->5
+
+
 def test_meta_is_the_commit_marker_and_validates(spark, sf_dir, tmp_path):
     import shutil
 
