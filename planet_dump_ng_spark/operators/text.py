@@ -492,8 +492,13 @@ def bpe_learn_merges(
     from functools import reduce
 
     _, rules, caches = _bpe_rounds(docs, text_col, n_merges)
-    out = reduce(lambda x, y: x.unionAll(y), rules).persist()
-    out.count()
+    # localCheckpoint, not persist: the rule plans read the round tables,
+    # so the output must materialize BEFORE those caches drop — but a
+    # persist here stranded one CacheManager entry per call (bench runs
+    # this twice per invocation); checkpointed blocks release on GC.
+    out = reduce(lambda x, y: x.unionAll(y), rules).localCheckpoint(
+        eager=True
+    )
     for c in caches:
         c.unpersist()
     return out
@@ -530,9 +535,11 @@ def bpe_encode_stats(
                 F.sum("n_sym").cast("double") / F.sum("n_chr").cast("double")
             ).alias("compression"),
         )
-        .persist()
+        # localCheckpoint, not persist — same no-stranded-cache rationale
+        # as bpe_learn_merges above (materialize before the round caches
+        # drop, release on GC)
+        .localCheckpoint(eager=True)
     )
-    out.count()
     for c in caches:
         c.unpersist()
     return out

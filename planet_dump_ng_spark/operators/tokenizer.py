@@ -141,6 +141,30 @@ def write_bpe_tokenizer(
     return meta
 
 
+def bpe_vocab(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """The final symbol vocabulary after ``n_merges`` training rounds —
+    (symbol, n) with corpus-weighted counts, exactly the ``vocab`` table
+    :func:`write_bpe_tokenizer` persists (the table an embedding layer
+    is sized from: |vocab| <= alphabet + n_merges entries, each count
+    the total symbol mass it would absorb).  One corpus scan for the
+    word count; the rounds and the explode are vocabulary-sized."""
+    from planet_dump_ng_spark.operators.text import _bpe_rounds
+
+    cur, _, caches = _bpe_rounds(docs, text_col, n_merges)
+    out = (
+        cur.select(F.explode("s").alias("symbol"), "cnt")
+        .groupBy("symbol")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        # materialize before the round caches drop; blocks release on GC
+        .localCheckpoint(eager=True)
+    )
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def read_bpe_tokenizer(
     spark: SparkSession, tokenizer_dir: str
 ) -> tuple[DataFrame, dict]:

@@ -877,6 +877,34 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc(table(spark, sf_dir, "documents"), n_merges=3)
 
 
+def _bpe_vocab_oracle(n_merges: int = 3) -> str:
+    body, final = _bpe_cte_chain(n_merges)
+    return f"""
+    {body}
+    SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM (SELECT unnest(s) AS symbol, cnt FROM {final})
+    GROUP BY symbol
+    """
+
+
+@register(
+    "bpe_vocab",
+    _bpe_vocab_oracle(),
+    doc="The trained tokenizer's final symbol vocabulary with corpus-"
+    "weighted counts (operators.tokenizer.bpe_vocab) — the exact table "
+    "the persisted tokenizer artifact ships and an embedding layer is "
+    "sized from: |vocab| <= alphabet + n_merges entries, each count the "
+    "symbol mass it absorbs.  Oracle replays the unrolled training "
+    "rounds (the bpe_learn_merges CTE chain) and explodes the final "
+    "word-symbol table.",
+    tags=("text", "iterative"),
+)
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators.tokenizer import bpe_vocab as vocab
+
+    return vocab(table(spark, sf_dir, "documents"), n_merges=3)
+
+
 @register(
     "corpus_health_report",
     f"""
