@@ -333,18 +333,32 @@ def binned_quantiles(
         F.count(x).alias("n"),
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
-    binned = df.select(x.alias("x")).crossJoin(F.broadcast(stats)).select(
-        F.when(F.col("hi") == F.col("lo"), F.lit(0))  # zero-width: one bin
-        .otherwise(
-            F.least(
-                F.floor((F.col("x") - F.col("lo")) / width).cast("int"),
-                F.lit(n_bins - 1),
+    # guard on the COMPUTED width, not hi == lo: a subnormal range
+    # (hi - lo down to 5e-324) underflows to width == 0.0 while
+    # hi != lo, and ANSI mode turns the bin division into a
+    # DIVIDE_BY_ZERO job failure (hypothesis-found).  Zero width puts
+    # everything in bin 0 — the error bound still holds (<= hi - lo
+    # <= one representable ulp).  NULL values are excluded up front:
+    # they are already absent from n (count ignores them), and
+    # least(NULL, n_bins-1) would otherwise silently dump them in the
+    # last bin.
+    binned = (
+        df.where(x.isNotNull())
+        .select(x.alias("x"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.when(width == F.lit(0.0), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("x") - F.col("lo")) / width).cast("int"),
+                    F.lit(n_bins - 1),
+                )
             )
+            .alias("bin"),
+            "lo",
+            "hi",
+            "n",
         )
-        .alias("bin"),
-        "lo",
-        "hi",
-        "n",
     )
     hist = binned.groupBy("bin", "lo", "hi", "n").agg(
         F.count(F.lit(1)).alias("c")

@@ -313,11 +313,12 @@ def _binned_quantile_oracle(n_bins: int = 256,
     return f"""
     WITH stats AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
                           COUNT(l_extendedprice) AS n FROM lineitem),
-    binned AS (SELECT CASE WHEN hi = lo THEN 0
+    binned AS (SELECT CASE WHEN (hi - lo) / {float(n_bins)!r} = 0 THEN 0
                     ELSE LEAST(CAST(FLOOR((l_extendedprice - lo)
                                        / ((hi - lo) / {float(n_bins)!r})) AS INT),
                                {n_bins - 1}) END AS bin, lo, hi, n
-               FROM lineitem, stats),
+               FROM lineitem, stats
+               WHERE l_extendedprice IS NOT NULL),
     hist AS (SELECT bin, lo, hi, n, COUNT(*) AS c
              FROM binned GROUP BY bin, lo, hi, n),
     cum AS (SELECT h.bin, h.lo, h.hi, h.n, h.c,

@@ -514,6 +514,14 @@ def histogram_stream(
     over the data — is the streaming part.
     """
     width = (hi - lo) / float(n_bins)
+    # driver-side bounds are caller-supplied: a degenerate/inverted range
+    # (incl. subnormal hi - lo underflowing to width 0.0) must fail HERE,
+    # not as a per-row ANSI DIVIDE_BY_ZERO that kills the running query
+    if width <= 0.0:
+        raise ValueError(
+            f"histogram bounds [{lo}, {hi}) with {n_bins} bins give "
+            "non-positive bin width"
+        )
     bin_col = F.when(F.col("value") >= hi, F.lit(n_bins - 1)).otherwise(
         F.least(
             F.greatest(
