@@ -81,6 +81,7 @@ def _write_dedup_artifact(
     dataset_dir: str,
     mode: str = "overwrite",
     extra_meta: dict | None = None,
+    max_bucket: int | None = None,
 ) -> None:
     """Persist the dataset's dedup probe tables beside it — the corpus
     fingerprint set (16-byte digests) and the LSH bucket table
@@ -108,7 +109,16 @@ def _write_dedup_artifact(
 
     ``extra_meta`` records curation-level parameters (split fractions,
     leakage_free) on a fresh write; appends never rewrite an existing
-    header, so the original curation's record survives increments."""
+    header, so the original curation's record survives increments.
+
+    ``max_bucket`` bakes the representative cap into the bucket table
+    at build time (operators.dedup.cap_lsh_buckets: the ``max_bucket``
+    smallest ids per (band, bh)), the once-at-build discipline
+    cap_lsh_buckets documents — probes then meet O(cap) rows per bucket
+    with NO per-probe re-rank.  On appends the cap applies within the
+    appended batch; the probe side re-caps the union (cheap: already
+    near-capped) so cross-append accumulation stays bounded, and
+    dedup_compact restores the exact global smallest-id invariant."""
     import json
     import os
 
@@ -120,9 +130,10 @@ def _write_dedup_artifact(
     if mode == "overwrite" or not os.path.exists(meta_path):
         with open(meta_path, "w", encoding="utf-8") as fh:
             json.dump({**_DEDUP_META, **(extra_meta or {})}, fh)
-    corpus_lsh_buckets(docs, **_DEDUP_LSH).write.mode(mode).parquet(
-        f"{d}/buckets"
-    )
+    bkt = corpus_lsh_buckets(docs, **_DEDUP_LSH)
+    if max_bucket is not None:
+        bkt = dd.cap_lsh_buckets(bkt, max_bucket)
+    bkt.write.mode(mode).parquet(f"{d}/buckets")
     docs.select(
         F.col("doc_id"), tx.fingerprint("text").alias("fp")
     ).write.mode(mode).parquet(f"{d}/fingerprints")
@@ -217,12 +228,20 @@ def dedup_compact(spark, dataset_dir: str) -> dict:
             if f.endswith(".parquet")
         )
 
+    cap = _read_dedup_meta(art).get("max_bucket")
     before = after = 0
     for t, cols in keys.items():
         src, tmp, old = f"{art}/{t}", f"{art}/{t}.compact", f"{art}/{t}.old"
         before += _nfiles(src)
+        tbl = spark.read.parquet(src)
+        # a recorded max_bucket means the artifact's invariant is "the
+        # cap SMALLEST ids per bucket"; per-increment appends cap only
+        # within their batch, so compaction is where the exact global
+        # invariant is restored (content otherwise untouched)
+        if t == "buckets" and cap is not None:
+            tbl = dd.cap_lsh_buckets(tbl, cap)
         (
-            spark.read.parquet(src)
+            tbl
             .repartitionByRange(n, *[F.col(c) for c in cols])
             .sortWithinPartitions(*cols)
             .write.mode("overwrite")
@@ -257,7 +276,8 @@ def curate(
     quality_temper: tuple[float, float, float, float] | None = None,
     token_budget: int | None = None,
     write_dedup_artifact: bool = True,
-    lsh_mode: str = "pairs",
+    lsh_mode: str = "star",
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -269,17 +289,34 @@ def curate(
     that will never take increments.
 
     ``lsh_mode`` selects the near-dedup candidate emission
-    (operators.dedup.minhash_lsh_candidates): ``"pairs"`` (default,
-    exhaustive — every bucket-sharing pair is Jaccard-verified) or
-    ``"star"`` (each bucket emits members paired with its minimum id —
-    O(B) per bucket instead of O(B^2), the shape a crawl-scale corpus
-    with viral-boilerplate clusters REQUIRES).  Star mode verifies only
-    star edges, so a transitive chain A~B~C where the bucket minimum A
-    misses the threshold against C keeps C — at dedup thresholds (0.8)
+    (operators.dedup.minhash_lsh_candidates): ``"star"`` (DEFAULT —
+    each bucket emits members paired with its minimum id, O(B) per
+    bucket instead of O(B^2); the shape a crawl-scale corpus with
+    viral-boilerplate clusters REQUIRES, and curation's survivor rule
+    is a pure connectivity consumer so the min-id election is
+    unchanged) or ``"pairs"`` (exhaustive opt-in — every bucket-sharing
+    pair is Jaccard-verified; bounded corpora only: one 10^6-doc
+    boilerplate bucket emits ~5*10^11 candidate rows).  The recall
+    trade of star mode: only star edges reach the verifier, so a
+    transitive chain A~B~C where the bucket minimum A misses the
+    threshold against C keeps C.  At the dedup threshold (0.8)
     in-bucket docs are mutually near-identical and the survivor sets
-    agree; the mode also governs the leakage-free component pass, where
-    star edges change nothing at all if verification passes (connected
-    components of the candidate graph are provably identical).
+    agree in practice — but the SAME mode governs the leakage-free
+    component pass, which verifies at ``split_jaccard`` (0.3), where
+    in-bucket docs are NOT mutually near-identical: a pair B~C whose
+    bucket-minimum edges fail verification is never linked, so under
+    star mode two near-dup docs can land in different splits.  A
+    dataset whose leakage guarantee must be exhaustive should pass
+    ``lsh_mode="pairs"`` (and accept the quadratic candidate mass, or
+    bound it with ``max_bucket``).
+
+    ``max_bucket`` (optional) bounds LSH bucket width: in pairs mode,
+    buckets larger than this are dropped before the self-join (docs
+    still pair through their other bands); it is also BAKED into the
+    persisted ``_dedup`` bucket artifact (cap_lsh_buckets smallest-id
+    representatives) and recorded in its meta header, so every later
+    increment probes O(cap) representatives per bucket and inherits
+    the cap.  Ignored by star-mode candidate emission (already linear).
     """
     if lsh_mode not in ("pairs", "star"):
         raise ValueError(f"lsh_mode must be 'pairs' or 'star', got {lsh_mode!r}")
@@ -330,10 +367,10 @@ def curate(
     # larger doc id of every verified pair drops (min-id survivor rule,
     # consistent with exact dedup)
     cands = dd.minhash_lsh_candidates(
-        docs, num_hashes=64, bands=16, k=3, mode=lsh_mode
+        docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket
     )
     pairs = dd.ngram_jaccard_pairs(
-        docs, k=3, threshold=jaccard_threshold, candidates=cands
+        docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold, candidates=cands
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     docs = checkpoint("near_dedup", docs.join(losers, "doc_id", "left_anti"))
@@ -371,7 +408,7 @@ def curate(
     # eval item (asymmetric containment, eval side broadcast)
     if bench is not None:
         dirty = dd.containment_pairs(
-            docs, bench, k=3, threshold=containment_threshold
+            docs, bench, k=_DEDUP_LSH["k"], threshold=containment_threshold
         ).select(F.col("train_id").alias("doc_id")).distinct()
         docs = checkpoint("decontaminated", docs.join(dirty, "doc_id", "left_anti"))
 
@@ -477,10 +514,10 @@ def curate(
         from planet_dump_ng_spark.operators.graph import connected_components
 
         cands2 = dd.minhash_lsh_candidates(
-            docs, num_hashes=64, bands=16, k=3, mode=lsh_mode
+            docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket
         )
         pairs2 = dd.ngram_jaccard_pairs(
-            docs, k=3, threshold=split_jaccard, candidates=cands2
+            docs, k=_DEDUP_LSH["k"], threshold=split_jaccard, candidates=cands2
         )
         comp = connected_components(
             docs.select(F.col("doc_id").alias("id")),
@@ -515,15 +552,16 @@ def curate(
     # boundaries (and leakage discipline), so curate_increment defaults
     # from — and validates against — this record.
     if write_dedup_artifact:
+        extra_meta = {
+            "fractions": fractions
+            or {"train": 0.8, "val": 0.1, "test": 0.1},
+            "leakage_free": leakage_free,
+            "lsh_mode": lsh_mode,
+        }
+        if max_bucket is not None:
+            extra_meta["max_bucket"] = max_bucket
         _write_dedup_artifact(
-            docs,
-            out_dir,
-            extra_meta={
-                "fractions": fractions
-                or {"train": 0.8, "val": 0.1, "test": 0.1},
-                "leakage_free": leakage_free,
-                "lsh_mode": lsh_mode,
-            },
+            docs, out_dir, extra_meta=extra_meta, max_bucket=max_bucket
         )
     if prev is not None:  # the dataset is on disk; release the last cache
         prev.unpersist()
@@ -543,6 +581,7 @@ def curate_increment(
     leakage_free: bool | None = None,
     split_jaccard: float = 0.3,
     lsh_mode: str | None = None,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Incremental curation: run a NEW batch through the curation gates
     AGAINST the standing curated dataset and append the survivors — the
@@ -562,18 +601,24 @@ def curate_increment(
     split-consistent with a from-scratch curation; the append lands via
     ``materialize_splits(mode="append")``.
 
-    ``fractions``, ``leakage_free`` and ``lsh_mode`` DEFAULT from the
-    dedup artifact's recorded curation parameters (written by
-    :func:`curate`) — the xxhash split gate is content-stable only if
-    the fraction boundaries match the original run's, so passing
-    nothing inherits the right ones, and passing fractions or a
-    leakage policy that CONTRADICT the record raises instead of
-    silently mis-splitting appended docs.  ``lsh_mode`` governs the
-    WITHIN-BATCH self-dedup candidates (the batch-vs-corpus side is
-    the asymmetric join, already linear in the batch): a dataset
-    curated with star emission takes its increments the same way, so a
-    boilerplate-heavy batch can't reintroduce the B^2 cost the
-    original run avoided.
+    ``fractions``, ``leakage_free``, ``lsh_mode`` and ``max_bucket``
+    DEFAULT from the dedup artifact's recorded curation parameters
+    (written by :func:`curate`) — the xxhash split gate is
+    content-stable only if the fraction boundaries match the original
+    run's, so passing nothing inherits the right ones, and passing a
+    value that CONTRADICTS the record raises instead of silently
+    mis-splitting appended docs (or silently de-syncing the header
+    from how increments were actually deduped — appends never rewrite
+    meta.json, so an accepted contradiction would falsify the record).
+    ``lsh_mode`` governs the WITHIN-BATCH self-dedup candidates (the
+    batch-vs-corpus side is the asymmetric join, already linear in the
+    batch): a dataset curated with star emission takes its increments
+    the same way, so a boilerplate-heavy batch can't reintroduce the
+    B^2 cost the original run avoided.  A recorded ``max_bucket``
+    means the persisted bucket artifact is CAPPED (smallest-id
+    representatives); increments append their batch buckets capped the
+    same way and probe with the cap re-applied, so a hot boilerplate
+    bucket hands each batch doc O(cap) candidates forever.
 
     Returns (increment manifest, attrition report) — the report carries
     the same per-stage (docs, tokens) audit as :func:`curate`.
@@ -617,8 +662,31 @@ def curate_increment(
         )
     if lsh_mode is None:
         lsh_mode = recorded.get("lsh_mode", "pairs")
+    elif (
+        recorded.get("lsh_mode") is not None
+        and recorded["lsh_mode"] != lsh_mode
+    ):
+        raise ValueError(
+            f"lsh_mode={lsh_mode!r} contradicts the dataset's recorded "
+            f"lsh_mode={recorded['lsh_mode']!r} — appends never rewrite "
+            "meta.json, so accepting this would leave the header "
+            "misdescribing how increments were actually self-deduped; "
+            "omit the flag to inherit the recorded mode"
+        )
     if lsh_mode not in ("pairs", "star"):
         raise ValueError(f"lsh_mode must be 'pairs' or 'star', got {lsh_mode!r}")
+    if max_bucket is None:
+        max_bucket = recorded.get("max_bucket")
+    elif (
+        recorded.get("max_bucket") is not None
+        and recorded["max_bucket"] != max_bucket
+    ):
+        raise ValueError(
+            f"max_bucket={max_bucket} contradicts the dataset's recorded "
+            f"max_bucket={recorded['max_bucket']} — the persisted bucket "
+            "artifact was capped at build time with the recorded value; "
+            "omit the argument to inherit it"
+        )
 
     def _counts(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -675,9 +743,15 @@ def curate_increment(
         # exists on disk but has no readable parquet.  Treat BOTH as
         # count -1 so the same rebuild fires instead of an
         # unreadable-parquet crash that no retry would ever clear.
+        # AnalysisException ONLY: path-missing and no-readable-parquet
+        # both surface as it; a transient IO/permission error must
+        # propagate, not masquerade as staleness and trigger a
+        # corpus-sized rebuild that buries the real fault.
+        from pyspark.errors import AnalysisException
+
         try:
             n_fp = spark.read.parquet(f"{art}/fingerprints").count()
-        except Exception:
+        except AnalysisException:
             n_fp = -1
         if n_fp != corpus.count():
             # rebuild preserves the recorded curation parameters — the
@@ -688,9 +762,12 @@ def curate_increment(
                 mode="overwrite",
                 extra_meta={
                     k: recorded[k]
-                    for k in ("fractions", "leakage_free", "lsh_mode")
+                    for k in (
+                        "fractions", "leakage_free", "lsh_mode", "max_bucket"
+                    )
                     if k in recorded
                 },
+                max_bucket=recorded.get("max_bucket"),
             )
     corp_fp = (
         spark.read.parquet(f"{art}/fingerprints").select(
@@ -713,8 +790,7 @@ def curate_increment(
     # proportional to the batch), and only corpus docs that actually
     # appear as candidates get shingled for the verify.
     self_cands = dd.minhash_lsh_candidates(
-        docs, num_hashes=_DEDUP_LSH["num_hashes"],
-        bands=_DEDUP_LSH["bands"], k=_DEDUP_LSH["k"], mode=lsh_mode,
+        docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket,
     )
     self_pairs = dd.ngram_jaccard_pairs(
         docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
@@ -726,6 +802,11 @@ def curate_increment(
         corpus_buckets=(
             spark.read.parquet(f"{art}/buckets") if have_art else None
         ),
+        # re-apply a recorded cap at probe time: appends cap within
+        # their batch, so the UNION of capped writes can exceed the cap
+        # per bucket between compactions — re-ranking near-capped
+        # buckets is cheap and restores the O(cap) probe bound
+        max_bucket=max_bucket,
     )
     corpus_needed = corpus.select("doc_id", "text").join(
         cross_cands.select(F.col("id_b").alias("doc_id")).distinct(),
@@ -750,7 +831,7 @@ def curate_increment(
     # 4. decontamination / scrub / quality gates — identical to curate()
     if bench is not None:
         dirty = dd.containment_pairs(
-            docs, bench, k=3, threshold=containment_threshold
+            docs, bench, k=_DEDUP_LSH["k"], threshold=containment_threshold
         ).select(F.col("train_id").alias("doc_id")).distinct()
         docs = checkpoint(
             "decontaminated", docs.join(dirty, "doc_id", "left_anti")
@@ -780,8 +861,7 @@ def curate_increment(
 
         k_sh = _DEDUP_LSH["k"]
         sc2 = dd.minhash_lsh_candidates(
-            docs, num_hashes=_DEDUP_LSH["num_hashes"],
-            bands=_DEDUP_LSH["bands"], k=k_sh, mode=lsh_mode,
+            docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket,
         )
         sp2 = dd.ngram_jaccard_pairs(
             docs, k=k_sh, threshold=split_jaccard, candidates=sc2
@@ -795,6 +875,7 @@ def curate_increment(
             corpus_buckets=(
                 spark.read.parquet(f"{art}/buckets") if have_art else None
             ),
+            max_bucket=max_bucket,
         )
         corpus_needed2 = corpus.select("doc_id", "text").join(
             cc2.select(F.col("id_b").alias("doc_id")).distinct(),
@@ -878,14 +959,23 @@ def curate_increment(
         extra["fractions"] = fractions
     if _lf_known:
         extra["leakage_free"] = leakage_free
+    if max_bucket is not None:
+        extra["max_bucket"] = max_bucket
     if have_art:
-        _write_dedup_artifact(docs, dataset_dir, mode="append", extra_meta=extra)
+        # bake only a RECORDED cap into the appended buckets — an
+        # explicit probe-only cap on a capless dataset must not leave
+        # the artifact partially capped against its own header
+        _write_dedup_artifact(
+            docs, dataset_dir, mode="append",
+            extra_meta=extra, max_bucket=recorded.get("max_bucket"),
+        )
     else:
         _write_dedup_artifact(
             spark.read.parquet(dataset_dir),
             dataset_dir,
             mode="overwrite",
             extra_meta=extra,
+            max_bucket=max_bucket,
         )
     return manifest, report
 
@@ -1009,12 +1099,23 @@ def main(argv: list[str] | None = None) -> int:
         "--lsh-mode",
         choices=("pairs", "star"),
         default=None,
-        help="near-dedup candidate emission: 'pairs' verifies every "
-        "bucket-sharing pair (exhaustive, the fresh-curation default); "
-        "'star' pairs bucket members with the bucket-minimum id — O(B) "
-        "per bucket instead of O(B^2), required for crawl-scale "
-        "corpora with viral-boilerplate clusters.  With --increment, "
-        "omitted = inherit the dataset's recorded mode",
+        help="near-dedup candidate emission: 'star' (the fresh-curation "
+        "default) pairs bucket members with the bucket-minimum id — "
+        "O(B) per bucket instead of O(B^2), the mode crawl-scale "
+        "corpora with viral-boilerplate clusters require; 'pairs' "
+        "verifies every bucket-sharing pair (exhaustive opt-in — use "
+        "when the leakage-free split guard must be exhaustive at low "
+        "similarity, and bound it with --max-bucket).  With "
+        "--increment, omitted = inherit the dataset's recorded mode",
+    )
+    p.add_argument(
+        "--max-bucket",
+        type=int,
+        default=None,
+        help="LSH bucket cap: drop (pairs mode) or representative-cap "
+        "buckets wider than this; baked into the dataset's _dedup "
+        "bucket artifact and inherited by increments (contradicting a "
+        "recorded cap raises).  Off when omitted",
     )
     p.add_argument(
         "--compact-dedup",
@@ -1098,6 +1199,7 @@ def main(argv: list[str] | None = None) -> int:
             leakage_free=True if args.leakage_free_split else None,
             split_jaccard=args.split_jaccard,
             lsh_mode=args.lsh_mode,
+            max_bucket=args.max_bucket,
         )
         toks = dict(report.tokens)
         for stage, n in report.stages:
@@ -1128,7 +1230,8 @@ def main(argv: list[str] | None = None) -> int:
             float(x) for x in args.quality_temper.split(",")
         ) if args.quality_temper else None,
         token_budget=args.token_budget,
-        lsh_mode=args.lsh_mode or "pairs",
+        lsh_mode=args.lsh_mode or "star",
+        max_bucket=args.max_bucket,
     )
     if args.export_jsonl:
         (

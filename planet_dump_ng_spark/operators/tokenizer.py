@@ -108,6 +108,10 @@ def write_bpe_tokenizer(
 
     from planet_dump_ng_spark.operators.text import _bpe_rounds
 
+    if n_merges < 1:
+        # a 0-rule "tokenizer" would also die later in reduce() with an
+        # opaque TypeError — refuse up front, at the CLI-reachable edge
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     d = tokenizer_dir.rstrip("/")
     os.makedirs(d, exist_ok=True)
     meta_path = f"{d}/meta.json"
@@ -152,6 +156,8 @@ def bpe_vocab(
     word count; the rounds and the explode are vocabulary-sized."""
     from planet_dump_ng_spark.operators.text import _bpe_rounds
 
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     cur, _, caches = _bpe_rounds(docs, text_col, n_merges)
     out = (
         cur.select(F.explode("s").alias("symbol"), "cnt")

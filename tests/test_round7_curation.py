@@ -1,0 +1,212 @@
+"""Round-7 curation hardening: star emission is the curation DEFAULT
+(the O(B) mega-bucket containment runs without opt-in), the LSH probe
+geometry is single-sourced from _DEDUP_LSH, and the ingest bucket cap
+(max_bucket) is a recorded artifact parameter with the same
+inherit-or-refuse discipline as fractions/leakage_free/lsh_mode."""
+
+import inspect
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.llm_pipeline import (
+    _DEDUP_LSH,
+    _dedup_artifact_dir,
+    curate,
+    curate_increment,
+    dedup_compact,
+)
+from planet_dump_ng_spark.operators import dedup as dd
+from planet_dump_ng_spark.plans.registry import table
+
+
+def _mega_cluster_docs(spark, n_cluster=120, n_unique=20):
+    """A viral-boilerplate corpus: one cluster of n_cluster NEAR-copies
+    (same boilerplate body, one distinct trailing token each — exact
+    dedup must NOT collapse them, so the LSH stage meets the full
+    mega-bucket) plus n_unique unrelated docs."""
+    body = (
+        "breaking news syndicated boilerplate weather report for the "
+        "region today sunny with a chance of showers and mild winds "
+        "throughout the afternoon commute expect delays on the harbor "
+        "bridge while crews finish resurfacing work near the northern "
+        "interchange officials advise travelers to plan extra time and "
+        "check the transit agency schedule before leaving home tonight"
+    )
+    rows = [
+        (i, body + f" city{i}", "crawl") for i in range(n_cluster)
+    ] + [
+        (
+            1000 + j,
+            f"document {j} carries its own entirely distinct subject "
+            f"matter about topic {j} with vocabulary {j * 7} nothing "
+            f"shared beyond common words number {j * 13} end",
+            "curated",
+        )
+        for j in range(n_unique)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_curate_defaults_to_star_mode():
+    """The scale-safe emission is the default, pairs is the opt-in."""
+    assert inspect.signature(curate).parameters["lsh_mode"].default == "star"
+
+
+def test_default_emission_is_linear_on_mega_bucket(spark):
+    """Candidate mass under curate()'s DEFAULT mode on a boilerplate
+    mega-cluster is O(B) (star: bucket-min edges, <= bands * B and >=
+    B-1 for a fully-colliding cluster), while the pairs control on the
+    same corpus is quadratic — the round-5/6 scale-killer, now closed
+    by default."""
+    n_cluster = 120
+    docs = _mega_cluster_docs(spark, n_cluster=n_cluster)
+    default_mode = inspect.signature(curate).parameters["lsh_mode"].default
+    star = dd.minhash_lsh_candidates(
+        docs, **_DEDUP_LSH, mode=default_mode
+    ).count()
+    pairs = dd.minhash_lsh_candidates(docs, **_DEDUP_LSH, mode="pairs").count()
+    linear_bound = _DEDUP_LSH["bands"] * (n_cluster + 20)
+    assert star <= linear_bound, f"default emission not linear: {star}"
+    assert star >= n_cluster - 1  # the cluster is fully connected
+    assert pairs >= n_cluster * (n_cluster - 1) // 2  # quadratic control
+
+
+def test_default_curation_meta_records_star(spark, tmp_path):
+    docs = _mega_cluster_docs(spark)
+    out = str(tmp_path / "star_ds")
+    curate(docs, out, min_tokens=5)
+    meta = json.load(open(f"{_dedup_artifact_dir(out)}/meta.json"))
+    assert meta["lsh_mode"] == "star"
+    # one survivor for the whole near-dup cluster (min-id election is a
+    # connectivity consumer — star loses nothing)
+    surv = spark.read.parquet(out).filter(F.col("doc_id") < 1000)
+    assert [r.doc_id for r in surv.collect()] == [0]
+
+
+def test_increment_lsh_mode_contradiction_raises(spark, sf_dir, tmp_path):
+    """An explicit lsh_mode contradicting the recorded one must refuse:
+    appends never rewrite meta.json, so accepting it would falsify the
+    dataset's own dedup record."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = str(tmp_path / "modefail_ds")
+    curate(base, out)  # records lsh_mode="star"
+    with pytest.raises(ValueError, match="lsh_mode"):
+        curate_increment(batch, out, lsh_mode="pairs")
+    # inheriting (None) and restating the recorded mode both pass
+    curate_increment(batch, out, lsh_mode="star")
+
+
+def test_max_bucket_meta_roundtrip_and_baked_cap(spark, tmp_path):
+    """curate(max_bucket=N) records the cap in meta.json AND bakes it
+    into the persisted bucket table (cap_lsh_buckets smallest-id
+    representatives): no (band, bh) bucket holds more than N rows."""
+    docs = _mega_cluster_docs(spark)
+    out = str(tmp_path / "cap_ds")
+    curate(docs, out, min_tokens=5, max_bucket=4)
+    art = _dedup_artifact_dir(out)
+    meta = json.load(open(f"{art}/meta.json"))
+    assert meta["max_bucket"] == 4
+    widths = (
+        spark.read.parquet(f"{art}/buckets")
+        .groupBy("band", "bh")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert widths <= 4
+
+
+def test_capped_increment_matches_capped_join_semantics(spark, sf_dir, tmp_path):
+    """A dataset curated with max_bucket=N hands increments exactly the
+    dedup_incremental_lsh_capped candidate shape: probing the baked
+    artifact equals minhash_lsh_join(batch, corpus, max_bucket=N) over
+    the full derived bucket table (write-time cap + probe-time re-cap
+    compose to the same smallest-N representative election)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = str(tmp_path / "capjoin_ds")
+    # disable filters that would drop docs so corpus == base survivors
+    # of dedup only; keep it simple: curate with permissive gates
+    curate(base, out, min_tokens=1, max_stopword_ratio=1.0, max_bucket=4)
+    corpus = spark.read.parquet(out)
+    art = _dedup_artifact_dir(out)
+    via_artifact = dd.minhash_lsh_join(
+        batch, corpus, **_DEDUP_LSH,
+        corpus_buckets=spark.read.parquet(f"{art}/buckets"),
+        max_bucket=4,
+    )
+    direct = dd.minhash_lsh_join(batch, corpus, **_DEDUP_LSH, max_bucket=4)
+    got = {(r.id_a, r.id_b) for r in via_artifact.collect()}
+    want = {(r.id_a, r.id_b) for r in direct.collect()}
+    assert got == want
+
+
+def test_increment_inherits_and_validates_max_bucket(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = str(tmp_path / "capinherit_ds")
+    curate(base, out, max_bucket=4)
+    with pytest.raises(ValueError, match="max_bucket"):
+        curate_increment(batch, out, max_bucket=8)
+    # inherit: runs clean and the appended buckets respect the cap
+    # within the appended batch
+    curate_increment(batch, out)
+    art = _dedup_artifact_dir(out)
+    meta = json.load(open(f"{art}/meta.json"))
+    assert meta["max_bucket"] == 4
+
+
+def test_compact_restores_global_cap(spark, sf_dir, tmp_path):
+    """Per-increment appends cap within their batch, so the stored
+    union can exceed the cap between compactions; dedup_compact
+    re-elects the global smallest-N representatives."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = str(tmp_path / "capcompact_ds")
+    curate(base, out, max_bucket=2)
+    curate_increment(batch, out)
+    art = _dedup_artifact_dir(out)
+    dedup_compact(spark, out)
+    after = spark.read.parquet(f"{art}/buckets")
+    widths = after.groupBy("band", "bh").count().agg(F.max("count")).first()[0]
+    assert widths <= 2
+    # and the surviving rows are exactly the global smallest-id election
+    # over what was stored pre-compact (cap is idempotent on the result)
+    recap = dd.cap_lsh_buckets(after, 2)
+    assert recap.count() == after.count()
+
+
+def test_lsh_geometry_single_sourced():
+    """_DEDUP_LSH is the ONE definition of the curation probe geometry:
+    no hardcoded num_hashes/bands literals survive outside it (an edit
+    to _DEDUP_LSH must never silently desync curate() from the artifact
+    record curate_increment validates against)."""
+    import planet_dump_ng_spark.llm_pipeline as lp
+
+    src = open(inspect.getsourcefile(lp), encoding="utf-8").read()
+    assert src.count("num_hashes") == src.count("_DEDUP_LSH = {") == 1
+    assert "bands=16" not in src and "num_hashes=64" not in src
+
+
+def test_bpe_n_merges_zero_is_loud(spark):
+    from planet_dump_ng_spark.operators.tokenizer import (
+        bpe_vocab,
+        write_bpe_tokenizer,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="n_merges"):
+        write_bpe_tokenizer(docs, "/tmp/never-written-tokenizer", n_merges=0)
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_vocab(docs, n_merges=0)
+    assert not os.path.exists("/tmp/never-written-tokenizer/meta.json")
