@@ -22,23 +22,34 @@ plans.load_all()
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def _driver_green() -> set[str]:
-    """Query names with a green row in any prior CORRECTNESS_r*.json.
+def _driver_green() -> dict[str, int]:
+    """Latest green round per query from the prior CORRECTNESS_r*.json.
 
     The driver checks only the first 50 entries of ``queries()`` per round,
     so ordering is coverage policy: queries that have never produced a green
     driver row go first, letting coverage accumulate across rounds instead
     of re-checking the same prefix.  A red/errored row does NOT count as
-    checked — it rotates back to the front until it passes.
+    checked — it rotates back to the front until it passes.  For GREEN
+    queries the value is the round of their most recent green row, so the
+    ordering can re-verify by staleness: once everything is green, a fixed
+    order would re-check the same 50 forever while the other 160 rot
+    unverified.
     """
     import glob
     import json
+    import re
 
-    # LATEST verdict per query wins (files sort r1 < r2 < ...): a query
-    # that was green in an old round but regressed red since must rotate
-    # back into the checked prefix, so an any-round union is wrong.
+    # LATEST verdict per query wins (rounds ascend): a query that was
+    # green in an old round but regressed red since must rotate back
+    # into the checked prefix, so an any-round union is wrong.
+    paths = []
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            paths.append((int(m.group(1)), path))
     verdict: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+    last_green: dict[str, int] = {}
+    for rnd, path in sorted(paths):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -51,21 +62,32 @@ def _driver_green() -> set[str]:
                 continue
             # Full-oracle rows need the value hash; rows-only rows (no
             # hash computed) count on the row-count match alone.
-            verdict[name] = not row.get("err") and (
+            ok = not row.get("err") and (
                 row.get("hash_match") is True
                 or (
                     row.get("hash_match") is None
                     and row.get("rows_match") is True
                 )
             )
-    return {name for name, ok in verdict.items() if ok}
+            verdict[name] = ok
+            if ok:
+                last_green[name] = rnd
+    return {n: last_green[n] for n, ok in verdict.items() if ok}
 
 
 def _ordered_names() -> list[str]:
-    """Registry names, never-driver-green first (stable within each group)."""
+    """Registry names, never-driver-green first, then green queries
+    STALEST-VERIFIED first (oldest latest-green round; registry order
+    breaks ties) — so the driver's 50-query prefix sweeps the whole
+    registry across rounds instead of re-checking one fixed slice."""
     green = _driver_green()
     names = list(plans.QUERIES)
-    return [n for n in names if n not in green] + [n for n in names if n in green]
+    pos = {n: i for i, n in enumerate(names)}
+    never = [n for n in names if n not in green]
+    checked = sorted(
+        (n for n in names if n in green), key=lambda n: (green[n], pos[n])
+    )
+    return never + checked
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -66,4 +66,34 @@ def test_driver_green_requires_clean_row(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
     monkeypatch.setattr(entry_mod, "_REPO_DIR", str(tmp_path))
     green = entry_mod._driver_green()
-    assert green == {"good_hash", "rows_only"}
+    assert green == {"good_hash": 99, "rows_only": 99}
+
+
+def test_rotation_orders_green_by_staleness(tmp_path, monkeypatch):
+    """With everything green, the prefix must sweep by staleness: the
+    query whose latest green row is OLDEST re-checks first — a fixed
+    registry order would re-verify the same 50 forever and leave the
+    rest of the registry permanently unre-checked."""
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": None}
+    r = {"rows_match": True, "schema_match": True, "hash_match": False,
+         "err": None}
+    # r1: a, b, c green;  r2: b re-verified green, c regressed red
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": g, "b": g, "c": g})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"b": g, "c": r})
+    )
+    monkeypatch.setattr(entry_mod, "_REPO_DIR", str(tmp_path))
+    green = entry_mod._driver_green()
+    assert green == {"a": 1, "b": 2}  # c regressed -> not green at all
+    fake = {"b": None, "a": None, "c": None, "d": None}
+    monkeypatch.setattr(entry_mod.plans, "QUERIES", fake)
+    # never-green (c: regressed, d: never checked) first in registry
+    # order, then green by oldest-latest-green (a@r1 before b@r2)
+    assert entry_mod._ordered_names() == ["c", "d", "a", "b"]
