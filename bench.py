@@ -135,11 +135,16 @@ def increment_bench(
     spark, sf_dir: str, work: str = "/tmp/pdng-incr-bench"
 ) -> dict:
     """Time incremental curation: build the standing dataset from 75% of
-    the corpus once (not timed), then time curating the remaining 25%
-    batch INTO it (llm_pipeline.curate_increment).  The datum that makes
-    the continuous-ingest claim checkable: per-batch cost should sit
+    the corpus once per run (not timed), then time curating the remaining
+    25% batch INTO it (llm_pipeline.curate_increment).  The datum that
+    makes the continuous-ingest claim checkable: per-batch cost should sit
     well under the full re-curation the increment path exists to avoid.
-    Returns {"total": sec, "batch_rows": N, "appended": N}."""
+    Best-of-2 like the other end-to-end sections (the section is one
+    seconds-scale run; JVM tiering and host noise swing singles 30%+),
+    with the winning run's per-phase wall seconds (report.phase_s) so a
+    regression names the phase, not just the total.
+    Returns {"total": sec, "runs": [...], "phases": {...},
+    "batch_rows": N, "appended": N}."""
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if not os.path.exists(docs_path):
         return {}
@@ -147,24 +152,31 @@ def increment_bench(
 
     from planet_dump_ng_spark.llm_pipeline import curate, curate_increment
 
-    shutil.rmtree(work, ignore_errors=True)
-    shutil.rmtree(work + "_dedup", ignore_errors=True)
     docs = spark.read.parquet(docs_path)
     base = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
-    curate(base, work)
-    t0 = time.perf_counter()
-    manifest, report = curate_increment(batch, work)
-    total = round(time.perf_counter() - t0, 2)
-    appended = sum(r.n_rows for r in manifest.collect())
-    out = {
-        "total": total,
-        "batch_rows": dict(report.stages).get("raw", 0),
-        "appended": appended,
-    }
+    runs: list[dict] = []
+    for _ in range(2):
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work + "_dedup", ignore_errors=True)
+        curate(base, work)
+        t0 = time.perf_counter()
+        manifest, report = curate_increment(batch, work)
+        total = round(time.perf_counter() - t0, 2)
+        appended = sum(r.n_rows for r in manifest.collect())
+        runs.append(
+            {
+                "total": total,
+                "phases": dict(report.phase_s),
+                "batch_rows": dict(report.stages).get("raw", 0),
+                "appended": appended,
+            }
+        )
     shutil.rmtree(work, ignore_errors=True)
     shutil.rmtree(work + "_dedup", ignore_errors=True)
-    return out
+    best = min(runs, key=lambda r: r["total"])
+    best["runs"] = [r["total"] for r in runs]
+    return best
 
 
 def main() -> int:

@@ -48,10 +48,16 @@ class CurationReport:
     ``tokens`` carries the parallel per-stage TOKEN mass: doc counts
     alone under-report stages that rewrite text (span dedup excises
     boilerplate from surviving pages — the docs column barely moves
-    while the token column shows exactly what was cut)."""
+    while the token column shows exactly what was cut).
+
+    ``phase_s`` carries wall seconds per pipeline section when the
+    caller's path records them (curate_increment does) — the
+    attribution that turns "the increment got slower" into "the LSH
+    probe got slower"."""
 
     stages: list[tuple[str, int]] = field(default_factory=list)
     tokens: list[tuple[str, int]] = field(default_factory=list)
+    phase_s: dict[str, float] = field(default_factory=dict)
 
     def log(self, stage: str, n: int, n_tokens: int | None = None) -> None:
         self.stages.append((stage, n))
@@ -137,6 +143,12 @@ def _write_dedup_artifact(
     docs.select(
         F.col("doc_id"), tx.fingerprint("text").alias("fp")
     ).write.mode(mode).parquet(f"{d}/fingerprints")
+    # known-clean marker, written strictly after the commit-marker table:
+    # its presence lets the next increment skip the dataset-vs-artifact
+    # count check entirely (curate_increment deletes it before every
+    # dataset append, so any crash window falls back to the full check)
+    with open(f"{d}/_synced", "w", encoding="utf-8") as fh:
+        fh.write("{}")
 
 
 def _check_dedup_meta(art: str) -> None:
@@ -582,6 +594,7 @@ def curate_increment(
     split_jaccard: float = 0.3,
     lsh_mode: str | None = None,
     max_bucket: int | None = None,
+    audit_tokens: bool = False,
 ) -> tuple[DataFrame, CurationReport]:
     """Incremental curation: run a NEW batch through the curation gates
     AGAINST the standing curated dataset and append the survivors — the
@@ -621,11 +634,27 @@ def curate_increment(
     bucket hands each batch doc O(cap) candidates forever.
 
     Returns (increment manifest, attrition report) — the report carries
-    the same per-stage (docs, tokens) audit as :func:`curate`.
+    the same per-stage doc-count audit as :func:`curate`, plus wall
+    seconds per section in ``report.phase_s``.  The per-stage TOKEN
+    mass is opt-in here (``audit_tokens=True``): each token column
+    costs a text-scanning aggregate per checkpoint, a real fraction of
+    per-batch ingest cost, while the doc counts (cache-side
+    ``count()``) carry the attrition audit for free.
     """
+    import time as _time
+
     spark = new_docs.sparkSession
     corpus = spark.read.parquet(dataset_dir)
     report = CurationReport()
+    _t_last = _time.perf_counter()
+
+    def _tick(phase: str) -> None:
+        nonlocal _t_last
+        now = _time.perf_counter()
+        report.phase_s[phase] = round(
+            report.phase_s.get(phase, 0.0) + (now - _t_last), 3
+        )
+        _t_last = now
 
     recorded = _read_dedup_meta(_dedup_artifact_dir(dataset_dir))
     if fractions is None:
@@ -688,7 +717,11 @@ def curate_increment(
             "omit the argument to inherit it"
         )
 
-    def _counts(df: DataFrame) -> tuple[int, int]:
+    def _counts(df: DataFrame) -> tuple[int, int | None]:
+        if not audit_tokens:
+            # the doc count comes off the stage cache for free; the
+            # token column would re-scan every text per checkpoint
+            return df.count(), None
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(tx.token_count("text")).cast("bigint").alias("t"),
@@ -696,6 +729,7 @@ def curate_increment(
         return row["n"], row["t"] or 0
 
     report.log("raw", *_counts(new_docs))
+    _tick("setup")
     prev: DataFrame | None = None
 
     def checkpoint(stage: str, df: DataFrame) -> DataFrame:
@@ -705,6 +739,7 @@ def curate_increment(
         if prev is not None:
             prev.unpersist()
         prev = df
+        _tick(stage)
         return df
 
     # 1. idempotence + within-batch exact dedup: ids the dataset already
@@ -732,7 +767,17 @@ def curate_increment(
     art = _dedup_artifact_dir(dataset_dir)
     _check_dedup_meta(art)
     have_art = os.path.exists(f"{art}/buckets")
-    if have_art:
+    # _synced is the known-clean marker: deleted BEFORE every dataset
+    # append and re-created only after the artifact appends land, so its
+    # presence (plus a live fingerprints table — a mid-compact crash can
+    # leave the marker with the table swapped out) proves the last
+    # append committed fully and the two count jobs below are redundant.
+    # Any crash window deletes or predates it, falling back to the full
+    # count check and its rebuild path.
+    synced = f"{art}/_synced"
+    if have_art and not (
+        os.path.exists(synced) and os.path.exists(f"{art}/fingerprints")
+    ):
         # repair a STALE artifact (a crash between a prior increment's
         # dataset append and its artifact append): fingerprint rows must
         # match the dataset row-for-row, else rebuild from the dataset —
@@ -769,6 +814,7 @@ def curate_increment(
                 },
                 max_bucket=recorded.get("max_bucket"),
             )
+    _tick("stale_check")
     corp_fp = (
         spark.read.parquet(f"{art}/fingerprints").select(
             F.col("fp").alias("_fp")
@@ -934,6 +980,13 @@ def curate_increment(
     docs = docs.localCheckpoint(eager=True)
     if prev is not None:
         prev.unpersist()
+    # drop the known-clean marker BEFORE the dataset grows: from here
+    # until the artifact appends land, a crash leaves dataset/artifact
+    # out of step and the next increment must take the full count check
+    try:
+        os.remove(synced)
+    except FileNotFoundError:
+        pass
     manifest = materialize_splits(
         docs, dataset_dir, "doc_id", fractions, mode="append",
         split_key=split_key, forced_split_col=forced_split_col,
@@ -944,6 +997,7 @@ def curate_increment(
     # session's lifetime, and severs any lineage back to dataset_dir
     manifest_rows = manifest.collect()
     manifest = spark.createDataFrame(manifest_rows, manifest.schema)
+    _tick("append")
     # extend the dedup artifact with the appended docs so the NEXT
     # increment probes them too; docs is checkpointed, so the artifact
     # appends cannot be poisoned by their own writes.  A pre-artifact
@@ -977,6 +1031,9 @@ def curate_increment(
             extra_meta=extra,
             max_bucket=max_bucket,
         )
+    # _write_dedup_artifact re-created the _synced marker after its
+    # fingerprints append — the artifact is in step with the dataset again
+    _tick("artifact_extend")
     return manifest, report
 
 

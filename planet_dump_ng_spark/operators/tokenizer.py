@@ -13,14 +13,19 @@ Encoding discipline: the merge fold runs once per DISTINCT word — the
 vocabulary-sized model table — and documents join back on the word
 (the tokenize_with_vocab shape), so per-document cost is one map-side
 join regardless of rule count.  The per-word fold itself is an
-Arrow-batched pandas UDF replaying exactly the training rewrite
-(text.py ``_BPE_MERGE_EXPR``, one left-to-right non-overlapping fold
-per rule in round order): rule lists in real tokenizers run to 10^4+,
-where chaining plan-literal SQL folds would grow the plan linearly and
-die in analysis, while the Python fold is O(rules x word_length) on a
-table that grows sub-linearly with the corpus.  Served-equals-direct
-(bpe_apply_stats vs text.bpe_encode_stats) is pinned bit-exact in
-tests/test_tokenizer_artifact.py.
+Arrow-batched pandas UDF equivalent to the training rewrite (text.py
+``_BPE_MERGE_EXPR``, one left-to-right non-overlapping fold per rule
+in round order): rule lists in real tokenizers run to 10^4+, where
+chaining plan-literal SQL folds would grow the plan linearly and die
+in analysis, and even a sequential Python replay is
+O(rules x word_length) per word — rule count would dominate encode at
+32k merges.  Serving therefore folds RANK-PRIORITY
+(:func:`_fold_symbols_ranked`): a heap of adjacent pairs keyed by
+first-admissible rule rank, O(len * log len) per word and independent
+of rule count, pinned bit-equal to the sequential reference fold
+(:func:`_fold_symbols`) by property test over random rule sets.
+Served-equals-direct (bpe_apply_stats vs text.bpe_encode_stats) is
+pinned bit-exact in tests/test_tokenizer_artifact.py.
 """
 
 from __future__ import annotations
@@ -60,8 +65,105 @@ def _fold_symbols(word: str, rules: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
-def _fold_word(word: str, rules: list[tuple[str, str]]) -> int:
-    return len(_fold_symbols(word, rules))
+def _build_rule_index(
+    rules: list[tuple[str, str]],
+) -> dict[tuple[str, str], list[int]]:
+    """(left, right) -> ascending rule ranks.  Built ONCE per frozen rule
+    table and shared across every word fold — the O(rules) cost leaves
+    the per-word path entirely (duplicate pairs in a rule list keep all
+    their ranks; the fold picks the first rank admissible for a given
+    pair instance)."""
+    idx: dict[tuple[str, str], list[int]] = {}
+    for rank, (a, b) in enumerate(rules):
+        idx.setdefault((a, b), []).append(rank)
+    return idx
+
+
+def _fold_symbols_ranked(
+    word: str, idx: dict[tuple[str, str], list[int]]
+) -> list[str]:
+    """Rank-priority twin of :func:`_fold_symbols`: repeatedly merge the
+    lowest-admissible-rank adjacent pair (heap + linked list), giving
+    O(len * log) per word INDEPENDENT of rule count — at a realistic
+    32k-merge table the sequential replay is O(rules * len) per word
+    and dominates encode; this path is what serving uses, pinned
+    bit-equal to the sequential fold by property test
+    (tests/test_tokenizer_artifact.py).
+
+    Equality argument: the sequential fold applies rule r's single
+    left-to-right non-overlapping pass over the state produced by rules
+    0..r-1, so a pair instance merges at the FIRST rank that (a) maps
+    to its strings and (b) exceeds the creation rank of both member
+    symbols — a pair whose symbols were created at rank c cannot exist
+    before pass c finishes, and sequential passes never revisit earlier
+    rules.  The heap processes candidates in exactly that admissible-
+    rank order (ties left-to-right by original character position, the
+    pass's scan order); a merge at rank r only creates candidates with
+    admissible rank > r (their creation rank IS r), so no earlier-rank
+    work is ever reopened — matching the sequential fold's refusal to
+    re-run finished passes even when a later merge re-forms an
+    earlier rule's string pair."""
+    import bisect
+    import heapq
+
+    n = len(word)
+    if n <= 1:
+        return [word] if n else []
+    strs = list(word)
+    created = [-1] * n
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(0, n - 1))
+    alive = [True] * n
+    orig = list(range(n))  # leftmost original char position of the node
+
+    def eff(i: int, j: int) -> int | None:
+        ranks = idx.get((strs[i], strs[j]))
+        if not ranks:
+            return None
+        p = bisect.bisect_right(ranks, max(created[i], created[j]))
+        return ranks[p] if p < len(ranks) else None
+
+    heap: list[tuple[int, int, int, int]] = []
+    for i in range(n - 1):
+        e = eff(i, i + 1)
+        if e is not None:
+            heap.append((e, i, i, i + 1))
+    heapq.heapify(heap)
+    while heap:
+        e, _pos, i, j = heapq.heappop(heap)
+        if not (alive[i] and alive[j] and nxt[i] == j):
+            continue  # lazy deletion: a neighbor already merged away
+        k = len(strs)
+        strs.append(strs[i] + strs[j])
+        created.append(e)
+        orig.append(orig[i])
+        alive.append(True)
+        p_, q_ = prv[i], nxt[j]
+        prv.append(p_)
+        nxt.append(q_)
+        alive[i] = alive[j] = False
+        if p_ != -1:
+            nxt[p_] = k
+            e2 = eff(p_, k)
+            if e2 is not None:
+                heapq.heappush(heap, (e2, orig[p_], p_, k))
+        if q_ != -1:
+            prv[q_] = k
+            e2 = eff(k, q_)
+            if e2 is not None:
+                heapq.heappush(heap, (e2, orig[k], k, q_))
+    out: list[str] = []
+    head = next(
+        m for m in range(len(strs)) if alive[m] and prv[m] == -1
+    )
+    while head != -1:
+        out.append(strs[head])
+        head = nxt[head]
+    return out
+
+
+def _fold_word(word: str, idx: dict[tuple[str, str], list[int]]) -> int:
+    return len(_fold_symbols_ranked(word, idx))
 
 
 def _collect_rules(merges: DataFrame) -> list[tuple[str, str]]:
@@ -75,11 +177,14 @@ def _collect_rules(merges: DataFrame) -> list[tuple[str, str]]:
 
 
 def bpe_symbol_count(rules: list[tuple[str, str]]) -> Column:
-    """Column factory: ``f(word) -> n_symbols`` under the frozen rules."""
+    """Column factory: ``f(word) -> n_symbols`` under the frozen rules.
+    The rule index is built once driver-side and ships in the UDF
+    closure; each word pays the rank-priority fold only."""
+    idx = _build_rule_index(rules)
 
     @F.pandas_udf("bigint")
     def _n_sym(ws: pd.Series) -> pd.Series:
-        return ws.map(lambda w: _fold_word(w, rules))
+        return ws.map(lambda w: _fold_word(w, idx))
 
     return _n_sym
 
@@ -211,6 +316,7 @@ def bpe_apply_stats_stateless(
     word-instance/distinct-word ratio is high, this one when rows must
     be processed independently (streams)."""
     toks = tokens(text_col)
+    idx = _build_rule_index(rules)
 
     @F.pandas_udf("bigint")
     def _sum_syms(tok_arrays: pd.Series) -> pd.Series:
@@ -226,7 +332,7 @@ def bpe_apply_stats_stateless(
             for w in ws:
                 n = memo.get(w)
                 if n is None:
-                    n = _fold_word(w, rules)
+                    n = _fold_word(w, idx)
                     memo[w] = n
                 total += n
             return total

@@ -102,6 +102,11 @@ def test_fingerprint_count_is_the_commit_marker(spark, sf_dir, tmp_path):
     mid_assigned = xxhash_split(
         mid, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
+    import os
+
+    # a real crashed increment deletes the known-clean marker BEFORE the
+    # dataset append — replay that exact window
+    os.remove(f"{art}/_synced")
     mid_assigned.write.mode("append").partitionBy("split").parquet(out)
     corpus_lsh_buckets(
         mid.select("doc_id", "text"), **_DEDUP_LSH
@@ -229,6 +234,9 @@ def test_temporary_only_fingerprints_recovers(spark, sf_dir, tmp_path):
     art = _dedup_artifact_dir(out)
     shutil.rmtree(f"{art}/fingerprints")
     os.makedirs(f"{art}/fingerprints/_temporary/0")
+    # the marker is written strictly after fingerprints land, so a kill
+    # mid-fingerprints-job means it never existed for this write
+    os.remove(f"{art}/_synced")
 
     curate_increment(batch, out)  # must repair, not raise
     n = spark.read.parquet(out).count()

@@ -210,3 +210,69 @@ def test_bpe_n_merges_zero_is_loud(spark):
     with pytest.raises(ValueError, match="n_merges"):
         bpe_vocab(docs, n_merges=0)
     assert not os.path.exists("/tmp/never-written-tokenizer/meta.json")
+
+
+def test_synced_marker_skips_and_restores_stale_check(spark, sf_dir, tmp_path):
+    """_synced is the known-clean marker: while present, the increment
+    trusts the artifact (no dataset-vs-fingerprint count jobs — pinned by
+    showing a count mismatch is NOT repaired); once absent, the full
+    check fires and rebuilds.  Every real crash window deletes the
+    marker before the dataset grows, so the skip is safe."""
+    import os
+
+    from planet_dump_ng_spark.llm_pipeline import _DEDUP_LSH  # noqa: F401
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    out = str(tmp_path / "sync_ds")
+    curate(base, out)
+    art = _dedup_artifact_dir(out)
+    assert os.path.exists(f"{art}/_synced")
+
+    # forge extra fingerprint rows: counts now MISMATCH the dataset, but
+    # the marker says known-clean, so the increment must not rebuild
+    # (a rebuild would erase the forged rows)
+    forged = spark.createDataFrame(
+        [(99_999_991, bytes(16)), (99_999_992, bytes(16))],
+        spark.read.parquet(f"{art}/fingerprints").schema,
+    )
+    forged.write.mode("append").parquet(f"{art}/fingerprints")
+    curate_increment(b1, out)
+    fp_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{art}/fingerprints")
+        .select("doc_id")
+        .collect()
+    }
+    assert 99_999_991 in fp_ids  # check was skipped, no rebuild
+
+    # remove the marker: the full count check fires, detects the forged
+    # mismatch and rebuilds the artifact from the dataset
+    os.remove(f"{art}/_synced")
+    curate_increment(b2, out)
+    fp = spark.read.parquet(f"{art}/fingerprints")
+    assert 99_999_991 not in {r.doc_id for r in fp.select("doc_id").collect()}
+    assert fp.count() == spark.read.parquet(out).count()
+    assert os.path.exists(f"{art}/_synced")  # restored after the append
+
+
+def test_increment_report_has_phase_timings(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = str(tmp_path / "phase_ds")
+    curate(base, out)
+    _, report = curate_increment(batch, out)
+    for phase in ("setup", "stale_check", "batch_exact", "corpus_exact",
+                  "near_dedup", "quality", "append", "artifact_extend"):
+        assert phase in report.phase_s, report.phase_s
+    assert all(v >= 0 for v in report.phase_s.values())
+    # token audit is opt-in on the ingest path: doc counts recorded,
+    # token mass only when asked
+    assert report.stages and not report.tokens
+    _, report2 = curate_increment(
+        docs.filter(F.col("doc_id") % 8 == 5), out, audit_tokens=True
+    )
+    assert dict(report2.tokens).keys() == dict(report2.stages).keys()

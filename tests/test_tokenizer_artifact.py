@@ -249,3 +249,75 @@ def test_tokenizer_cli_roundtrip(spark, sf_dir, tmp_path, capsys):
     assert enc["encoded_docs"] == want.count()
     assert enc["n_symbols"] == want.agg(F.sum("n_symbols")).first()[0]
     assert _stats_set(spark.read.parquet(stats_out)) == _stats_set(want)
+
+
+# ---------------------------------------------------------------------------
+# rank-priority fold == sequential reference fold (round-7: encode cost
+# must be independent of rule count; correctness must not move an inch)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from planet_dump_ng_spark.operators.tokenizer import (  # noqa: E402
+    _build_rule_index,
+    _fold_symbols,
+    _fold_symbols_ranked,
+)
+
+_sym = st.text(alphabet="abc", min_size=1, max_size=3)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    word=st.text(alphabet="abc", min_size=0, max_size=12),
+    rules=st.lists(st.tuples(_sym, _sym), min_size=0, max_size=12),
+)
+def test_ranked_fold_equals_sequential_fold(word, rules):
+    """Bit-equality over RANDOM rule sets — including pathological ones
+    real BPE training can't produce (duplicate pairs, pairs whose parts
+    were never trainable, later rules re-forming earlier rules' string
+    pairs).  The ranked fold must reproduce the sequential pass
+    semantics exactly, not just on well-formed tokenizers."""
+    assert _fold_symbols_ranked(word, _build_rule_index(rules)) == \
+        _fold_symbols(word, rules)
+
+
+def test_ranked_fold_directed_cases():
+    cases = [
+        # later rule (y,z) creates 'yz'; earlier rule (x,yz) must NOT
+        # fire afterwards — sequential passes never revisit rule 0
+        ("xyz", [("x", "yz"), ("y", "z")], ["x", "yz"]),
+        # same pair listed twice: second occurrence CAN fire on
+        # instances formed between the two ranks
+        ("xyz", [("y", "z"), ("x", "yz")], ["xyz"]),
+        # non-overlapping left-to-right within a rule
+        ("xxxx", [("x", "x")], ["xx", "xx"]),
+        ("xxx", [("x", "x")], ["xx", "x"]),
+        # cascading rounds
+        ("aaaa", [("a", "a"), ("aa", "aa")], ["aaaa"]),
+        ("", [("a", "b")], []),
+        ("q", [("a", "b")], ["q"]),
+    ]
+    for word, rules, want in cases:
+        assert _fold_symbols(word, rules) == want  # reference agrees
+        assert _fold_symbols_ranked(word, _build_rule_index(rules)) == want
+
+
+def test_ranked_fold_rule_count_independent_speed():
+    """The whole point: 10^4 rules must not cost 10^4 work per word.
+    Compare the ranked fold against the sequential fold on a large
+    DISJOINT rule table (worst case for sequential: every rule scanned,
+    none applies) — the ranked fold must be dramatically faster."""
+    import time
+
+    rules = [(f"L{i}|", f"|R{i}") for i in range(10_000)]
+    idx = _build_rule_index(rules)
+    words = ["interchangeability" + str(i) for i in range(50)]
+    t0 = time.perf_counter()
+    fast = [_fold_symbols_ranked(w, idx) for w in words]
+    t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    slow = [_fold_symbols(w, rules) for w in words]
+    t_slow = time.perf_counter() - t0
+    assert fast == slow
+    assert t_fast * 10 < t_slow, (t_fast, t_slow)
