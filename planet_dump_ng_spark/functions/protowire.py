@@ -55,16 +55,13 @@ def field_string(field: int, s: str) -> bytes:
 _NP_MIN = 64
 
 
-def _varints_np(values) -> bytes:
-    """Vectorized unsigned-LEB128 of an int sequence -> concatenated
-    bytes, BYTE-IDENTICAL to ``b"".join(varint(v) for v in values)``
-    (pinned by test_round5 against the scalar path on random inputs).
-
-    Negatives take the 64-bit two's-complement form, same as
-    :func:`varint` — the int64->uint64 view IS that mapping.  Each of
-    the up-to-10 LEB128 byte positions is computed for the whole array
-    at once; a row-major boolean take flattens only the bytes each
-    value actually uses, preserving per-value order."""
+def _leb128_np(values):
+    """Vectorized unsigned-LEB128 core: -> (concatenated bytes, per-value
+    byte counts ndarray).  Negatives take the 64-bit two's-complement
+    form, same as :func:`varint` — the int64->uint64 view IS that
+    mapping.  Each of the up-to-10 LEB128 byte positions is computed for
+    the whole array at once; a row-major boolean take flattens only the
+    bytes each value actually uses, preserving per-value order."""
     import numpy as np
 
     a = np.asarray(values, dtype=np.int64).view(np.uint64)
@@ -82,7 +79,69 @@ def _varints_np(values) -> bytes:
         pending = pending & more
         if not pending.any():
             break
-    return out[used].tobytes()
+    return out[used].tobytes(), used.sum(axis=1)
+
+
+def _varints_np(values) -> bytes:
+    """Vectorized unsigned-LEB128 of an int sequence -> concatenated
+    bytes, BYTE-IDENTICAL to ``b"".join(varint(v) for v in values)``
+    (pinned by test_round5 against the scalar path on random inputs)."""
+    return _leb128_np(values)[0]
+
+
+def varints_np_each(values) -> list[bytes]:
+    """Vectorized LEB128 with per-VALUE slicing: one bytes object per
+    input, each byte-identical to ``varint(v)``.  The piecewise form the
+    columnar way/relation encoders assemble per-element messages from —
+    the varint arithmetic runs over the whole block at once, only the
+    final message concatenation stays per-element."""
+    import numpy as np
+
+    n = len(values)
+    if n == 0:
+        return []
+    flat, counts = _leb128_np(values)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return [flat[offs[i]: offs[i + 1]] for i in range(n)]
+
+
+def packed_sint64s_segmented(
+    field: int, flat_values, seg_lengths
+) -> list[bytes]:
+    """Per-SEGMENT packed sint64 field over a flattened value array:
+    byte-identical to ``[packed_sint64s(field, delta_encode(seg)) for
+    seg in segments]`` (empty segments -> b"", matching packed_*'s
+    empty-field elision), with the delta restarting at every segment
+    boundary — the per-way refs / per-relation memids wire shape.  One
+    vectorized delta+zigzag+LEB128 pass over every segment's values at
+    once; per-segment work is two offset lookups and one slice."""
+    import numpy as np
+
+    lens = np.asarray(seg_lengths, dtype=np.int64)
+    a = np.asarray(flat_values, dtype=np.int64)
+    nseg = len(lens)
+    starts = np.zeros(nseg, dtype=np.int64)
+    if nseg > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    d = np.empty_like(a)
+    if len(a):
+        d[0] = a[0]
+        np.subtract(a[1:], a[:-1], out=d[1:])
+        nz = starts[lens > 0]
+        d[nz] = a[nz]  # delta restarts on each segment's first value
+    flat, counts = _leb128_np(_zigzag_np(d))
+    voffs = np.zeros(len(a) + 1, dtype=np.int64)
+    np.cumsum(counts, out=voffs[1:])
+    head = tag(field, 2)
+    out: list[bytes] = []
+    for s in range(nseg):
+        if lens[s] == 0:
+            out.append(b"")
+            continue
+        body = flat[voffs[starts[s]]: voffs[starts[s] + lens[s]]]
+        out.append(head + varint(len(body)) + body)
+    return out
 
 
 def _zigzag_np(values):

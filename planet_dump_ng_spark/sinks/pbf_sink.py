@@ -399,6 +399,200 @@ def _encode_plain_nodes(rows: list, history: bool, anonymize: bool) -> bytes:
     return _primitive_block(st, group)
 
 
+def _encode_ways_block(
+    ids, versions, tss, css, uids, vis, hidden, users, tags,
+    nds_flat, nds_lens, history: bool,
+) -> bytes:
+    """One ways PrimitiveBlock from COLUMNS — byte-identical to
+    :func:`_encode_ways` over the same rows (pinned in
+    tests/test_round7_pbf.py).  The volume class is the refs: one
+    vectorized delta+zigzag+LEB128 pass packs EVERY way's nds at once
+    (protowire.packed_sint64s_segmented, delta restarting per way,
+    pbf_writer.cpp:84-90,356-399), and the per-way Info varints are
+    pre-encoded for the whole block (varints_np_each); Python touches
+    each way only to fill the string table in row order and join the
+    pre-cut pieces."""
+    st = _StringTable()
+    n = len(ids)
+    id_b = pw.varints_np_each(ids)
+    ver_b = pw.varints_np_each(versions)
+    ts_b = pw.varints_np_each(tss)
+    cs_b = pw.varints_np_each(css)
+    uid_b = pw.varints_np_each(uids)
+    ref_b = pw.packed_sint64s_segmented(8, nds_flat, nds_lens)
+    ways = bytearray()
+    for i in range(n):
+        # string table fills in the row path's exact order: a visible
+        # row's tag keys, then its tag values, then the user name
+        if vis[i]:
+            row_tags = tags[i] or ()
+            kv = (
+                pw.packed_varints(2, [st(t["k"]) for t in row_tags])
+                + pw.packed_varints(3, [st(t["v"]) for t in row_tags])
+            )
+        else:
+            kv = b""
+        info = b"\x08" + ver_b[i] + b"\x10" + ts_b[i] + b"\x18" + cs_b[i]
+        if not hidden[i]:
+            info += b"\x20" + uid_b[i] + b"\x28" + pw.varint(st(users[i]))
+        if history:
+            info += b"\x30" + (b"\x01" if vis[i] else b"\x00")
+        msg = (
+            b"\x08" + id_b[i] + kv + pw.field_bytes(4, info)
+            + (ref_b[i] if vis[i] else b"")
+        )
+        ways += pw.field_bytes(3, msg)
+    return _primitive_block(st, bytes(ways))
+
+
+def _ways_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
+    """mapInArrow worker factory for the ways stream — the dense-nodes
+    recipe (pbf_sink._dense_arrow_encoder) applied to the next volume
+    class: buffer the Arrow batches' columns (numpy for the numerics,
+    the refs as ONE flattened int64 array + per-way lengths, python
+    lists only for tags/user), cut blocks of exactly
+    BLOCK_LIMITS['ways'] rows (the row path's boundaries), write the
+    partition's complete blob sequence to one part file."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    limit = BLOCK_LIMITS["ways"]
+
+    def cols_of(batch):
+        def col(name):
+            return batch.column(batch.schema.get_field_index(name))
+
+        for req in ("id", "version", "changeset_id"):
+            if col(req).null_count:
+                raise ValueError(f"null {req} in ways stream")
+        vis = (
+            col("visible").fill_null(False).to_numpy(zero_copy_only=False)
+        ).astype(bool)
+        uid_col = col("uid")
+        uid_null = (
+            uid_col.is_null().to_numpy(zero_copy_only=False).astype(bool)
+            if uid_col.null_count
+            else np.zeros(len(batch), dtype=bool)
+        )
+        hidden = uid_null | anonymize
+        uids = uid_col.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ts = (
+            col("timestamp")
+            .cast(pa.int64())
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            // 1_000_000
+        )
+        nds_col = col("nds")
+        lens = (
+            pc.list_value_length(nds_col)
+            .cast(pa.int64())
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = nds_col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if int(lens.sum()) != len(flat):
+            # flatten() and list_value_length must agree on the slot
+            # spans or every later way's refs shift silently
+            raise ValueError("ways refs flatten/length mismatch")
+        # the row encoder emits refs only for visible ways: drop an
+        # invisible way's values from the flat stream, zero its length
+        if (~vis).any():
+            keep = np.repeat(vis, lens)
+            flat = flat[keep]
+            lens = np.where(vis, lens, 0)
+        return dict(
+            ids=col("id").to_numpy(zero_copy_only=False).astype(np.int64),
+            versions=col("version")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            tss=ts,
+            css=col("changeset_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            uids=uids,
+            vis=vis,
+            hidden=hidden,
+            nds_flat=flat,
+            nds_lens=lens,
+            users=col("user").to_pylist(),
+            tags=col("tags").to_pylist(),
+        )
+
+    np_keys = ("ids", "versions", "tss", "css", "uids", "vis", "hidden",
+               "nds_lens")
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        idx = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"ways-{idx:05d}.pbfpart")
+        bufs: dict[str, list] = {}
+        total = 0
+        fh = None
+
+        def encode_ready(flush: bool):
+            nonlocal total, fh, bufs
+            while total >= limit or (flush and total):
+                merged = {
+                    k: (
+                        np.concatenate(bufs[k])
+                        if k in np_keys or k == "nds_flat"
+                        else [x for part in bufs[k] for x in part]
+                    )
+                    for k in bufs
+                }
+                take = min(limit, total)
+                nval = int(merged["nds_lens"][:take].sum())
+                block = {
+                    k: (merged[k][:nval] if k == "nds_flat"
+                        else merged[k][:take])
+                    for k in merged
+                }
+                rest = {
+                    k: [merged[k][nval:] if k == "nds_flat"
+                        else merged[k][take:]]
+                    for k in merged
+                }
+                if fh is None:
+                    fh = open(path, "wb")
+                fh.write(
+                    _encode_ways_block(
+                        block["ids"], block["versions"], block["tss"],
+                        block["css"], block["uids"], block["vis"],
+                        block["hidden"], block["users"], block["tags"],
+                        block["nds_flat"], block["nds_lens"], history,
+                    )
+                )
+                bufs = rest
+                total -= take
+
+        try:
+            for batch in batches:
+                if len(batch) == 0:
+                    continue
+                cols = cols_of(batch)
+                for k, v in cols.items():
+                    bufs.setdefault(k, []).append(v)
+                total += len(batch)
+                encode_ready(flush=False)
+            encode_ready(flush=True)
+        finally:
+            if fh is not None:
+                fh.close()
+        if fh is not None:
+            yield pa.RecordBatch.from_pydict({"path": [path]})
+
+    return run
+
+
 def _encode_ways(rows: list, history: bool, anonymize: bool) -> bytes:
     st = _StringTable()
     ways = b""
@@ -512,6 +706,16 @@ def write_pbf_file(
                 r["path"]
                 for r in df.mapInArrow(
                     _dense_arrow_encoder(history, anonymize, out_dir),
+                    schema="path string",
+                ).collect()
+            )
+        if table == "ways":
+            # columnar refs encoder — the next volume class after dense
+            # nodes; byte-identical to the row path (test_round7_pbf)
+            return sorted(
+                r["path"]
+                for r in df.mapInArrow(
+                    _ways_arrow_encoder(history, anonymize, out_dir),
                     schema="path string",
                 ).collect()
             )
