@@ -251,6 +251,42 @@ def main() -> int:
             for name in slowest
         }
 
+    # sf1 anchor: all per-query timing above is seconds-scale at sf0.1,
+    # where JVM warm-up and job-launch overhead are a visible fraction;
+    # one 10x-replicated run (tools/stress_scale.build keeps per-key
+    # cardinalities, offsets ids per copy) re-times the slowest queries
+    # where shuffles dominate noise.  The paired ratio against the 10x
+    # data growth is the super-linearity gate: a plan that blows past
+    # 10x does not survive the next 100x.  SPARK_GRAFT_SF1=0 skips.
+    sf1: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            import stress_scale
+
+            stress_scale.SRC = sf_dir
+            # per-source twin dir: a cached twin of a DIFFERENT base SF
+            # must not be mistaken for this one
+            stress_scale.DST = "/tmp/pdng-stress-" + os.path.basename(
+                os.path.normpath(sf_dir)
+            )
+            stress_scale.build(spark, 10)
+            for name in sorted(timings, key=timings.__getitem__, reverse=True)[:10]:
+                t0 = time.perf_counter()
+                bench_specs[name].spark(spark, stress_scale.DST).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                t_sf1 = round(time.perf_counter() - t0, 3)
+                sf1[name] = {
+                    "t_bench": timings[name],
+                    "t_sf1": t_sf1,
+                    "ratio": round(t_sf1 / max(timings[name], 1e-9), 2),
+                }
+        except Exception as e:  # the anchor must never sink the bench
+            sf1 = {"error": str(e)[:200]}
+
     # The end-to-end sections are the noisiest samples on a shared host
     # (observed: identical code, 8 s -> 55 s emit within one evening while
     # CPU microbenchmarks stayed flat).  Best-of-2 with both totals
@@ -286,6 +322,7 @@ def main() -> int:
                 "queries": timings,
                 "query_runs": query_runs,
                 "scale_ratio": scale_ratio,
+                "sf1": sf1,
                 "pipeline": pipe,
                 "curation": cur,
                 "increment": incr,
