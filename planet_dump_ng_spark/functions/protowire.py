@@ -106,6 +106,32 @@ def varints_np_each(values) -> list[bytes]:
     return [flat[offs[i]: offs[i + 1]] for i in range(n)]
 
 
+def _slice_segments(field: int, flat: bytes, counts, lens, starts) -> list[bytes]:
+    """Cut one LEB128 byte stream into per-segment packed fields."""
+    import numpy as np
+
+    voffs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=voffs[1:])
+    head = tag(field, 2)
+    out: list[bytes] = []
+    for s in range(len(lens)):
+        if lens[s] == 0:
+            out.append(b"")
+            continue
+        body = flat[voffs[starts[s]]: voffs[starts[s] + lens[s]]]
+        out.append(head + varint(len(body)) + body)
+    return out
+
+
+def _seg_starts(lens):
+    import numpy as np
+
+    starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    return starts
+
+
 def packed_sint64s_segmented(
     field: int, flat_values, seg_lengths
 ) -> list[bytes]:
@@ -120,10 +146,7 @@ def packed_sint64s_segmented(
 
     lens = np.asarray(seg_lengths, dtype=np.int64)
     a = np.asarray(flat_values, dtype=np.int64)
-    nseg = len(lens)
-    starts = np.zeros(nseg, dtype=np.int64)
-    if nseg > 1:
-        np.cumsum(lens[:-1], out=starts[1:])
+    starts = _seg_starts(lens)
     d = np.empty_like(a)
     if len(a):
         d[0] = a[0]
@@ -131,17 +154,21 @@ def packed_sint64s_segmented(
         nz = starts[lens > 0]
         d[nz] = a[nz]  # delta restarts on each segment's first value
     flat, counts = _leb128_np(_zigzag_np(d))
-    voffs = np.zeros(len(a) + 1, dtype=np.int64)
-    np.cumsum(counts, out=voffs[1:])
-    head = tag(field, 2)
-    out: list[bytes] = []
-    for s in range(nseg):
-        if lens[s] == 0:
-            out.append(b"")
-            continue
-        body = flat[voffs[starts[s]]: voffs[starts[s] + lens[s]]]
-        out.append(head + varint(len(body)) + body)
-    return out
+    return _slice_segments(field, flat, counts, lens, starts)
+
+
+def packed_varints_segmented(
+    field: int, flat_values, seg_lengths
+) -> list[bytes]:
+    """Per-SEGMENT packed plain-varint field (no zigzag, no delta):
+    byte-identical to ``[packed_varints(field, seg) for seg in
+    segments]`` with the same empty-segment elision — the per-relation
+    member-types wire shape."""
+    import numpy as np
+
+    lens = np.asarray(seg_lengths, dtype=np.int64)
+    flat, counts = _leb128_np(flat_values)
+    return _slice_segments(field, flat, counts, lens, _seg_starts(lens))
 
 
 def _zigzag_np(values):

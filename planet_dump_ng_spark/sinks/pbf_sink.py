@@ -612,6 +612,216 @@ def _encode_ways(rows: list, history: bool, anonymize: bool) -> bytes:
 _MEMBER_TYPE = {"Node": 0, "Way": 1, "Relation": 2}
 
 
+def _encode_relations_block(
+    ids, versions, tss, css, uids, vis, hidden, users, tags,
+    mem_roles, mem_ids_flat, mem_types_flat, mem_lens, history: bool,
+) -> bytes:
+    """One relations PrimitiveBlock from COLUMNS — byte-identical to
+    :func:`_encode_relations` over the same rows.  memids (one
+    vectorized delta+zigzag+LEB128 pass, delta restarting per relation)
+    and member types (one plain-varint pass) pack for the whole block
+    at once — the mega-relation volume; roles must thread the per-block
+    string table so they stay a per-member Python loop, in the row
+    path's exact st() order (tag keys, tag values, user, then roles)."""
+    st = _StringTable()
+    n = len(ids)
+    id_b = pw.varints_np_each(ids)
+    ver_b = pw.varints_np_each(versions)
+    ts_b = pw.varints_np_each(tss)
+    cs_b = pw.varints_np_each(css)
+    uid_b = pw.varints_np_each(uids)
+    mid_b = pw.packed_sint64s_segmented(9, mem_ids_flat, mem_lens)
+    mty_b = pw.packed_varints_segmented(10, mem_types_flat, mem_lens)
+    rels = bytearray()
+    for i in range(n):
+        if vis[i]:
+            row_tags = tags[i] or ()
+            kv = (
+                pw.packed_varints(2, [st(t["k"]) for t in row_tags])
+                + pw.packed_varints(3, [st(t["v"]) for t in row_tags])
+            )
+        else:
+            kv = b""
+        info = b"\x08" + ver_b[i] + b"\x10" + ts_b[i] + b"\x18" + cs_b[i]
+        if not hidden[i]:
+            info += b"\x20" + uid_b[i] + b"\x28" + pw.varint(st(users[i]))
+        if history:
+            info += b"\x30" + (b"\x01" if vis[i] else b"\x00")
+        msg = b"\x08" + id_b[i] + kv + pw.field_bytes(4, info)
+        if mem_lens[i]:
+            msg += (
+                pw.packed_varints(8, [st(r) for r in mem_roles[i]])
+                + mid_b[i]
+                + mty_b[i]
+            )
+        rels += pw.field_bytes(4, msg)
+    return _primitive_block(st, bytes(rels))
+
+
+def _relations_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
+    """mapInArrow worker for the relations stream — the ways recipe with
+    THREE member columns: roles stay python lists (string-table bound),
+    member ids flatten to one int64 array, member types map to their
+    enum ints vectorized (pc.index_in against the label dictionary)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    limit = BLOCK_LIMITS["relations"]
+    labels = pa.array(["Node", "Way", "Relation"])
+
+    def cols_of(batch):
+        def col(name):
+            return batch.column(batch.schema.get_field_index(name))
+
+        for req in ("id", "version", "changeset_id"):
+            if col(req).null_count:
+                raise ValueError(f"null {req} in relations stream")
+        vis = (
+            col("visible").fill_null(False).to_numpy(zero_copy_only=False)
+        ).astype(bool)
+        uid_col = col("uid")
+        uid_null = (
+            uid_col.is_null().to_numpy(zero_copy_only=False).astype(bool)
+            if uid_col.null_count
+            else np.zeros(len(batch), dtype=bool)
+        )
+        hidden = uid_null | anonymize
+        uids = uid_col.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ts = (
+            col("timestamp")
+            .cast(pa.int64())
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            // 1_000_000
+        )
+        mem_col = col("members")
+        lens = (
+            pc.list_value_length(mem_col)
+            .cast(pa.int64())
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat_struct = mem_col.flatten()
+        mids = (
+            flat_struct.field("member_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        mty_idx = pc.index_in(flat_struct.field("member_type"), labels)
+        if mty_idx.null_count:
+            raise ValueError("unknown member_type in relations stream")
+        mtys = mty_idx.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        roles_all = flat_struct.field("member_role").to_pylist()
+        if int(lens.sum()) != len(mids):
+            raise ValueError("relations members flatten/length mismatch")
+        # the row encoder emits members only for visible relations
+        if (~vis).any():
+            keep = np.repeat(vis, lens)
+            mids, mtys = mids[keep], mtys[keep]
+            roles_all = [r for r, k in zip(roles_all, keep) if k]
+            lens = np.where(vis, lens, 0)
+        # roles re-nested per relation so block cuts slice by row
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        roles = [
+            roles_all[offs[i]: offs[i + 1]] for i in range(len(lens))
+        ]
+        return dict(
+            ids=col("id").to_numpy(zero_copy_only=False).astype(np.int64),
+            versions=col("version")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            tss=ts,
+            css=col("changeset_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            uids=uids,
+            vis=vis,
+            hidden=hidden,
+            mem_ids_flat=mids,
+            mem_types_flat=mtys,
+            mem_lens=lens,
+            users=col("user").to_pylist(),
+            tags=col("tags").to_pylist(),
+            mem_roles=roles,
+        )
+
+    np_keys = ("ids", "versions", "tss", "css", "uids", "vis", "hidden",
+               "mem_lens")
+    flat_keys = ("mem_ids_flat", "mem_types_flat")
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        idx = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"relations-{idx:05d}.pbfpart")
+        bufs: dict[str, list] = {}
+        total = 0
+        fh = None
+
+        def encode_ready(flush: bool):
+            nonlocal total, fh, bufs
+            while total >= limit or (flush and total):
+                merged = {
+                    k: (
+                        np.concatenate(bufs[k])
+                        if k in np_keys or k in flat_keys
+                        else [x for part in bufs[k] for x in part]
+                    )
+                    for k in bufs
+                }
+                take = min(limit, total)
+                nval = int(merged["mem_lens"][:take].sum())
+                block = {
+                    k: (merged[k][:nval] if k in flat_keys
+                        else merged[k][:take])
+                    for k in merged
+                }
+                rest = {
+                    k: [merged[k][nval:] if k in flat_keys
+                        else merged[k][take:]]
+                    for k in merged
+                }
+                if fh is None:
+                    fh = open(path, "wb")
+                fh.write(
+                    _encode_relations_block(
+                        block["ids"], block["versions"], block["tss"],
+                        block["css"], block["uids"], block["vis"],
+                        block["hidden"], block["users"], block["tags"],
+                        block["mem_roles"], block["mem_ids_flat"],
+                        block["mem_types_flat"], block["mem_lens"], history,
+                    )
+                )
+                bufs = rest
+                total -= take
+
+        try:
+            for batch in batches:
+                if len(batch) == 0:
+                    continue
+                cols = cols_of(batch)
+                for k, v in cols.items():
+                    bufs.setdefault(k, []).append(v)
+                total += len(batch)
+                encode_ready(flush=False)
+            encode_ready(flush=True)
+        finally:
+            if fh is not None:
+                fh.close()
+        if fh is not None:
+            yield pa.RecordBatch.from_pydict({"path": [path]})
+
+    return run
+
+
 def _encode_relations(rows: list, history: bool, anonymize: bool) -> bytes:
     st = _StringTable()
     rels = b""
@@ -709,13 +919,19 @@ def write_pbf_file(
                     schema="path string",
                 ).collect()
             )
-        if table == "ways":
-            # columnar refs encoder — the next volume class after dense
-            # nodes; byte-identical to the row path (test_round7_pbf)
+        if table in ("ways", "relations"):
+            # columnar encoders — byte-identical to the row paths
+            # (test_round7_pbf); after dense nodes, ways refs and
+            # mega-relation member lists are the remaining volume
+            enc = (
+                _ways_arrow_encoder
+                if table == "ways"
+                else _relations_arrow_encoder
+            )
             return sorted(
                 r["path"]
                 for r in df.mapInArrow(
-                    _ways_arrow_encoder(history, anonymize, out_dir),
+                    enc(history, anonymize, out_dir),
                     schema="path string",
                 ).collect()
             )

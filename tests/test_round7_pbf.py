@@ -156,3 +156,110 @@ def test_ways_block_encoder_parses_back(spark, tmp_path):
     # a visible way keeps its refs, an invisible one loses even stale refs
     assert by_id[1][7] == (101, 203, 151, 101)
     assert by_id[14][7] == ()  # invisible with stale refs in the frame
+
+
+def test_packed_varints_segmented_matches_per_segment_scalar():
+    rng = random.Random(17)
+    for _ in range(20):
+        segs = [
+            [rng.randint(0, 2**40) for _ in range(rng.choice([0, 1, 2, 7, 120]))]
+            for _ in range(rng.randint(1, 25))
+        ]
+        flat = [v for s in segs for v in s]
+        lens = [len(s) for s in segs]
+        got = pw.packed_varints_segmented(10, flat, lens)
+        want = [pw.packed_varints(10, s) if s else b"" for s in segs]
+        assert got == want
+
+
+def _relations_df(spark):
+    import datetime as dt
+
+    types = ["Node", "Way", "Relation"]
+    rows = []
+    for i in range(1, 41):
+        visible = i % 6 != 0
+        members = (
+            [
+                {
+                    "member_type": types[(i + j) % 3],
+                    "member_id": 1000 * j + i,
+                    "member_role": f"role{j % 3}" if j % 4 else "",
+                    "sequence_id": j,
+                }
+                for j in range(i % 7)
+            ]
+            if i % 5 != 0
+            else []
+        )
+        rows.append(
+            (
+                i,
+                1 + (i % 2),
+                200 + i,
+                visible,
+                dt.datetime(2013, 8, 3, 13, 0, i % 60),
+                None,
+                (
+                    [{"k": "type", "v": "route"}, {"k": "ref", "v": str(i)}]
+                    if i % 4 == 0
+                    else []
+                ),
+                members,  # invisible relations may carry stale members
+                (i % 9) if i % 5 != 1 else None,
+                f"user{i % 3}" if i % 5 != 1 else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "id long, version long, changeset_id long, visible boolean, "
+        "timestamp timestamp, redaction_id long, "
+        "tags array<struct<k:string,v:string>>, "
+        "members array<struct<member_type:string,member_id:long,"
+        "member_role:string,sequence_id:int>>, uid int, user string",
+    ).repartitionByRange(2, "id", "version").sortWithinPartitions(
+        "id", "version"
+    )
+
+
+def test_arrow_relations_encoder_bytes_equal_row_encoder(
+    spark, tmp_path, monkeypatch
+):
+    """Columnar relations encoder pinned byte-identical to the row path:
+    roles/memids/types triples, empty member lists, invisible rows with
+    stale members, empty-string roles, block-boundary cuts, both
+    anonymize/history settings."""
+    import os
+
+    from planet_dump_ng_spark.sinks import pbf_sink
+
+    monkeypatch.setitem(pbf_sink.BLOCK_LIMITS, "relations", 8)
+    df = _relations_df(spark)
+
+    for history in (False, True):
+        for anonymize in (False, True):
+            d_row = str(tmp_path / f"rrow-{history}-{anonymize}")
+            d_arrow = str(tmp_path / f"rarrow-{history}-{anonymize}")
+            os.makedirs(d_row), os.makedirs(d_arrow)
+            row_paths = sorted(
+                df.rdd.mapPartitionsWithIndex(
+                    pbf_sink._partition_encoder(
+                        "relations", history, anonymize, d_row
+                    )
+                ).collect()
+            )
+            arrow_paths = sorted(
+                r["path"]
+                for r in df.mapInArrow(
+                    pbf_sink._relations_arrow_encoder(
+                        history, anonymize, d_arrow
+                    ),
+                    schema="path string",
+                ).collect()
+            )
+            assert [os.path.basename(p) for p in row_paths] == [
+                os.path.basename(p) for p in arrow_paths
+            ]
+            for rp, ap in zip(row_paths, arrow_paths):
+                with open(rp, "rb") as a, open(ap, "rb") as b:
+                    assert a.read() == b.read(), (history, anonymize, rp)
