@@ -835,8 +835,16 @@ def curate_increment(
     # precomputed bucket artifact when present (per-batch cost is then
     # proportional to the batch), and only corpus docs that actually
     # appear as candidates get shingled for the verify.
+    # ONE batch signature pass feeds both the within-batch self-join and
+    # the batch-vs-corpus probe (localCheckpoint, not persist — blocks
+    # release on GC, no CacheManager entry per ingest batch); at ingest
+    # scale the batch signature map is the dominant per-batch cost
+    batch_buckets = dd.lsh_buckets(
+        docs, **_DEDUP_LSH
+    ).localCheckpoint(eager=False)
     self_cands = dd.minhash_lsh_candidates(
         docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket,
+        buckets=batch_buckets,
     )
     self_pairs = dd.ngram_jaccard_pairs(
         docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
@@ -853,6 +861,7 @@ def curate_increment(
         # per bucket between compactions — re-ranking near-capped
         # buckets is cheap and restores the O(cap) probe bound
         max_bucket=max_bucket,
+        new_buckets=batch_buckets,
     )
     corpus_needed = corpus.select("doc_id", "text").join(
         cross_cands.select(F.col("id_b").alias("doc_id")).distinct(),
@@ -906,8 +915,14 @@ def curate_increment(
         from planet_dump_ng_spark.operators.graph import connected_components
 
         k_sh = _DEDUP_LSH["k"]
+        # docs has shrunk since the near-dedup stage (gates dropped
+        # rows), so this stage derives its OWN shared bucket table
+        guard_buckets = dd.lsh_buckets(
+            docs, **_DEDUP_LSH
+        ).localCheckpoint(eager=False)
         sc2 = dd.minhash_lsh_candidates(
             docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket,
+            buckets=guard_buckets,
         )
         sp2 = dd.ngram_jaccard_pairs(
             docs, k=k_sh, threshold=split_jaccard, candidates=sc2
@@ -922,6 +937,7 @@ def curate_increment(
                 spark.read.parquet(f"{art}/buckets") if have_art else None
             ),
             max_bucket=max_bucket,
+            new_buckets=guard_buckets,
         )
         corpus_needed2 = corpus.select("doc_id", "text").join(
             cc2.select(F.col("id_b").alias("doc_id")).distinct(),

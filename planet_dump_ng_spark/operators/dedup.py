@@ -274,6 +274,7 @@ def minhash_lsh_candidates(
     seed: int = 42,
     mode: str = "pairs",
     max_bucket: int | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -312,6 +313,15 @@ def minhash_lsh_candidates(
     """
     if mode not in ("pairs", "star"):
         raise ValueError(f"mode must be 'pairs' or 'star', got {mode!r}")
+    if buckets is not None:
+        # caller-shared bucket table (same geometry contract as
+        # minhash_lsh_join's corpus_buckets): one materialized signature
+        # pass can feed the self-join AND the asymmetric ingest join —
+        # at ingest scale the batch signature map is the dominant
+        # per-batch cost, so computing it once per stage matters
+        return _bucket_candidates(
+            buckets.select("id", "band", "bh"), mode, max_bucket
+        )
     buckets = (
         lsh_buckets(df, text_col, id_col, num_hashes, bands, k, seed)
         # localCheckpoint, not persist: one materialized pass feeds BOTH
@@ -333,6 +343,15 @@ def minhash_lsh_candidates(
         # a retry, not corruption.
         .localCheckpoint(eager=False)
     )
+    return _bucket_candidates(buckets, mode, max_bucket)
+
+
+def _bucket_candidates(
+    buckets: DataFrame, mode: str, max_bucket: int | None
+) -> DataFrame:
+    """Candidate emission over a materialized bucket table — the shared
+    tail of minhash_lsh_candidates for derived and caller-supplied
+    buckets."""
     if mode == "star":
         mins = buckets.groupBy("band", "bh").agg(F.min("id").alias("mn"))
         return (
@@ -374,6 +393,7 @@ def minhash_lsh_join(
     seed: int = 42,
     corpus_buckets: DataFrame | None = None,
     max_bucket: int | None = None,
+    new_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric banded-LSH candidate join: distinct ``(id_a, id_b)``
     where ``id_a`` is a NEW document sharing at least one band bucket with
@@ -411,9 +431,14 @@ def minhash_lsh_join(
     if max_bucket is not None:
         bc = cap_lsh_buckets(bc, max_bucket)
     bc = bc.alias("c")
-    bn = lsh_buckets(new, text_col, id_col, num_hashes, bands, k, seed).alias(
-        "n"
-    )
+    # new_buckets: the caller already materialized the batch's bucket
+    # table (e.g. for the within-batch self-join) — reuse it instead of
+    # paying the batch signature pass a second time per ingest stage
+    bn = (
+        new_buckets.select("id", "band", "bh")
+        if new_buckets is not None
+        else lsh_buckets(new, text_col, id_col, num_hashes, bands, k, seed)
+    ).alias("n")
     return (
         bn.join(
             bc,
