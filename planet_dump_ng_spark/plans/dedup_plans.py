@@ -1252,3 +1252,30 @@ def lsh_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("expected_bands_t"),
     )
+
+
+@register(
+    "dedup_lsh_bounded_pairs",
+    _minhash_lsh_oracle(
+        cand_sql="""SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bnd x JOIN bnd y
+               ON x.bn = y.bn AND x.bk = y.bk AND x.doc_id < y.doc_id
+             JOIN (SELECT bn, bk FROM bnd
+                   GROUP BY bn, bk HAVING COUNT(*) <= 2) s
+               ON x.bn = s.bn AND x.bk = s.bk"""
+    ),
+    doc="Bounded all-pairs LSH dedup: pairs-mode emission with "
+    "max_bucket=2 — buckets wider than the bound are dropped BEFORE the "
+    "self-join (docs in a dropped bucket still pair through their other "
+    "bands), the exhaustive-verification middle ground between raw "
+    "all-pairs (B^2/2 on a mega-bucket) and star emission.  This is the "
+    "curate(lsh_mode='pairs', max_bucket=N) candidate shape.  Oracle "
+    "replays the width filter as a HAVING over the band table.",
+    tags=("dedup",),
+)
+def dedup_lsh_bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, k=3, mode="pairs", max_bucket=2
+    )
+    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
