@@ -123,6 +123,7 @@ def curation_bench(spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench") -> 
     stages = dict(report.stages)
     out = {
         "total": total,
+        "phases": dict(report.phase_s),
         "rows_in": stages.get("raw", 0),
         "rows_out": min(stages.values()) if stages else 0,
     }

@@ -332,7 +332,21 @@ def curate(
     """
     if lsh_mode not in ("pairs", "star"):
         raise ValueError(f"lsh_mode must be 'pairs' or 'star', got {lsh_mode!r}")
+    import time as _time
+
     report = CurationReport()
+    _t_last = _time.perf_counter()
+
+    def _tick(phase: str) -> None:
+        # wall seconds per stage (the stage checkpoints are the actions,
+        # so the boundaries attribute real work) — report.phase_s turns
+        # "curation got slower" into "the near-dedup stage got slower"
+        nonlocal _t_last
+        now = _time.perf_counter()
+        report.phase_s[phase] = round(
+            report.phase_s.get(phase, 0.0) + (now - _t_last), 3
+        )
+        _t_last = now
 
     def _counts(df: DataFrame) -> tuple[int, int]:
         # one aggregate pass gives both audit columns (docs, tokens)
@@ -343,6 +357,7 @@ def curate(
         return row["n"], row["t"] or 0
 
     report.log("raw", *_counts(docs))
+    _tick("raw")
 
     # Stage checkpointing: each filtering stage persists its survivor set,
     # counts it for the attrition audit FROM THE CACHE, and releases the
@@ -359,6 +374,7 @@ def curate(
         if prev is not None:
             prev.unpersist()
         prev = df
+        _tick(stage)
         return df
 
     # 1. exact dedup: keep the first occurrence per canonical fingerprint
@@ -545,6 +561,7 @@ def curate(
         )
     else:
         manifest = materialize_splits(docs, out_dir, "doc_id", fractions)
+    _tick("materialize")
 
     # 8. optional packing manifest over the materialized train split:
     # global token offsets in deterministic order, written beside the
@@ -575,6 +592,7 @@ def curate(
         _write_dedup_artifact(
             docs, out_dir, extra_meta=extra_meta, max_bucket=max_bucket
         )
+        _tick("dedup_artifact")
     if prev is not None:  # the dataset is on disk; release the last cache
         prev.unpersist()
     return manifest, report
