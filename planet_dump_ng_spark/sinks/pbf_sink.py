@@ -488,6 +488,14 @@ def _ways_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
             // 1_000_000
         )
         nds_col = col("nds")
+        if nds_col.null_count:
+            nmask = (
+                nds_col.is_null().to_numpy(zero_copy_only=False).astype(bool)
+            )
+            if (nmask & vis).any():
+                # the row encoder would crash here too (delta over None);
+                # fail loudly instead of silently encoding an empty way
+                raise ValueError("null nds on a visible way")
         lens = (
             pc.list_value_length(nds_col)
             .cast(pa.int64())
@@ -699,6 +707,12 @@ def _relations_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
             // 1_000_000
         )
         mem_col = col("members")
+        if mem_col.null_count:
+            nmask = (
+                mem_col.is_null().to_numpy(zero_copy_only=False).astype(bool)
+            )
+            if (nmask & vis).any():
+                raise ValueError("null members on a visible relation")
         lens = (
             pc.list_value_length(mem_col)
             .cast(pa.int64())
