@@ -263,7 +263,11 @@ def test_increment_report_has_phase_timings(spark, sf_dir, tmp_path):
     base = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     out = str(tmp_path / "phase_ds")
-    curate(base, out)
+    _, base_report = curate(base, out)
+    # curate() carries the same per-stage wall-second attribution
+    for phase in ("raw", "exact_dedup", "near_dedup", "quality",
+                  "materialize", "dedup_artifact"):
+        assert phase in base_report.phase_s, base_report.phase_s
     _, report = curate_increment(batch, out)
     for phase in ("setup", "stale_check", "batch_exact", "corpus_exact",
                   "near_dedup", "quality", "append", "artifact_extend"):
