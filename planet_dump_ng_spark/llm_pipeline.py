@@ -575,6 +575,7 @@ def curate(
             capacity=pack_capacity,
         )
         packed.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}_pack")
+        _tick("pack")
     # dedup artifact beside the dataset: what curate_increment probes.
     # The header also records the SPLIT parameters: the xxhash split
     # gate is content-stable only if increments use the same fraction
