@@ -1,0 +1,292 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., 2023).
+
+Selects raw-corpus documents that look like a TARGET distribution by
+scoring each document under two bag-of-hashed-n-gram unigram models:
+
+    log w(doc) = sum_g  [ log p_target(bucket(g)) - log p_raw(bucket(g)) ]
+
+over the document's unigram + bigram instances ``g``, each hashed into
+one of ``n_buckets`` feature buckets (the paper's hashed n-gram
+features).  Documents whose feature mass concentrates where the target
+corpus concentrates get high weights; boilerplate/off-domain docs get
+low ones.  Selection is deterministic top-k by mean per-feature weight
+(the paper resamples with Gumbel noise; a hash-seeded Gumbel would bolt
+on here, but the engine's samplers are deliberately RNG-free).
+
+Spark-first shape (and why it scales):
+
+- ONE tokenize+explode pass produces (doc_id, bucket) feature
+  instances; bucket = ``pmod(xxhash64(gram), n_buckets)`` — the same
+  JVM-side hash the LSH banding uses, with the same DuckDB inline
+  replica (plans/duck_xxh64.py), so the whole technique is
+  hash-oracle-able.
+- The two n-gram language models collapse into ONE map-side-combinable
+  aggregate keyed by ``bucket`` (<= n_buckets rows carry both the raw
+  count and the target count) — the shuffle after the corpus scan is
+  bucket-sized, not corpus-sized.
+- Bucket scores are a <= n_buckets-row dimension, BROADCAST back onto
+  the feature stream; per-doc weights are one more map-side-combinable
+  aggregate.  Nothing in the plan shuffles more than (doc count +
+  n_buckets) rows after the scan.
+- No libm: per-bucket log-ratios use a Q20 fixed-point Mitchell log2
+  (integer/bit arithmetic only, see :func:`ilog2_q20`), so the per-doc
+  weight is an exact BIGINT SUM — order-independent and bit-identical
+  across Spark, DuckDB and Python, where a float ``ln()`` sum would be
+  association-order noise.
+
+Operating bounds (documented, asserted in tests): ``ilog2_q20`` needs
+``1 <= n <= d`` and ``d < 2**33`` (so ``n * 2**20`` stays exact in the
+bigint/double paths).  Totals here are n-gram INSTANCE counts: 2**33 ~
+8.6e9 gram instances per model.  Beyond that, raise the Q20 scale or
+shard the totals; the smoothed probabilities themselves never underflow
+the fixed point because ``rq`` is clamped at 1 (a score floor of
+-20 bits per feature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import text as tx
+
+#: Q20 fixed point: scores are integer multiples of 2^-20 bits.
+Q20 = 1 << 20
+
+
+def _idiv(n: Column, d: Column) -> Column:
+    """Exact integer division for non-negative bigints with ``n < 2**53``.
+
+    ``(n - pmod(n, d)) / d``: the numerator is an exact multiple of
+    ``d`` and representable in a double, so the one float division is
+    exact — no ``div`` parser syntax, no floor-after-rounding hazard.
+    """
+    return ((n - F.pmod(n, d)) / d).cast("long")
+
+
+def ilog2_q20(n: Column, d: Column) -> Column:
+    """Integer Mitchell log2(n/d) in Q20 fixed point (bits * 2^20).
+
+    The integer twin of operators.text.log2_ratio_mitchell: with
+    ``rq = (n * 2^20) div d`` (clamped at 1) and ``e = bitlen(rq) - 1``,
+
+        ilog2_q20(n, d) = (e - 20) * 2^20 + ((rq - 2^e) * 2^20) div 2^e
+
+    Pure bigint/bit arithmetic — Spark, DuckDB (plans/dsir_plans
+    ``_ilog2_q20_sql``) and Python agree bit-for-bit, and SUMs of it are
+    order-independent where float log sums are not.  Max error vs true
+    log2 is Mitchell's ~0.086 bits plus a log2(1 + 1/rq) truncation
+    term (material only near the 2^-20 clamp floor, where rq is
+    small); monotone in n/d; 0 when n == d.
+
+    Requires ``1 <= n <= d < 2**33`` (ratio <= 1: every intermediate
+    stays under 2**41, inside the exact-double window of
+    :func:`_idiv`).  Ratios below 2^-20 clamp to -20 bits.
+    """
+    n = n.cast("bigint")
+    d = d.cast("bigint")
+    rq = F.greatest(_idiv(n * F.lit(Q20), d), F.lit(1).cast("bigint"))
+    e = (F.length(F.bin(rq)) - F.lit(1)).cast("int")
+    p2 = F.call_function("shiftleft", F.lit(1).cast("bigint"), e)
+    frac = _idiv((rq - p2) * F.lit(Q20), p2)
+    return (e.cast("bigint") - F.lit(20)) * F.lit(Q20) + frac
+
+
+def grams_from_tokens(toks: Column) -> Column:
+    """Unigrams ++ adjacent bigrams of a BOUND token-array column.
+
+    The bigram list is guarded empty below 2 tokens — Spark's
+    ``sequence(1, 0)`` would COUNT DOWN, not yield empty (DuckDB's
+    ``range`` handles it; the oracle needs no guard).
+
+    ``toks`` must be a projected column (attribute), not the
+    tokenization expression itself: ``toks`` is referenced INSIDE the
+    transform lambda, and Spark re-evaluates a captured expression per
+    lambda call — handing it ``tokens(text)`` re-splits the whole text
+    for every bigram, O(len^2) per document (measured 15x on the
+    bench corpus).  :func:`hashed_gram_features` projects first.
+    """
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def gram_array(text_col: Column | str) -> Column:
+    """One-expression unigram+bigram builder — unit-test convenience.
+
+    Fine on a handful of rows; for corpus-scale extraction use
+    :func:`hashed_gram_features`, which projects the token array once
+    (see :func:`grams_from_tokens` for the O(len^2) lambda-capture
+    hazard this avoids).
+    """
+    return grams_from_tokens(tx.tokens(text_col))
+
+
+def hashed_gram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, bucket) hashed n-gram feature instances, one row per gram.
+
+    ``carry`` names extra columns to thread through (e.g. the target
+    flag).  The explode is a map-only ~2x row expansion (unigrams +
+    bigrams); everything downstream aggregates it immediately.  The
+    token array is PROJECTED before the bigram lambda touches it —
+    see :func:`grams_from_tokens` for why that ordering matters.
+    """
+    t = df.select(id_col, *carry, tx.tokens(text_col).alias("__toks"))
+    feats = t.select(
+        id_col,
+        *carry,
+        F.explode(grams_from_tokens(F.col("__toks"))).alias("gram"),
+    )
+    return feats.select(
+        id_col,
+        *carry,
+        F.pmod(F.xxhash64(F.col("gram")), F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def dsir_bucket_scores(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-bucket Q20 log-ratio scores — the trained DSIR "model".
+
+    One aggregate computes BOTH hashed-ngram language models (the
+    target rows are a subset of the raw corpus, so ``raw_count`` counts
+    every instance and ``target_count`` the flagged ones), then each
+    bucket scores
+
+        delta_q20 = ilog2_q20(tc + 1, tt + B) - ilog2_q20(rc + 1, rt + B)
+
+    — the add-one-smoothed log p_target/p_raw in Q20 bits.  Returns
+    (bucket, target_count, raw_count, delta_q20), <= n_buckets rows: a
+    broadcastable dimension and a natural persisted artifact.
+    """
+    feats = hashed_gram_features(
+        df.withColumn("__is_t", target.cast("long")),
+        text_col=text_col,
+        n_buckets=n_buckets,
+        carry=("__is_t",),
+    )
+    return _scores_from_features(feats, n_buckets)
+
+
+def _scores_from_features(feats: DataFrame, n_buckets: int) -> DataFrame:
+    """Bucket-score dimension from a (.., __is_t, bucket) feature table."""
+    per_bucket = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_count"),
+        F.sum("__is_t").cast("bigint").alias("target_count"),
+    )
+    tots = per_bucket.agg(
+        F.sum("raw_count").cast("bigint").alias("rt"),
+        F.sum("target_count").cast("bigint").alias("tt"),
+    )
+    b = F.lit(n_buckets).cast("bigint")
+    return (
+        per_bucket.crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            "target_count",
+            "raw_count",
+            (
+                ilog2_q20(F.col("target_count") + 1, F.col("tt") + b)
+                - ilog2_q20(F.col("raw_count") + 1, F.col("rt") + b)
+            ).alias("delta_q20"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR log importance weights.
+
+    (doc_id, n_feats, logw_q20, logw_bits): ``logw_q20`` is the exact
+    BIGINT sum of the doc's per-feature Q20 scores (hash-stable across
+    engines); ``logw_bits`` the same in float bits (exact: a division
+    by 2^20).  Docs with no tokens emit no features and are absent —
+    they carry no evidence either way.
+
+    Pass ``scores`` to apply a PRE-TRAINED bucket-score dimension (the
+    train-once/apply-anywhere shape: score a new crawl batch under a
+    frozen target model without rescanning the reference corpus).
+
+    When training inline (``scores=None``), the feature pass is
+    materialized ONCE (lazy localCheckpoint — no stranded CacheManager
+    entry) and feeds both the bucket-model aggregate and the per-doc
+    join: at corpus scale the tokenize+explode scan is the dominant
+    cost, and it must not run twice.
+    """
+    if scores is None:
+        feats_t = hashed_gram_features(
+            df.withColumn("__is_t", target.cast("long")),
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+            carry=("__is_t",),
+        ).localCheckpoint(eager=False)
+        scores = _scores_from_features(feats_t, n_buckets)
+        feats = feats_t.drop("__is_t")
+    else:
+        feats = hashed_gram_features(
+            df, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        )
+    return (
+        feats.join(F.broadcast(scores.select("bucket", "delta_q20")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("delta_q20").cast("bigint").alias("logw_q20"),
+            (F.sum("delta_q20").cast("double") / F.lit(float(Q20))).alias(
+                "logw_bits"
+            ),
+        )
+    )
+
+
+def dsir_topk_select(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic DSIR selection: top-k docs by MEAN per-feature
+    weight (total weight is length-biased — a long off-domain doc with
+    many mildly-positive buckets would outscore a short on-domain one).
+
+    orderBy+limit lowers to TakeOrderedAndProject (a per-partition
+    heap + driver merge of k rows, never a global sort); (mean, doc_id)
+    is a total order, so the selected SET is deterministic.
+    """
+    w = dsir_importance_weights(
+        df, target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    mean_bits = (
+        F.col("logw_q20").cast("double") / F.col("n_feats") / F.lit(float(Q20))
+    ).alias("mean_logw_bits")
+    return (
+        w.select(id_col, "n_feats", "logw_q20", mean_bits)
+        .orderBy(F.col("mean_logw_bits").desc(), id_col)
+        .limit(k)
+    )

@@ -31,3 +31,6 @@ def load_all() -> None:
     # curation_plans (round 5) imports after extras_plans for the same
     # reason: its entries queue BEHIND the established never-checked set.
     from planet_dump_ng_spark.plans import curation_plans  # noqa: F401
+
+    # dsir_plans (round 7): same last-import rule as above.
+    from planet_dump_ng_spark.plans import dsir_plans  # noqa: F401

@@ -1,0 +1,142 @@
+"""DSIR (importance-resampling data selection) queries over ``documents``.
+
+Fully hash-oracled: the hashed n-gram bucketing replays through the
+DuckDB xxhash64 replica (plans/duck_xxh64.py) and the Q20 Mitchell
+log-ratio through pure integer SQL (``_ilog2_q20_sql`` — the DuckDB
+twin of operators.dsir.ilog2_q20), so per-doc weights compare
+bit-exact.  Target distribution for the registry queries: ``lang =
+'en'`` documents — "select raw docs that look like the English target"
+is the paper's own framing (Xie et al., 2023, hashed n-gram features).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import dsir as ds
+from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_pmod_inline
+from planet_dump_ng_spark.plans.registry import register, table
+
+_B = 4096  #: hashed feature buckets (paper uses 10k; power of two)
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+def _ilog2_q20_sql(n: str, d: str) -> str:
+    """DuckDB replica of operators.dsir.ilog2_q20 (Q20 Mitchell log2).
+
+    Same integer/bit ops: rq = (n * 2^20) // d clamped at 1,
+    e = bitlen(rq) - 1, (e - 20) * 2^20 + ((rq - 2^e) * 2^20) // 2^e.
+    Requires 1 <= n <= d < 2^33, like the Spark side.
+    """
+    rq = f"greatest((CAST({n} AS BIGINT) * 1048576) // CAST({d} AS BIGINT), 1)"
+    # one list_transform "let" binding evaluates rq once (the
+    # duck_xxh64 trick), then e and 2^e derive from it positionally
+    return (
+        f"list_transform([{rq}], rq -> "
+        "list_transform([length(bin(rq)) - 1], e -> "
+        "(CAST(e AS BIGINT) - 20) * 1048576"
+        " + ((rq - (1::BIGINT << e)) * 1048576) // (1::BIGINT << e)"
+        ")[1])[1]"
+    )
+
+
+def _dsir_ctes() -> str:
+    """Shared CTE chain: features -> bucket models -> Q20 scores."""
+    bucket = xxh64_pmod_inline("gram", _B, prefix="dg")
+    s_t = _ilog2_q20_sql("tc + 1", f"tot.tt + {_B}")
+    s_r = _ilog2_q20_sql("rc + 1", f"tot.rt + {_B}")
+    return f"""
+    WITH t AS (SELECT doc_id, (lang = 'en') AS is_t, {_TOKS} AS toks
+               FROM documents),
+    g AS (SELECT doc_id, is_t,
+                 unnest(toks || list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS gram
+          FROM t),
+    f AS (SELECT doc_id, is_t, {bucket} AS bucket FROM g),
+    pb AS (SELECT bucket,
+                  COUNT(*) AS rc,
+                  CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc
+           FROM f GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rt,
+                   CAST(SUM(tc) AS BIGINT) AS tt FROM pb),
+    sc AS (SELECT bucket, tc, rc, ({s_t}) - ({s_r}) AS delta_q20
+           FROM pb, tot)
+    """
+
+
+@register(
+    "dsir_bucket_scores",
+    _dsir_ctes()
+    + """
+    SELECT bucket, tc AS target_count, CAST(rc AS BIGINT) AS raw_count,
+           delta_q20
+    FROM sc
+    """,
+    doc="The trained DSIR model: per hashed-ngram-bucket Q20 log2 "
+    "p_target/p_raw (add-one smoothed), target = lang='en' docs.  One "
+    "tokenize pass, ONE map-side-combinable aggregate carries both "
+    "language models (target rows are a subset of raw), totals are a "
+    "1-row broadcast — the post-scan shuffle is n_buckets-sized.  The "
+    "log-ratio is integer Q20 Mitchell (operators.dsir.ilog2_q20): no "
+    "libm, so the dimension is bit-exact across engines and a clean "
+    "persisted artifact for train-once/apply-anywhere scoring.",
+    tags=("text", "sample", "agg"),
+)
+def dsir_bucket_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return ds.dsir_bucket_scores(d, F.col("lang") == "en", n_buckets=_B)
+
+
+@register(
+    "dsir_importance_weights",
+    _dsir_ctes()
+    + """
+    SELECT f.doc_id,
+           COUNT(*) AS n_feats,
+           CAST(SUM(sc.delta_q20) AS BIGINT) AS logw_q20,
+           CAST(SUM(sc.delta_q20) AS DOUBLE) / 1048576 AS logw_bits
+    FROM f JOIN sc USING (bucket)
+    GROUP BY f.doc_id
+    """,
+    doc="DSIR per-document log importance weights: each doc's hashed "
+    "unigram+bigram instances sum the broadcast bucket scores — "
+    "log2 w(doc) = sum_g delta(bucket(g)) in Q20 bits.  The sum is an "
+    "exact BIGINT (order-independent where a float log sum is "
+    "association noise), so the driver hash-compares the whole "
+    "technique.  Plan: map-only explode, broadcast join of the "
+    "<=4096-row score dim, one per-doc aggregate — nothing shuffles "
+    "more than doc_count + n_buckets rows after the scan.",
+    tags=("text", "sample", "agg", "bench"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return ds.dsir_importance_weights(d, F.col("lang") == "en", n_buckets=_B)
+
+
+@register(
+    "dsir_topk_select",
+    _dsir_ctes()
+    + """
+    , w AS (SELECT f.doc_id,
+                   COUNT(*) AS n_feats,
+                   CAST(SUM(sc.delta_q20) AS BIGINT) AS logw_q20
+            FROM f JOIN sc USING (bucket)
+            GROUP BY f.doc_id)
+    SELECT doc_id, n_feats, logw_q20,
+           CAST(logw_q20 AS DOUBLE) / n_feats / 1048576 AS mean_logw_bits
+    FROM w
+    ORDER BY mean_logw_bits DESC, doc_id
+    LIMIT 100
+    """,
+    doc="Deterministic DSIR selection: top-100 docs by MEAN per-feature "
+    "weight (total weight is length-biased).  orderBy+limit lowers to "
+    "TakeOrderedAndProject — per-partition heap + driver merge of k "
+    "rows, never a global sort; (mean, doc_id) totally orders, so the "
+    "selected set is stable.  The paper's Gumbel resampling would bolt "
+    "on as hash-seeded noise; the engine's samplers stay RNG-free.",
+    tags=("text", "sample", "topk"),
+)
+def dsir_topk_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return ds.dsir_topk_select(d, F.col("lang") == "en", k=100, n_buckets=_B)

@@ -1,0 +1,184 @@
+"""DSIR importance-resampling selection (operators/dsir.py).
+
+Pins: the Q20 integer Mitchell log2 against a pure-Python reference and
+against true log2 (error bound, monotonicity, zero-at-equal); the gram
+builder's short-document edges (Spark's sequence() counts DOWN where
+DuckDB's range() is empty — the round-7 hazard the guard exists for);
+weight semantics (target-looking docs outscore off-target ones); and
+the frozen-scores serving path (train once, apply to a new batch)
+bit-equal to inline training.
+"""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from planet_dump_ng_spark.operators import dsir as ds
+
+
+def _ilog2_q20_py(n: int, d: int) -> int:
+    """Pure-Python twin of operators.dsir.ilog2_q20."""
+    rq = max((n << 20) // d, 1)
+    e = rq.bit_length() - 1
+    return (e - 20) * (1 << 20) + ((rq - (1 << e)) << 20) // (1 << e)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=2**33 - 1),
+    st.integers(min_value=1, max_value=2**33 - 1),
+)
+def test_ilog2_q20_mitchell_bound(n, d):
+    """Python reference obeys the Mitchell bound over the whole domain:
+    0.08608 linearization error + log2(1 + 1/rq) for the rq truncation
+    (material only near the 2^-20 clamp floor, where rq is small)."""
+    if n > d:
+        n, d = d, n
+    v = _ilog2_q20_py(n, d) / (1 << 20)
+    true = math.log2(n / d)
+    assert v <= 0
+    rq = max((n << 20) // d, 1)
+    assert (true <= -20 and v == -20.0) or (
+        abs(v - true) <= 0.08608 + math.log2(1 + 1 / rq) + 2**-20
+    )
+
+
+def test_ilog2_q20_spark_equals_python(spark):
+    """Spark == pure Python across the domain's edge structure, in ONE
+    job: powers of two (exact), +/-1 neighbours (mantissa extremes),
+    the 2^33-1 ceiling, and the sub-2^-20 clamp."""
+    pairs = []
+    for e in (0, 1, 2, 5, 19, 20, 21, 32):
+        p = 1 << e
+        for n in (1, p - 1, p, p + 1):
+            for d in (p, p + 1, 2 * p - 1, 2**33 - 1):
+                if 1 <= n <= d:
+                    pairs.append((n, d))
+    df = spark.createDataFrame(pairs, "n long, d long")
+    got = df.select(
+        "n", "d", ds.ilog2_q20(F.col("n"), F.col("d")).alias("v")
+    ).collect()
+    assert len(got) == len(pairs)
+    for r in got:
+        assert r.v == _ilog2_q20_py(r.n, r.d), (r.n, r.d)
+
+
+@pytest.mark.parametrize(
+    "n,d",
+    [(1, 1), (1, 2), (1, 3), (3, 4), (7, 8), (1, 4096), (4095, 4096),
+     (1, 2**33 - 1), (2**32, 2**33 - 1)],
+)
+def test_ilog2_q20_accuracy(n, d):
+    """Mitchell bound: |ilog2/2^20 - log2(n/d)| <= 0.0862; exact 0 at n==d;
+    clamp floor at -20 bits for ratios under 2^-20."""
+    v = _ilog2_q20_py(n, d) / (1 << 20)
+    if n == d:
+        assert v == 0.0
+    true = math.log2(n / d)
+    if true <= -20:
+        assert v == pytest.approx(-20.0, abs=1e-6)
+    else:
+        assert abs(v - true) <= 0.0862
+
+
+def test_ilog2_q20_monotone():
+    vals = [_ilog2_q20_py(n, 10_000) for n in range(1, 10_001, 37)]
+    assert vals == sorted(vals)
+
+
+def test_gram_array_short_docs(spark):
+    """0/1/2-token docs: unigrams always, bigrams only from 2 tokens —
+    and NEVER a descending-sequence artifact."""
+    df = spark.createDataFrame(
+        [Row(t=""), Row(t="  "), Row(t="one"), Row(t="a b"), Row(t="a b c")]
+    )
+    rows = df.select(ds.gram_array("t").alias("g")).collect()
+    assert rows[0].g == []
+    assert rows[1].g == []
+    assert rows[2].g == ["one"]
+    assert rows[3].g == ["a", "b", "a b"]
+    assert rows[4].g == ["a", "b", "c", "a b", "b c"]
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    """Two sublanguages: target docs speak {alpha beta gamma}, raw-only
+    docs speak {zig zag zog}; one doc straddles."""
+    rows = [
+        Row(doc_id=0, text="alpha beta gamma alpha beta", is_t=True),
+        Row(doc_id=1, text="beta gamma alpha gamma", is_t=True),
+        Row(doc_id=2, text="alpha beta alpha beta gamma", is_t=True),
+        Row(doc_id=3, text="zig zag zog zig zag", is_t=False),
+        Row(doc_id=4, text="zog zig zag zog", is_t=False),
+        Row(doc_id=5, text="alpha zig beta zag", is_t=False),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_weights_separate_target_lookalikes(tiny_corpus):
+    w = ds.dsir_importance_weights(
+        tiny_corpus, F.col("is_t"), n_buckets=256
+    ).collect()
+    by_id = {r.doc_id: r for r in w}
+    assert set(by_id) == {0, 1, 2, 3, 4, 5}
+    # every pure-target-vocabulary doc outscores every pure-raw one,
+    # and the straddler lands strictly between the two groups
+    t_scores = [by_id[i].logw_bits for i in (0, 1, 2)]
+    r_scores = [by_id[i].logw_bits for i in (3, 4)]
+    assert min(t_scores) > by_id[5].logw_bits > max(r_scores)
+    # logw_bits is exactly logw_q20 / 2^20 (no float drift)
+    for r in w:
+        assert r.logw_bits == r.logw_q20 / (1 << 20)
+
+
+def test_frozen_scores_serving_path(tiny_corpus, spark):
+    """Scoring a NEW batch under a pre-trained score dim is bit-equal to
+    what inline training over the same corpus produces for those docs."""
+    scores = ds.dsir_bucket_scores(
+        tiny_corpus, F.col("is_t"), n_buckets=256
+    ).persist()
+    inline = {
+        r.doc_id: (r.n_feats, r.logw_q20)
+        for r in ds.dsir_importance_weights(
+            tiny_corpus, F.col("is_t"), n_buckets=256
+        ).collect()
+    }
+    batch = tiny_corpus.filter(F.col("doc_id") >= 3)
+    served = ds.dsir_importance_weights(
+        batch, F.lit(False), n_buckets=256, scores=scores
+    ).collect()
+    scores.unpersist()
+    assert {r.doc_id: (r.n_feats, r.logw_q20) for r in served} == {
+        i: inline[i] for i in (3, 4, 5)
+    }
+
+
+def test_topk_deterministic_and_ordered(tiny_corpus):
+    top = ds.dsir_topk_select(
+        tiny_corpus, F.col("is_t"), k=3, n_buckets=256
+    ).collect()
+    assert [r.doc_id for r in top][:3] == sorted(
+        [r.doc_id for r in top][:3],
+        key=lambda i: next(-t.mean_logw_bits for t in top if t.doc_id == i),
+    )
+    # the 3 kept docs are exactly the target-vocabulary ones
+    assert {r.doc_id for r in top} == {0, 1, 2}
+    again = ds.dsir_topk_select(
+        tiny_corpus, F.col("is_t"), k=3, n_buckets=256
+    ).collect()
+    assert [(r.doc_id, r.logw_q20) for r in again] == [
+        (r.doc_id, r.logw_q20) for r in top
+    ]
+
+
+def test_empty_text_docs_absent(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha beta", is_t=True),
+         Row(doc_id=1, text="", is_t=False)]
+    )
+    w = ds.dsir_importance_weights(df, F.col("is_t"), n_buckets=64).collect()
+    assert {r.doc_id for r in w} == {0}
