@@ -58,6 +58,11 @@ class CurationReport:
     stages: list[tuple[str, int]] = field(default_factory=list)
     tokens: list[tuple[str, int]] = field(default_factory=list)
     phase_s: dict[str, float] = field(default_factory=dict)
+    #: concrete LSH emission mode the run used ("pairs"/"star") — under
+    #: lsh_mode="auto" this is the probe's decision, and lsh_auto_widest
+    #: carries the evidence (the widest LSH bucket the probe saw).
+    lsh_mode_resolved: str | None = None
+    lsh_auto_widest: int | None = None
 
     def log(self, stage: str, n: int, n_tokens: int | None = None) -> None:
         self.stages.append((stage, n))
@@ -290,6 +295,7 @@ def curate(
     write_dedup_artifact: bool = True,
     lsh_mode: str = "star",
     max_bucket: int | None = None,
+    auto_star_width: int = 256,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -329,9 +335,23 @@ def curate(
     representatives) and recorded in its meta header, so every later
     increment probes O(cap) representatives per bucket and inherits
     the cap.  Ignored by star-mode candidate emission (already linear).
+
+    ``lsh_mode="auto"`` measures instead of guessing: the near-dedup
+    stage builds the LSH bucket table once, probes its WIDEST bucket
+    (one map-side-combinable aggregate over the table the candidate
+    join needs anyway), and picks ``"pairs"`` when every bucket is at
+    most ``auto_star_width`` docs wide (worst bucket emits <=
+    width^2/2 pairs — exhaustive verification is affordable, so take
+    it) else ``"star"``.  The DECISION is concrete everywhere it
+    lands: ``report.lsh_mode_resolved`` / ``report.lsh_auto_widest``
+    carry it with its evidence, the artifact meta records the resolved
+    mode (never "auto"), and the leakage-free split pass reuses it —
+    increments inherit a measured policy, not the probe.
     """
-    if lsh_mode not in ("pairs", "star"):
-        raise ValueError(f"lsh_mode must be 'pairs' or 'star', got {lsh_mode!r}")
+    if lsh_mode not in ("pairs", "star", "auto"):
+        raise ValueError(
+            f"lsh_mode must be 'pairs', 'star' or 'auto', got {lsh_mode!r}"
+        )
     import time as _time
 
     report = CurationReport()
@@ -394,8 +414,25 @@ def curate(
     # 2. near-dup removal: LSH candidates -> exact-Jaccard verify; the
     # larger doc id of every verified pair drops (min-id survivor rule,
     # consistent with exact dedup)
+    bkts = None
+    if lsh_mode == "auto":
+        # one lazy localCheckpoint: the stats probe and the candidate
+        # join read the SAME materialized bucket table (no second
+        # signature pass, no stranded CacheManager entry)
+        bkts = dd.lsh_buckets(docs, **_DEDUP_LSH).localCheckpoint(eager=False)
+        widest = (
+            bkts.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .agg(F.max("w"))
+            .first()[0]
+            or 0
+        )
+        lsh_mode = "pairs" if widest <= auto_star_width else "star"
+        report.lsh_auto_widest = int(widest)
+        _tick("lsh_auto_probe")
+    report.lsh_mode_resolved = lsh_mode
     cands = dd.minhash_lsh_candidates(
-        docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket
+        docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket, buckets=bkts
     )
     pairs = dd.ngram_jaccard_pairs(
         docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold, candidates=cands
@@ -707,6 +744,13 @@ def curate_increment(
             f"recorded leakage_free={recorded['leakage_free']} — a "
             "dataset curated one way cannot take increments split the "
             "other way; omit the flag to inherit the recorded policy"
+        )
+    if lsh_mode == "auto":
+        raise ValueError(
+            "lsh_mode='auto' resolves at curate() time (the probe ran "
+            "over the FULL corpus and its decision is in the artifact "
+            "header); increments inherit the recorded concrete mode — "
+            "omit the flag"
         )
     if lsh_mode is None:
         lsh_mode = recorded.get("lsh_mode", "pairs")
@@ -1189,7 +1233,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--lsh-mode",
-        choices=("pairs", "star"),
+        choices=("pairs", "star", "auto"),
         default=None,
         help="near-dedup candidate emission: 'star' (the fresh-curation "
         "default) pairs bucket members with the bucket-minimum id — "
@@ -1197,8 +1241,12 @@ def main(argv: list[str] | None = None) -> int:
         "corpora with viral-boilerplate clusters require; 'pairs' "
         "verifies every bucket-sharing pair (exhaustive opt-in — use "
         "when the leakage-free split guard must be exhaustive at low "
-        "similarity, and bound it with --max-bucket).  With "
-        "--increment, omitted = inherit the dataset's recorded mode",
+        "similarity, and bound it with --max-bucket); 'auto' measures "
+        "the widest LSH bucket and picks pairs when exhaustive "
+        "verification is affordable (<= 256 docs wide), star "
+        "otherwise — the artifact records the resolved mode.  With "
+        "--increment, omitted = inherit the dataset's recorded mode "
+        "('auto' is curate-time only and raises)",
     )
     p.add_argument(
         "--max-bucket",

@@ -280,3 +280,68 @@ def test_increment_report_has_phase_timings(spark, sf_dir, tmp_path):
         docs.filter(F.col("doc_id") % 8 == 5), out, audit_tokens=True
     )
     assert dict(report2.tokens).keys() == dict(report2.stages).keys()
+
+
+def test_auto_mode_picks_star_on_mega_bucket(spark, tmp_path):
+    """lsh_mode='auto' measures the widest LSH bucket and lands on star
+    when it exceeds auto_star_width; the artifact records the RESOLVED
+    mode (never 'auto'), the report carries decision + evidence, and
+    the min-id survivor election is unchanged."""
+    n_cluster = 300
+    docs = _mega_cluster_docs(spark, n_cluster=n_cluster)
+    out = str(tmp_path / "auto_star_ds")
+    _, report = curate(docs, out, min_tokens=5, lsh_mode="auto")
+    assert report.lsh_mode_resolved == "star"
+    assert report.lsh_auto_widest > 256  # the mega bucket, seen
+    assert "lsh_auto_probe" in report.phase_s
+    meta = json.load(open(f"{_dedup_artifact_dir(out)}/meta.json"))
+    assert meta["lsh_mode"] == "star"
+    surv = spark.read.parquet(out).filter(F.col("doc_id") < 1000)
+    assert [r.doc_id for r in surv.collect()] == [0]
+
+
+def test_auto_mode_picks_pairs_on_benign_corpus(spark, tmp_path):
+    """With every bucket under auto_star_width, auto takes the
+    exhaustive pairs path (affordable, strictly better recall)."""
+    docs = _mega_cluster_docs(spark, n_cluster=0, n_unique=25)
+    out = str(tmp_path / "auto_pairs_ds")
+    _, report = curate(docs, out, min_tokens=5, lsh_mode="auto")
+    assert report.lsh_mode_resolved == "pairs"
+    assert report.lsh_auto_widest <= 256
+    meta = json.load(open(f"{_dedup_artifact_dir(out)}/meta.json"))
+    assert meta["lsh_mode"] == "pairs"
+
+
+def test_auto_mode_threshold_knob(spark, tmp_path):
+    """auto_star_width is the decision boundary: the same 120-doc
+    cluster resolves pairs at the default width and star under a
+    tighter one."""
+    docs = _mega_cluster_docs(spark, n_cluster=120)
+    out = str(tmp_path / "auto_knob_ds")
+    _, report = curate(
+        docs, out, min_tokens=5, lsh_mode="auto", auto_star_width=64
+    )
+    assert report.lsh_mode_resolved == "star"
+    assert report.lsh_auto_widest > 64
+
+
+def test_increment_rejects_auto(spark, sf_dir, tmp_path):
+    """'auto' is a curate-time probe over the full corpus; an increment
+    must inherit the recorded concrete decision instead."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = str(tmp_path / "auto_inc_ds")
+    curate(base, out)
+    with pytest.raises(ValueError, match="auto"):
+        curate_increment(batch, out, lsh_mode="auto")
+
+
+def test_resolved_mode_recorded_for_concrete_modes(spark, tmp_path):
+    """report.lsh_mode_resolved mirrors the concrete mode when no probe
+    runs (so consumers can always read one field)."""
+    docs = _mega_cluster_docs(spark, n_cluster=0, n_unique=10)
+    out = str(tmp_path / "resolved_ds")
+    _, report = curate(docs, out, min_tokens=5, lsh_mode="pairs")
+    assert report.lsh_mode_resolved == "pairs"
+    assert report.lsh_auto_widest is None
