@@ -45,10 +45,18 @@ the fixed point because ``rq`` is clamped at 1 (a score floor of
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from planet_dump_ng_spark.operators import text as tx
+
+FORMAT = "dsir-model-v1"
+#: the feature recipe the scores were trained under — a model applied
+#: with a different featurizer scores garbage, so serving validates it
+FEATURIZER = "tokens-v1+bigram/xxh64"
 
 #: Q20 fixed point: scores are integer multiples of 2^-20 bits.
 Q20 = 1 << 20
@@ -289,4 +297,103 @@ def dsir_topk_select(
         w.select(id_col, "n_feats", "logw_q20", mean_bits)
         .orderBy(F.col("mean_logw_bits").desc(), id_col)
         .limit(k)
+    )
+
+
+def write_dsir_model(
+    df: DataFrame,
+    target: Column,
+    model_dir: str,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    target_desc: str = "",
+) -> dict:
+    """Train the DSIR bucket-score model once and persist it:
+    ``scores`` (bucket, target_count, raw_count, delta_q20 — exact
+    integers, so the artifact round-trips bit-perfectly) and
+    ``meta.json`` LAST as the commit marker (read_dsir_model requires
+    it, so a half-written artifact reads as no artifact; any
+    PRE-EXISTING header is deleted first so a retrain that crashes
+    mid-write can never leave the old header validating new
+    half-written scores — the tokenizer/dedup artifact protocol).
+
+    The model is <= n_buckets rows regardless of corpus size: training
+    cost is the one feature scan, the artifact itself is dimension-
+    sized and broadcastable forever after.  ``target_desc`` records
+    WHAT the target predicate was (provenance for the header; the
+    predicate itself is a plan-side Column and not serializable).
+    """
+    d = model_dir.rstrip("/")
+    os.makedirs(d, exist_ok=True)
+    meta_path = f"{d}/meta.json"
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    scores = dsir_bucket_scores(
+        df, target, text_col=text_col, n_buckets=n_buckets
+    )
+    scores.coalesce(1).write.mode("overwrite").parquet(f"{d}/scores")
+    persisted = df.sparkSession.read.parquet(f"{d}/scores")
+    tot = persisted.agg(
+        F.sum("raw_count").cast("bigint").alias("rt"),
+        F.sum("target_count").cast("bigint").alias("tt"),
+        F.count(F.lit(1)).alias("nb"),
+    ).first()
+    meta = {
+        "format": FORMAT,
+        "featurizer": FEATURIZER,
+        "n_buckets": n_buckets,
+        "n_occupied_buckets": tot["nb"],
+        "n_feats_raw": tot["rt"] or 0,
+        "n_feats_target": tot["tt"] or 0,
+        "target_desc": target_desc,
+    }
+    with open(meta_path, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def read_dsir_model(
+    spark: SparkSession, model_dir: str
+) -> tuple[DataFrame, dict]:
+    """Load (scores, meta) from a persisted DSIR model; loud error for
+    a non-model directory or a foreign format/featurizer — a scorer
+    pointed at the wrong artifact must refuse, not weight garbage."""
+    d = model_dir.rstrip("/")
+    meta_path = f"{d}/meta.json"
+    if not os.path.exists(meta_path):
+        raise ValueError(f"{model_dir} has no meta.json — not a DSIR model")
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    if meta.get("format") != FORMAT:
+        raise ValueError(
+            f"{model_dir} is format {meta.get('format')!r}, expected {FORMAT}"
+        )
+    if meta.get("featurizer") != FEATURIZER:
+        raise ValueError(
+            f"{model_dir} was trained under featurizer "
+            f"{meta.get('featurizer')!r}; this build extracts {FEATURIZER!r}"
+            " — scores from a different feature recipe are meaningless"
+        )
+    return spark.read.parquet(f"{d}/scores"), meta
+
+
+def dsir_score_with_model(
+    docs: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a (new) corpus under a FROZEN persisted model — the
+    train-once/apply-anywhere serving path: one feature scan over the
+    batch, broadcast join of the dimension-sized score table, one
+    per-doc aggregate.  Pinned bit-equal to inline training over the
+    same corpus in tests/test_dsir.py."""
+    scores, meta = read_dsir_model(docs.sparkSession, model_dir)
+    return dsir_importance_weights(
+        docs,
+        F.lit(False),
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=meta["n_buckets"],
+        scores=scores,
     )

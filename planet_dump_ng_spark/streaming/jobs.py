@@ -1008,3 +1008,76 @@ def bpe_encode_stream(docs: DataFrame, tokenizer_dir: str) -> DataFrame:
 
     merges, _ = read_bpe_tokenizer(docs.sparkSession, tokenizer_dir)
     return bpe_apply_stats_stateless(docs, _collect_rules(merges))
+
+
+def dsir_score_stream(docs: DataFrame, model_dir: str) -> DataFrame:
+    """Streaming DSIR scoring under a FROZEN persisted model
+    (operators.dsir.write_dsir_model) — the ingest-time domain gate:
+    every arriving document gets its log importance weight before it
+    reaches the training mix.
+
+    Stateless row map, so append mode with zero watermark bookkeeping:
+    the token array is projected once per row, grams and bucket ids
+    derive JVM-side (the same pmod(xxhash64) featurizer the model was
+    trained under — read_dsir_model refuses a foreign featurizer), and
+    ONE Arrow-batched pandas UDF folds each row's bucket list through a
+    numpy lookup of the score dimension.  The score table is collected
+    ONCE at stream construction (bounded: <= n_buckets rows, the model
+    artifact contract) — retraining the model means restarting the
+    stream, exactly like bpe_encode_stream's frozen rule list.  Grams
+    in buckets the model never saw are DROPPED from both the count and
+    the sum — the batch path's inner join semantics — and docs with no
+    scored feature at all are filtered (the batch per-doc aggregate
+    never sees them).  Pinned bit-equal to dsir_score_with_model over
+    the same files in tests/test_dsir.py."""
+    import numpy as np
+
+    from planet_dump_ng_spark.operators import dsir as ds
+
+    scores, meta = ds.read_dsir_model(docs.sparkSession, model_dir)
+    nb = int(meta["n_buckets"])
+    delta = np.zeros(nb, dtype=np.int64)
+    present = np.zeros(nb, dtype=bool)
+    for r in scores.select("bucket", "delta_q20").collect():
+        delta[int(r.bucket)] = int(r.delta_q20)
+        present[int(r.bucket)] = True
+
+    @F.pandas_udf("n_feats bigint, logw_q20 bigint")
+    def fold(buckets: pd.Series) -> pd.DataFrame:
+        out_n, out_w = [], []
+        for b in buckets:
+            if b is None or len(b) == 0:
+                # null/empty text: the batch path's explode emits no
+                # feature rows, so the doc is absent there — score 0
+                # here and let the n_feats > 0 filter drop it
+                out_n.append(0)
+                out_w.append(0)
+                continue
+            idx = np.asarray(b, dtype=np.int64)
+            seen = present[idx]
+            out_n.append(int(seen.sum()))
+            out_w.append(int(delta[idx[seen]].sum()))
+        return pd.DataFrame({"n_feats": out_n, "logw_q20": out_w})
+
+    from planet_dump_ng_spark.operators import text as tx
+
+    t = docs.select("doc_id", tx.tokens("text").alias("__toks"))
+    bucketed = t.select(
+        "doc_id",
+        F.transform(
+            ds.grams_from_tokens(F.col("__toks")),
+            lambda g: F.pmod(F.xxhash64(g), F.lit(nb)),
+        ).alias("__buckets"),
+    )
+    return (
+        bucketed.select("doc_id", fold("__buckets").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.n_feats").alias("n_feats"),
+            F.col("s.logw_q20").alias("logw_q20"),
+            (F.col("s.logw_q20").cast("double") / F.lit(1048576.0)).alias(
+                "logw_bits"
+            ),
+        )
+        .filter(F.col("n_feats") > 0)
+    )

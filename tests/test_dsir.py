@@ -182,3 +182,171 @@ def test_empty_text_docs_absent(spark):
     )
     w = ds.dsir_importance_weights(df, F.col("is_t"), n_buckets=64).collect()
     assert {r.doc_id for r in w} == {0}
+
+
+def test_model_artifact_roundtrip_and_guards(tiny_corpus, spark, tmp_path):
+    """write/read round-trip is bit-perfect (integer scores); a
+    half-written artifact (no meta) reads as no artifact; foreign
+    format/featurizer refuse loudly."""
+    import json
+    import os
+
+    d = str(tmp_path / "dsir_model")
+    meta = ds.write_dsir_model(
+        tiny_corpus, F.col("is_t"), d, n_buckets=256,
+        target_desc="is_t flag",
+    )
+    assert meta["format"] == ds.FORMAT
+    assert meta["n_buckets"] == 256
+    assert meta["n_feats_raw"] > meta["n_feats_target"] > 0
+    scores, meta2 = ds.read_dsir_model(spark, d)
+    assert meta2 == meta
+    direct = {
+        r.bucket: (r.target_count, r.raw_count, r.delta_q20)
+        for r in ds.dsir_bucket_scores(
+            tiny_corpus, F.col("is_t"), n_buckets=256
+        ).collect()
+    }
+    loaded = {
+        r.bucket: (r.target_count, r.raw_count, r.delta_q20)
+        for r in scores.collect()
+    }
+    assert loaded == direct
+    # crash window: header missing -> not a model
+    os.remove(f"{d}/meta.json")
+    with pytest.raises(ValueError, match="no meta.json"):
+        ds.read_dsir_model(spark, d)
+    # foreign format / featurizer -> loud refusal
+    json.dump({"format": "other"}, open(f"{d}/meta.json", "w"))
+    with pytest.raises(ValueError, match="format"):
+        ds.read_dsir_model(spark, d)
+    json.dump(
+        {"format": ds.FORMAT, "featurizer": "chars-v0"},
+        open(f"{d}/meta.json", "w"),
+    )
+    with pytest.raises(ValueError, match="featurizer"):
+        ds.read_dsir_model(spark, d)
+
+
+def test_retrain_deletes_stale_header_first(tiny_corpus, spark, tmp_path):
+    """A retrain deletes the old header before writing tables — the
+    mid-write crash window can never leave the old meta validating new
+    half-written scores."""
+    import os
+
+    d = str(tmp_path / "dsir_retrain")
+    ds.write_dsir_model(tiny_corpus, F.col("is_t"), d, n_buckets=256)
+    # simulate the crash window: a retrain that dies right after the
+    # header delete must leave an UNREADABLE artifact, not a stale one
+    os.remove(f"{d}/meta.json")
+    with pytest.raises(ValueError):
+        ds.read_dsir_model(spark, d)
+    # and a completed retrain restores it
+    meta = ds.write_dsir_model(tiny_corpus, F.col("is_t"), d, n_buckets=256)
+    assert meta["n_buckets"] == 256
+
+
+def test_score_with_model_matches_inline(tiny_corpus, spark, tmp_path):
+    d = str(tmp_path / "dsir_serve")
+    ds.write_dsir_model(tiny_corpus, F.col("is_t"), d, n_buckets=256)
+    served = {
+        r.doc_id: (r.n_feats, r.logw_q20, r.logw_bits)
+        for r in ds.dsir_score_with_model(tiny_corpus, d).collect()
+    }
+    inline = {
+        r.doc_id: (r.n_feats, r.logw_q20, r.logw_bits)
+        for r in ds.dsir_importance_weights(
+            tiny_corpus, F.col("is_t"), n_buckets=256
+        ).collect()
+    }
+    assert served == inline
+
+
+def test_dsir_score_stream_matches_batch(tiny_corpus, spark, tmp_path):
+    """Streaming scoring under the frozen model == batch serving over
+    the same files (stateless map + lookup fold, append mode)."""
+    from planet_dump_ng_spark.streaming import jobs
+
+    d = str(tmp_path / "dsir_stream_model")
+    ds.write_dsir_model(tiny_corpus, F.col("is_t"), d, n_buckets=256)
+
+    bus = str(tmp_path / "bus")
+    cols = ["doc_id", "text"]
+    full = tiny_corpus.select(
+        "doc_id", "text",
+        F.lit("s").alias("source"), F.lit("en").alias("lang"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    bus_cols = ["doc_id", "source", "lang", "text", "n_chars"]
+    full.filter(F.col("doc_id") < 3).select(*bus_cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(bus)
+    full.filter(F.col("doc_id") >= 3).select(*bus_cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(bus)
+
+    # a null-text and an empty-text row ride the bus too: batch serving
+    # drops them (explode of null/empty emits no features) and the
+    # stream must agree instead of crashing the fold
+    spark.createDataFrame(
+        [(100, "s", "en", None, 0), (101, "s", "en", "", 0)],
+        "doc_id long, source string, lang string, text string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(bus)
+
+    stream = jobs.read_documents_stream(spark, bus, max_files_per_trigger=1)
+    out = jobs.dsir_score_stream(stream, d)
+    jobs.run_to_memory(out, "dsir_stream_tbl", output_mode="append")
+    got = {
+        r.doc_id: (r.n_feats, r.logw_q20, r.logw_bits)
+        for r in spark.table("dsir_stream_tbl").collect()
+    }
+    want = {
+        r.doc_id: (r.n_feats, r.logw_q20, r.logw_bits)
+        for r in ds.dsir_score_with_model(
+            spark.read.parquet(bus).select(*cols), d
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dsir_cli_lifecycle(tiny_corpus, spark, tmp_path, capsys):
+    """train -> score -> select through the CLI: the artifact header
+    records the target expression, scoring equals the operator path,
+    selection keeps the target-vocabulary docs."""
+    import json as _json
+
+    from planet_dump_ng_spark import dsir_cli
+
+    inp = str(tmp_path / "cli_docs.parquet")
+    tiny_corpus.write.parquet(inp)
+    model = str(tmp_path / "cli_model")
+
+    assert dsir_cli.main(
+        ["train", "--input", inp, "--model-dir", model,
+         "--target", "is_t", "--n-buckets", "256"]
+    ) == 0
+    hdr = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hdr["target_desc"] == "is_t"
+    assert hdr["n_buckets"] == 256
+
+    wout = str(tmp_path / "cli_weights.parquet")
+    assert dsir_cli.main(
+        ["score", "--input", inp, "--model-dir", model, "--out", wout]
+    ) == 0
+    got = {
+        r.doc_id: (r.n_feats, r.logw_q20)
+        for r in spark.read.parquet(wout).collect()
+    }
+    want = {
+        r.doc_id: (r.n_feats, r.logw_q20)
+        for r in ds.dsir_score_with_model(tiny_corpus, model).collect()
+    }
+    assert got == want
+
+    kout = str(tmp_path / "cli_kept.parquet")
+    assert dsir_cli.main(
+        ["select", "--input", inp, "--model-dir", model,
+         "--k", "3", "--out", kout]
+    ) == 0
+    kept = {r.doc_id for r in spark.read.parquet(kout).collect()}
+    assert kept == {0, 1, 2}
