@@ -74,6 +74,10 @@ def _dedup_artifact_dir(dataset_dir: str) -> str:
     return dataset_dir.rstrip("/") + "_dedup"
 
 
+def _dsir_model_dir(dataset_dir: str) -> str:
+    return dataset_dir.rstrip("/") + "_dsir"
+
+
 #: the ONE definition of the dedup probe geometry — artifact writer and
 #: increment prober both read these, so they can never silently diverge
 #: (divergent band params would make every LSH probe miss and quietly
@@ -296,6 +300,8 @@ def curate(
     lsh_mode: str = "star",
     max_bucket: int | None = None,
     auto_star_width: int = 256,
+    dsir_target: "Column | str | None" = None,
+    dsir_min_bits: float = 0.0,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -347,6 +353,16 @@ def curate(
     carry it with its evidence, the artifact meta records the resolved
     mode (never "auto"), and the leakage-free split pass reuses it —
     increments inherit a measured policy, not the probe.
+
+    ``dsir_target`` (a SQL boolean expression or Column) enables the
+    DSIR domain gate (operators.dsir): the hashed n-gram importance
+    model trains on this run's post-quality survivors, persists at
+    ``<out_dir>_dsir`` (the frozen model every increment scores
+    under), and docs keep iff their MEAN per-feature weight >=
+    ``dsir_min_bits`` (default 0.0: "looks more target than raw on
+    average").  The gate threshold and target provenance are recorded
+    in the dedup-artifact header with the same inherit-or-refuse
+    discipline as the other policies.
     """
     if lsh_mode not in ("pairs", "star", "auto"):
         raise ValueError(
@@ -509,6 +525,41 @@ def curate(
             ),
         )
 
+    # 5c. optional DSIR domain gate (operators.dsir): train the hashed
+    # n-gram importance model ON THIS RUN's survivors against the
+    # target predicate, persist it beside the dataset (the frozen
+    # model every increment scores under — the domain definition must
+    # not drift batch by batch), and keep docs whose MEAN per-feature
+    # weight clears dsir_min_bits.  Runs after the quality gates so
+    # the model's raw distribution is the text that could actually
+    # ship, before mixing so mix weights act on domain-matched docs.
+    # Docs that emit no scored feature (nothing the model ever saw)
+    # carry no domain evidence and drop.
+    if dsir_target is not None:
+        from planet_dump_ng_spark.operators import dsir as dsr
+
+        tgt = (
+            F.expr(dsir_target) if isinstance(dsir_target, str)
+            else dsir_target
+        )
+        tgt_desc = (
+            dsir_target if isinstance(dsir_target, str) else "custom-predicate"
+        )
+        model_dir = _dsir_model_dir(out_dir)
+        dsr.write_dsir_model(docs, tgt, model_dir, target_desc=tgt_desc)
+        w = dsr.dsir_score_with_model(docs, model_dir)
+        keep_ids = w.filter(
+            (
+                F.col("logw_q20").cast("double")
+                / F.col("n_feats")
+                / F.lit(1048576.0)
+            )
+            >= F.lit(float(dsir_min_bits))
+        ).select("doc_id")
+        docs = checkpoint(
+            "dsir_gate", docs.join(keep_ids, "doc_id", "left_semi")
+        )
+
     # 6. optional dataset mixing: per-source keep fractions
     if mix_weights:
         docs = checkpoint(
@@ -627,6 +678,12 @@ def curate(
         }
         if max_bucket is not None:
             extra_meta["max_bucket"] = max_bucket
+        if dsir_target is not None:
+            # the gate is part of the dataset's curation contract:
+            # increments must apply the SAME frozen model at the SAME
+            # threshold (inherit-or-refuse, like every policy above)
+            extra_meta["dsir_min_bits"] = float(dsir_min_bits)
+            extra_meta["dsir_target_desc"] = tgt_desc
         _write_dedup_artifact(
             docs, out_dir, extra_meta=extra_meta, max_bucket=max_bucket
         )
@@ -651,6 +708,7 @@ def curate_increment(
     lsh_mode: str | None = None,
     max_bucket: int | None = None,
     audit_tokens: bool = False,
+    dsir_min_bits: float | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Incremental curation: run a NEW batch through the curation gates
     AGAINST the standing curated dataset and append the survivors — the
@@ -778,6 +836,25 @@ def curate_increment(
             f"max_bucket={recorded['max_bucket']} — the persisted bucket "
             "artifact was capped at build time with the recorded value; "
             "omit the argument to inherit it"
+        )
+    # DSIR gate: an increment can never TRAIN a model (the domain
+    # definition must not drift batch by batch) — it applies the frozen
+    # one curate() persisted, at the recorded threshold.
+    _dsir_known = "dsir_min_bits" in recorded
+    if dsir_min_bits is None:
+        dsir_min_bits = recorded.get("dsir_min_bits")
+    elif not _dsir_known:
+        raise ValueError(
+            "dsir_min_bits passed but the dataset records no DSIR gate "
+            "— there is no frozen model to score under; train one at "
+            "curate() time with dsir_target"
+        )
+    elif recorded["dsir_min_bits"] != dsir_min_bits:
+        raise ValueError(
+            f"dsir_min_bits={dsir_min_bits} contradicts the dataset's "
+            f"recorded dsir_min_bits={recorded['dsir_min_bits']} — the "
+            "gate threshold is part of the curation contract; omit the "
+            "argument to inherit it"
         )
 
     def _counts(df: DataFrame) -> tuple[int, int | None]:
@@ -962,6 +1039,29 @@ def curate_increment(
     ).select("doc_id")
     docs = checkpoint("quality", docs.join(keep, "doc_id", "left_semi"))
 
+    # 4a. DSIR domain gate under the FROZEN model curate() persisted —
+    # same stage position and threshold semantics as the original run
+    # (mean per-feature bits), so an appended doc faces exactly the
+    # gate the standing docs passed.  A recorded gate whose model
+    # directory is missing/half-written raises loudly inside
+    # read_dsir_model (crash-window discipline: refuse, don't
+    # silently skip a recorded contract).
+    if dsir_min_bits is not None:
+        from planet_dump_ng_spark.operators import dsir as dsr
+
+        w = dsr.dsir_score_with_model(docs, _dsir_model_dir(dataset_dir))
+        keep_ids = w.filter(
+            (
+                F.col("logw_q20").cast("double")
+                / F.col("n_feats")
+                / F.lit(1048576.0)
+            )
+            >= F.lit(float(dsir_min_bits))
+        ).select("doc_id")
+        docs = checkpoint(
+            "dsir_gate", docs.join(keep_ids, "doc_id", "left_semi")
+        )
+
     # 4b. leakage-free split inheritance: a dataset curated with
     # leakage_free=True guarantees no near-dup pair above split_jaccard
     # straddles train/test; a plain hash split on appended docs would
@@ -1094,6 +1194,10 @@ def curate_increment(
         extra["leakage_free"] = leakage_free
     if max_bucket is not None:
         extra["max_bucket"] = max_bucket
+    if _dsir_known:
+        extra["dsir_min_bits"] = recorded["dsir_min_bits"]
+        if "dsir_target_desc" in recorded:
+            extra["dsir_target_desc"] = recorded["dsir_target_desc"]
     if have_art:
         # bake only a RECORDED cap into the appended buckets — an
         # explicit probe-only cap on a capless dataset must not leave
@@ -1258,6 +1362,26 @@ def main(argv: list[str] | None = None) -> int:
         "recorded cap raises).  Off when omitted",
     )
     p.add_argument(
+        "--dsir-target",
+        default=None,
+        help="enable the DSIR domain gate: SQL boolean expression over "
+        "the input's columns marking target-distribution rows (e.g. "
+        "\"lang = 'en'\"); curate() trains the hashed n-gram importance "
+        "model on its survivors, persists it at <output>_dsir, gates "
+        "on mean per-feature weight, and records the policy — "
+        "increments apply the FROZEN model (the flag is curate-time "
+        "only and refused with --increment)",
+    )
+    p.add_argument(
+        "--dsir-min-bits",
+        type=float,
+        default=None,
+        help="DSIR gate threshold in mean log2-bits per feature "
+        "(default 0.0 at curate time: keep docs that look more target "
+        "than raw on average).  With --increment, omitted = inherit "
+        "the recorded threshold; contradicting it raises",
+    )
+    p.add_argument(
         "--compact-dedup",
         action="store_true",
         help="maintenance mode: rewrite the <output>_dedup probe artifact "
@@ -1324,6 +1448,12 @@ def main(argv: list[str] | None = None) -> int:
         spark.read.parquet(args.embeddings) if args.embeddings else None
     )
     if args.increment:
+        if args.dsir_target is not None:
+            raise SystemExit(
+                "--dsir-target is curate-time only: increments score "
+                "under the dataset's frozen model (omit the flag; use "
+                "--dsir-min-bits only to restate the recorded threshold)"
+            )
         manifest, report = curate_increment(
             docs,
             args.output,
@@ -1340,6 +1470,7 @@ def main(argv: list[str] | None = None) -> int:
             split_jaccard=args.split_jaccard,
             lsh_mode=args.lsh_mode,
             max_bucket=args.max_bucket,
+            dsir_min_bits=args.dsir_min_bits,
         )
         toks = dict(report.tokens)
         for stage, n in report.stages:
@@ -1372,6 +1503,10 @@ def main(argv: list[str] | None = None) -> int:
         token_budget=args.token_budget,
         lsh_mode=args.lsh_mode or "star",
         max_bucket=args.max_bucket,
+        dsir_target=args.dsir_target,
+        dsir_min_bits=(
+            0.0 if args.dsir_min_bits is None else args.dsir_min_bits
+        ),
     )
     if args.export_jsonl:
         (

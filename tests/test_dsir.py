@@ -350,3 +350,102 @@ def test_dsir_cli_lifecycle(tiny_corpus, spark, tmp_path, capsys):
     ) == 0
     kept = {r.doc_id for r in spark.read.parquet(kout).collect()}
     assert kept == {0, 1, 2}
+
+
+@pytest.fixture(scope="module")
+def domain_corpus(spark):
+    """A crawl-ish corpus: target-language docs (en, {alpha..}-vocab,
+    long enough to pass the quality bands) plus off-domain docs with a
+    disjoint vocabulary — what the DSIR gate exists to separate."""
+    on_vocab = ("alpha beta gamma delta epsilon corpus training mixture "
+                "language model quality sample data target tokens").split()
+    off_vocab = ("zig zag zog quux blorp frobnicate wibble wobble flumox "
+                 "grindle snark boojum mimsy borogove rath").split()
+
+    def doc(vocab, i):
+        # interleave doc-unique markers between shared-vocab words:
+        # every 3-shingle contains a marker, so shingle sets are
+        # DISJOINT (no near-dup collapse) while the hashed unigram
+        # mass stays dominated by the shared vocabulary
+        words = []
+        for j, w in enumerate(vocab * 2):
+            words.append(w)
+            if j % 2 == 1:
+                words.append(f"m{i}x{j}")
+        return " ".join(words)
+
+    rows = [
+        (i, doc(on_vocab, i), "en", "feedA", 1) for i in range(12)
+    ] + [
+        (100 + j, doc(off_vocab, 100 + j), "xx", "feedB", 1)
+        for j in range(12)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_curate_dsir_gate_and_frozen_increment(domain_corpus, spark, tmp_path):
+    """curate(dsir_target=...) trains + persists the model, gates
+    off-domain docs, records the policy; an increment applies the
+    FROZEN model (no retrain) and drops off-domain batch docs."""
+    import json as _json
+
+    from planet_dump_ng_spark import llm_pipeline as lp
+
+    base = domain_corpus.filter((F.col("doc_id") % 3 != 0))
+    batch = domain_corpus.filter((F.col("doc_id") % 3 == 0))
+    out = str(tmp_path / "dsir_ds")
+    _, report = lp.curate(
+        base, out, min_tokens=5, dsir_target="lang = 'en'"
+    )
+    stages = dict(report.stages)
+    assert "dsir_gate" in stages
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept and all(i < 100 for i in kept)  # off-domain gone
+    # policy recorded; model persisted with provenance
+    meta = _json.load(
+        open(f"{lp._dedup_artifact_dir(out)}/meta.json")
+    )
+    assert meta["dsir_min_bits"] == 0.0
+    assert meta["dsir_target_desc"] == "lang = 'en'"
+    model_meta = _json.load(open(f"{lp._dsir_model_dir(out)}/meta.json"))
+    assert model_meta["target_desc"] == "lang = 'en'"
+
+    # increment: inherits the gate, scores under the frozen model
+    _, inc_report = lp.curate_increment(batch, out, min_tokens=5)
+    assert "dsir_gate" in dict(inc_report.stages)
+    grown = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert grown > kept  # on-domain batch docs appended
+    assert all(i < 100 for i in grown)  # still no off-domain
+    # the model was NOT retrained by the increment
+    model_meta2 = _json.load(open(f"{lp._dsir_model_dir(out)}/meta.json"))
+    assert model_meta2 == model_meta
+
+
+def test_increment_dsir_contradiction_and_absence(
+    domain_corpus, spark, tmp_path
+):
+    from planet_dump_ng_spark import llm_pipeline as lp
+
+    base = domain_corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = domain_corpus.filter(F.col("doc_id") % 3 == 0)
+
+    # contradicting a recorded threshold refuses
+    out = str(tmp_path / "dsir_ds2")
+    # threshold must sit inside the achievable band: add-one smoothing
+    # with B=4096 buckets shrinks per-feature deltas toward 0 on a
+    # tiny corpus, so on-domain means land around +0.2 bits here
+    lp.curate(base, out, min_tokens=5, dsir_target="lang = 'en'",
+              dsir_min_bits=0.05)
+    assert spark.read.parquet(out).count() > 0
+    with pytest.raises(ValueError, match="dsir_min_bits"):
+        lp.curate_increment(batch, out, min_tokens=5, dsir_min_bits=0.25)
+    # restating the recorded value passes
+    lp.curate_increment(batch, out, min_tokens=5, dsir_min_bits=0.05)
+
+    # a gate on a dataset that never trained a model refuses
+    out2 = str(tmp_path / "plain_ds")
+    lp.curate(base, out2, min_tokens=5)
+    with pytest.raises(ValueError, match="records no DSIR gate"):
+        lp.curate_increment(batch, out2, min_tokens=5, dsir_min_bits=0.0)
