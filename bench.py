@@ -275,16 +275,22 @@ def main() -> int:
             )
             stress_scale.build(spark, 10)
             for name in sorted(timings, key=timings.__getitem__, reverse=True)[:10]:
-                t0 = time.perf_counter()
-                bench_specs[name].spark(spark, stress_scale.DST).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                t_sf1 = round(time.perf_counter() - t0, 3)
-                sf1[name] = {
-                    "t_bench": timings[name],
-                    "t_sf1": t_sf1,
-                    "ratio": round(t_sf1 / max(timings[name], 1e-9), 2),
-                }
+                # contain failures per query: one query that can't run
+                # on the replicated twin must not discard the ratios
+                # already measured for the others
+                try:
+                    t0 = time.perf_counter()
+                    bench_specs[name].spark(
+                        spark, stress_scale.DST
+                    ).write.format("noop").mode("overwrite").save()
+                    t_sf1 = round(time.perf_counter() - t0, 3)
+                    sf1[name] = {
+                        "t_bench": timings[name],
+                        "t_sf1": t_sf1,
+                        "ratio": round(t_sf1 / max(timings[name], 1e-9), 2),
+                    }
+                except Exception as e:
+                    sf1[name] = {"error": str(e)[:200]}
         except Exception as e:  # the anchor must never sink the bench
             sf1 = {"error": str(e)[:200]}
 

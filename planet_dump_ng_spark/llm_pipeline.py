@@ -546,8 +546,12 @@ def curate(
             dsir_target if isinstance(dsir_target, str) else "custom-predicate"
         )
         model_dir = _dsir_model_dir(out_dir)
-        dsr.write_dsir_model(docs, tgt, model_dir, target_desc=tgt_desc)
-        w = dsr.dsir_score_with_model(docs, model_dir)
+        # one feature scan trains the model, persists it AND scores the
+        # corpus (dsir_train_and_score shares the materialized feature
+        # table) — the gate must not pay the tokenize+explode pass twice
+        _, w = dsr.dsir_train_and_score(
+            docs, tgt, model_dir, target_desc=tgt_desc
+        )
         keep_ids = w.filter(
             (
                 F.col("logw_q20").cast("double")
@@ -621,6 +625,18 @@ def curate(
         docs = checkpoint("token_budget", kept.select(*docs.columns))
 
     # 7. split + materialize (partitioned parquet, per-split manifest).
+    # A RE-curate into an existing out_dir first drops any prior run's
+    # known-clean marker: from here until this run's artifact write (or
+    # forever, under write_dedup_artifact=False) the old _dedup tables
+    # no longer describe the dataset, and a surviving stale marker
+    # would make the next increment SKIP the dataset-vs-artifact count
+    # check and probe the new dataset against the old fingerprints.
+    import os as _os
+
+    try:
+        _os.remove(f"{_dedup_artifact_dir(out_dir)}/_synced")
+    except FileNotFoundError:
+        pass
     # leakage_free: hash the near-dup CLUSTER representative instead of the
     # doc id, so surviving docs that are still similar (the band between
     # split_jaccard and the dedup threshold) can never straddle
@@ -948,7 +964,8 @@ def curate_increment(
                 extra_meta={
                     k: recorded[k]
                     for k in (
-                        "fractions", "leakage_free", "lsh_mode", "max_bucket"
+                        "fractions", "leakage_free", "lsh_mode",
+                        "max_bucket", "dsir_min_bits", "dsir_target_desc"
                     )
                     if k in recorded
                 },
@@ -1479,6 +1496,15 @@ def main(argv: list[str] | None = None) -> int:
         for r in manifest.collect():
             print(f"split={r.split:6s} appended={r.n_rows}")
         return 0
+    if args.dsir_min_bits is not None and args.dsir_target is None:
+        # the increment path refuses the analogous half-specification
+        # ("records no DSIR gate"); a fresh curate must not silently
+        # skip a gate the user believes they configured
+        raise SystemExit(
+            "--dsir-min-bits without --dsir-target: no model would be "
+            "trained, so no gate would run — pass --dsir-target to "
+            "enable the DSIR domain gate"
+        )
     manifest, report = curate(
         docs,
         args.output,

@@ -307,6 +307,7 @@ def write_dsir_model(
     text_col: str = "text",
     n_buckets: int = 4096,
     target_desc: str = "",
+    _feats: DataFrame | None = None,
 ) -> dict:
     """Train the DSIR bucket-score model once and persist it:
     ``scores`` (bucket, target_count, raw_count, delta_q20 — exact
@@ -322,15 +323,25 @@ def write_dsir_model(
     sized and broadcastable forever after.  ``target_desc`` records
     WHAT the target predicate was (provenance for the header; the
     predicate itself is a plan-side Column and not serializable).
+
+    ``_feats``: internal — a pre-built, pre-materialized feature table
+    (id, __is_t, bucket), so a caller that also needs to SCORE the
+    training corpus (:func:`dsir_train_and_score`) pays the feature
+    scan once, not twice.
     """
     d = model_dir.rstrip("/")
     os.makedirs(d, exist_ok=True)
     meta_path = f"{d}/meta.json"
     if os.path.exists(meta_path):
         os.remove(meta_path)
-    scores = dsir_bucket_scores(
-        df, target, text_col=text_col, n_buckets=n_buckets
-    )
+    if _feats is None:
+        _feats = hashed_gram_features(
+            df.withColumn("__is_t", target.cast("long")),
+            text_col=text_col,
+            n_buckets=n_buckets,
+            carry=("__is_t",),
+        )
+    scores = _scores_from_features(_feats, n_buckets)
     scores.coalesce(1).write.mode("overwrite").parquet(f"{d}/scores")
     persisted = df.sparkSession.read.parquet(f"{d}/scores")
     tot = persisted.agg(
@@ -338,6 +349,28 @@ def write_dsir_model(
         F.sum("target_count").cast("bigint").alias("tt"),
         F.count(F.lit(1)).alias("nb"),
     ).first()
+    if not tot["tt"]:
+        # no header is ever written, so the half-built scores table
+        # reads as "not a model" — the usual crash-window shape
+        raise ValueError(
+            "DSIR target predicate matched no feature instances "
+            f"(raw instances: {tot['rt'] or 0}) — a model with an "
+            "empty target distribution would score every document "
+            "identically; fix the predicate (recorded desc: "
+            f"{target_desc!r})"
+        )
+    if (tot["rt"] or 0) + n_buckets >= 2**33:
+        # ilog2_q20's exact-integer window (docstring: 1 <= n <= d <
+        # 2^33).  Past it the float division inside _idiv rounds and
+        # the written deltas would silently diverge from the DuckDB /
+        # pure-Python twins — refuse BEFORE the header commits, same
+        # crash-window shape as above.  At that corpus mass, shard the
+        # model (per-source/per-shard totals) or raise the Q scale.
+        raise ValueError(
+            f"DSIR totals overflow the exact-integer log window: "
+            f"{tot['rt']} raw feature instances + {n_buckets} buckets "
+            ">= 2^33; train per-shard models or reduce the corpus slice"
+        )
     meta = {
         "format": FORMAT,
         "featurizer": FEATURIZER,
@@ -350,6 +383,55 @@ def write_dsir_model(
     with open(meta_path, "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
     return meta
+
+
+def dsir_train_and_score(
+    df: DataFrame,
+    target: Column,
+    model_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    target_desc: str = "",
+) -> tuple[dict, DataFrame]:
+    """Train + persist the model AND score the training corpus in ONE
+    feature scan (the curate() gate's shape): the feature table is
+    materialized once (lazy localCheckpoint — no stranded cache entry)
+    and feeds the bucket-model aggregate, the artifact write, and the
+    per-doc weight join.  Weights are computed against the PERSISTED
+    scores table, so what gates the corpus is exactly what later
+    increments will score under (and the values are exact integers, so
+    read-back changes nothing).  Returns (meta, weights)."""
+    feats = hashed_gram_features(
+        df.withColumn("__is_t", target.cast("long")),
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        carry=("__is_t",),
+    ).localCheckpoint(eager=False)
+    meta = write_dsir_model(
+        df,
+        target,
+        model_dir,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        target_desc=target_desc,
+        _feats=feats,
+    )
+    scores = df.sparkSession.read.parquet(f"{model_dir.rstrip('/')}/scores")
+    w = (
+        feats.drop("__is_t")
+        .join(F.broadcast(scores.select("bucket", "delta_q20")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("delta_q20").cast("bigint").alias("logw_q20"),
+            (F.sum("delta_q20").cast("double") / F.lit(float(Q20))).alias(
+                "logw_bits"
+            ),
+        )
+    )
+    return meta, w
 
 
 def read_dsir_model(

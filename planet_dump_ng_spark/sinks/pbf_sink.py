@@ -706,13 +706,14 @@ def _relations_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
             .astype(np.int64)
             // 1_000_000
         )
+        # NULL members behave like an EMPTY member list even on a
+        # visible relation — the row encoder's `members or []`-shaped
+        # truthiness check encodes such a relation member-less, and
+        # this path is pinned byte-identical to it (unlike ways, where
+        # the row path itself crashes on null refs, so the columnar
+        # guard there raises to match).  fill_null(0) on the lengths
+        # plus flatten() skipping nulls produces exactly that.
         mem_col = col("members")
-        if mem_col.null_count:
-            nmask = (
-                mem_col.is_null().to_numpy(zero_copy_only=False).astype(bool)
-            )
-            if (nmask & vis).any():
-                raise ValueError("null members on a visible relation")
         lens = (
             pc.list_value_length(mem_col)
             .cast(pa.int64())

@@ -449,3 +449,93 @@ def test_increment_dsir_contradiction_and_absence(
     lp.curate(base, out2, min_tokens=5)
     with pytest.raises(ValueError, match="records no DSIR gate"):
         lp.curate_increment(batch, out2, min_tokens=5, dsir_min_bits=0.0)
+
+
+def test_empty_target_model_refuses(tiny_corpus, spark, tmp_path):
+    """A target predicate matching nothing must refuse BEFORE the
+    header lands: the half-built artifact reads as no model."""
+    d = str(tmp_path / "empty_target")
+    with pytest.raises(ValueError, match="matched no feature"):
+        ds.write_dsir_model(tiny_corpus, F.lit(False), d, n_buckets=64)
+    with pytest.raises(ValueError, match="no meta.json"):
+        ds.read_dsir_model(spark, d)
+
+
+def test_train_and_score_matches_two_pass(domain_corpus, spark, tmp_path):
+    """The one-scan train+score path produces exactly the two-pass
+    result (model written, then score under it)."""
+    d1 = str(tmp_path / "onescan")
+    d2 = str(tmp_path / "twopass")
+    tgt = F.col("lang") == "en"
+    meta1, w = ds.dsir_train_and_score(domain_corpus, tgt, d1)
+    got = {r.doc_id: (r.n_feats, r.logw_q20) for r in w.collect()}
+    meta2 = ds.write_dsir_model(domain_corpus, tgt, d2)
+    want = {
+        r.doc_id: (r.n_feats, r.logw_q20)
+        for r in ds.dsir_score_with_model(domain_corpus, d2).collect()
+    }
+    assert got == want
+    assert meta1 == meta2
+
+
+def test_rebuild_preserves_dsir_policy(domain_corpus, spark, tmp_path):
+    """The stale-artifact rebuild (crash between dataset append and
+    artifact append) must preserve the recorded DSIR gate — losing it
+    would silently un-gate a domain-gated dataset."""
+    import json as _json
+    import os
+    import shutil
+
+    from planet_dump_ng_spark import llm_pipeline as lp
+
+    base = domain_corpus.filter(F.col("doc_id") % 3 != 0)
+    batch = domain_corpus.filter(F.col("doc_id") % 3 == 0)
+    out = str(tmp_path / "rebuild_ds")
+    lp.curate(base, out, min_tokens=5, dsir_target="lang = 'en'")
+    art = lp._dedup_artifact_dir(out)
+    # forge the crash window: marker gone, fingerprints unreadable
+    os.remove(f"{art}/_synced")
+    shutil.rmtree(f"{art}/fingerprints")
+    _, report = lp.curate_increment(batch, out, min_tokens=5)
+    # the rebuild ran AND the gate still applied to the batch
+    assert "dsir_gate" in dict(report.stages)
+    meta = _json.load(open(f"{art}/meta.json"))
+    assert meta["dsir_min_bits"] == 0.0
+    assert meta["dsir_target_desc"] == "lang = 'en'"
+    grown = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert all(i < 100 for i in grown)
+    # and the NEXT increment still sees the recorded gate
+    with pytest.raises(ValueError, match="dsir_min_bits"):
+        lp.curate_increment(batch, out, min_tokens=5, dsir_min_bits=9.9)
+
+
+def test_recurate_clears_stale_synced_marker(domain_corpus, spark, tmp_path):
+    """Re-curating into an existing out_dir drops the prior run's
+    known-clean marker: with write_dedup_artifact=False the old _dedup
+    tables no longer describe the dataset, and a surviving marker
+    would let the next increment skip the count check."""
+    import os
+
+    from planet_dump_ng_spark import llm_pipeline as lp
+
+    base = domain_corpus.filter(F.col("doc_id") % 3 != 0)
+    out = str(tmp_path / "recurate_ds")
+    lp.curate(base, out, min_tokens=5)
+    marker = f"{lp._dedup_artifact_dir(out)}/_synced"
+    assert os.path.exists(marker)
+    lp.curate(
+        domain_corpus, out, min_tokens=5, write_dedup_artifact=False
+    )
+    assert not os.path.exists(marker)
+
+
+def test_cli_dsir_min_bits_without_target_refuses(tmp_path, spark, domain_corpus):
+    from planet_dump_ng_spark import llm_pipeline as lp
+
+    inp = str(tmp_path / "cli_in.parquet")
+    domain_corpus.write.parquet(inp)
+    out = str(tmp_path / "cli_out")
+    with pytest.raises(SystemExit, match="dsir-target"):
+        lp.main(
+            ["--input", inp, "--output", out, "--dsir-min-bits", "0.5"]
+        )

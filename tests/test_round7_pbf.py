@@ -179,8 +179,15 @@ def _relations_df(spark):
     rows = []
     for i in range(1, 41):
         visible = i % 6 != 0
-        members = (
-            [
+        if i % 10 == 0:
+            # NULL members — on a VISIBLE relation (i=10,20,40) the row
+            # path's truthiness check encodes it member-less, and the
+            # columnar path must byte-match, not raise
+            members = None
+        elif i % 5 == 0:
+            members = []
+        else:
+            members = [
                 {
                     "member_type": types[(i + j) % 3],
                     "member_id": 1000 * j + i,
@@ -189,9 +196,6 @@ def _relations_df(spark):
                 }
                 for j in range(i % 7)
             ]
-            if i % 5 != 0
-            else []
-        )
         rows.append(
             (
                 i,
