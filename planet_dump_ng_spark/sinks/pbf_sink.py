@@ -231,6 +231,134 @@ def _encode_dense_block(
     return _primitive_block(st, pw.field_bytes(2, dense))
 
 
+def _batch_common(batch, anonymize: bool, kind: str):
+    """Shared column prep for every element-stream Arrow encoder: the
+    accessor, loud null guards on the required numerics, visibility,
+    the anonymize/null-uid hidden mask, raw uids, and epoch-second
+    timestamps.  Returns (col, vis, hidden, uids, ts)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def col(name):
+        return batch.column(batch.schema.get_field_index(name))
+
+    for req in ("id", "version", "changeset_id"):
+        if col(req).null_count:
+            raise ValueError(f"null {req} in {kind} stream")
+    vis = (
+        col("visible").fill_null(False).to_numpy(zero_copy_only=False)
+    ).astype(bool)
+    uid_col = col("uid")
+    uid_null = (
+        uid_col.is_null().to_numpy(zero_copy_only=False).astype(bool)
+        if uid_col.null_count
+        else np.zeros(len(batch), dtype=bool)
+    )
+    hidden = uid_null | anonymize
+    uids = uid_col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = (
+        col("timestamp")
+        .cast(pa.int64())
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        // 1_000_000
+    )
+    return col, vis, hidden, uids, ts
+
+
+def _np64(column):
+    import numpy as np
+
+    return column.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _arrow_stream_encoder(
+    kind: str,
+    cols_of,
+    np_keys: tuple,
+    encode_block,
+    out_dir: str,
+    flat_keys: tuple = (),
+    lens_key: str | None = None,
+):
+    """The shared mapInArrow buffering/block-cutting loop behind all
+    three element encoders: per partition, buffer each batch's column
+    dict, cut blocks of exactly ``BLOCK_LIMITS[kind]`` rows (the row
+    path's boundaries), write the partition's complete blob sequence
+    to one ``{kind}-NNNNN.pbfpart`` file, yield a 1-row batch with the
+    path.
+
+    ``np_keys`` merge via np.concatenate and slice by ROW; every other
+    key is a python list sliced by row — except ``flat_keys``, the
+    flattened per-row value streams (way refs, member ids/types) whose
+    slice position is the SUM of ``lens_key`` over the rows taken
+    (this take/nval split is the one piece of cut logic an off-by-one
+    would silently corrupt, which is exactly why it lives here once).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    limit = BLOCK_LIMITS[kind]
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        idx = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"{kind}-{idx:05d}.pbfpart")
+        bufs: dict[str, list] = {}
+        total = 0
+        fh = None
+
+        def encode_ready(flush: bool):
+            nonlocal total, fh, bufs
+            while total >= limit or (flush and total):
+                merged = {
+                    k: (
+                        np.concatenate(bufs[k])
+                        if k in np_keys or k in flat_keys
+                        else [x for part in bufs[k] for x in part]
+                    )
+                    for k in bufs
+                }
+                take = min(limit, total)
+                nval = (
+                    int(merged[lens_key][:take].sum()) if lens_key else 0
+                )
+                block = {
+                    k: (merged[k][:nval] if k in flat_keys
+                        else merged[k][:take])
+                    for k in merged
+                }
+                rest = {
+                    k: [merged[k][nval:] if k in flat_keys
+                        else merged[k][take:]]
+                    for k in merged
+                }
+                if fh is None:
+                    fh = open(path, "wb")
+                fh.write(encode_block(block))
+                bufs = rest
+                total -= take
+
+        try:
+            for batch in batches:
+                if len(batch) == 0:
+                    continue
+                for k, v in cols_of(batch).items():
+                    bufs.setdefault(k, []).append(v)
+                total += len(batch)
+                encode_ready(flush=False)
+            encode_ready(flush=True)
+        finally:
+            if fh is not None:
+                fh.close()
+        if fh is not None:
+            yield pa.RecordBatch.from_pydict({"path": [path]})
+
+    return run
+
+
 def _dense_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
     """mapInArrow worker factory for the dense-nodes stream: per
     partition, buffer the Arrow batches' COLUMNS (numpy for the eight
@@ -245,65 +373,28 @@ def _dense_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
     ndarrays directly (no list->array conversion), keeping only the
     string-table loop in Python.
     """
-    import numpy as np
-    import pyarrow as pa
-
-    limit = BLOCK_LIMITS["nodes"]
 
     def cols_of(batch):
-        def col(name):
-            return batch.column(batch.schema.get_field_index(name))
-
-        for req in ("id", "version", "changeset_id"):
-            if col(req).null_count:
-                raise ValueError(f"null {req} in nodes stream")
-        vis = (
-            col("visible").fill_null(False).to_numpy(zero_copy_only=False)
-        ).astype(bool)
+        col, vis, hidden, uids, ts = _batch_common(batch, anonymize, "nodes")
         lats_col, lons_col = col("latitude"), col("longitude")
         for c in (lats_col, lons_col):
             if c.null_count:
                 mask = c.is_null().to_numpy(zero_copy_only=False).astype(bool)
                 if (mask & vis).any():
                     raise ValueError("null coordinate on a visible node")
-        uid_col = col("uid")
-        uid_null = (
-            uid_col.is_null().to_numpy(zero_copy_only=False).astype(bool)
-            if uid_col.null_count
-            else np.zeros(len(batch), dtype=bool)
-        )
-        hidden = uid_null | anonymize
-        uids = uid_col.fill_null(0).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
+        uids = uids.copy()
         uids[hidden] = 0
-        ts = (
-            col("timestamp")
-            .cast(pa.int64())
-            .fill_null(0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            // 1_000_000
-        )
-        lats = lats_col.fill_null(0).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        lons = lons_col.fill_null(0).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
+        lats = _np64(lats_col.fill_null(0))
+        lons = _np64(lons_col.fill_null(0))
         lats[~vis] = 0
         lons[~vis] = 0
         return dict(
-            ids=col("id").to_numpy(zero_copy_only=False).astype(np.int64),
+            ids=_np64(col("id")),
             lats=lats,
             lons=lons,
-            versions=col("version")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64),
+            versions=_np64(col("version")),
             tss=ts,
-            css=col("changeset_id")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64),
+            css=_np64(col("changeset_id")),
             uids=uids,
             vis=vis,
             hidden=hidden,
@@ -314,69 +405,16 @@ def _dense_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
     np_keys = ("ids", "lats", "lons", "versions", "tss", "css", "uids",
                "vis", "hidden")
 
-    def run(batches):
-        from pyspark import TaskContext
+    def encode_block(b):
+        return _encode_dense_block(
+            b["ids"], b["lats"], b["lons"], b["versions"], b["tss"],
+            b["css"], b["uids"], b["vis"], b["users"], b["tags"],
+            b["hidden"], history,
+        )
 
-        idx = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"nodes-{idx:05d}.pbfpart")
-        bufs: dict[str, list] = {}
-        total = 0
-        fh = None
-
-        def encode_ready(flush: bool):
-            nonlocal total, fh, bufs
-            while total >= limit or (flush and total):
-                merged = {
-                    k: (
-                        np.concatenate(bufs[k])
-                        if k in np_keys
-                        else [x for part in bufs[k] for x in part]
-                    )
-                    for k in bufs
-                }
-                take = min(limit, total)
-                block = {
-                    k: v[:take] if k in np_keys else v[:take]
-                    for k, v in merged.items()
-                }
-                rest = {
-                    k: (
-                        [merged[k][take:]]
-                        if k in np_keys
-                        else [merged[k][take:]]
-                    )
-                    for k in merged
-                }
-                if fh is None:
-                    fh = open(path, "wb")
-                fh.write(
-                    _encode_dense_block(
-                        block["ids"], block["lats"], block["lons"],
-                        block["versions"], block["tss"], block["css"],
-                        block["uids"], block["vis"], block["users"],
-                        block["tags"], block["hidden"], history,
-                    )
-                )
-                bufs = rest
-                total -= take
-
-        try:
-            for batch in batches:
-                if len(batch) == 0:
-                    continue
-                cols = cols_of(batch)
-                for k, v in cols.items():
-                    bufs.setdefault(k, []).append(v)
-                total += len(batch)
-                encode_ready(flush=False)
-            encode_ready(flush=True)
-        finally:
-            if fh is not None:
-                fh.close()
-        if fh is not None:
-            yield pa.RecordBatch.from_pydict({"path": [path]})
-
-    return run
+    return _arrow_stream_encoder(
+        "nodes", cols_of, np_keys, encode_block, out_dir
+    )
 
 
 def _encode_plain_nodes(rows: list, history: bool, anonymize: bool) -> bytes:
@@ -457,36 +495,8 @@ def _ways_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    limit = BLOCK_LIMITS["ways"]
-
     def cols_of(batch):
-        def col(name):
-            return batch.column(batch.schema.get_field_index(name))
-
-        for req in ("id", "version", "changeset_id"):
-            if col(req).null_count:
-                raise ValueError(f"null {req} in ways stream")
-        vis = (
-            col("visible").fill_null(False).to_numpy(zero_copy_only=False)
-        ).astype(bool)
-        uid_col = col("uid")
-        uid_null = (
-            uid_col.is_null().to_numpy(zero_copy_only=False).astype(bool)
-            if uid_col.null_count
-            else np.zeros(len(batch), dtype=bool)
-        )
-        hidden = uid_null | anonymize
-        uids = uid_col.fill_null(0).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        ts = (
-            col("timestamp")
-            .cast(pa.int64())
-            .fill_null(0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            // 1_000_000
-        )
+        col, vis, hidden, uids, ts = _batch_common(batch, anonymize, "ways")
         nds_col = col("nds")
         if nds_col.null_count:
             nmask = (
@@ -517,14 +527,10 @@ def _ways_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
             flat = flat[keep]
             lens = np.where(vis, lens, 0)
         return dict(
-            ids=col("id").to_numpy(zero_copy_only=False).astype(np.int64),
-            versions=col("version")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64),
+            ids=_np64(col("id")),
+            versions=_np64(col("version")),
             tss=ts,
-            css=col("changeset_id")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64),
+            css=_np64(col("changeset_id")),
             uids=uids,
             vis=vis,
             hidden=hidden,
@@ -537,68 +543,17 @@ def _ways_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
     np_keys = ("ids", "versions", "tss", "css", "uids", "vis", "hidden",
                "nds_lens")
 
-    def run(batches):
-        from pyspark import TaskContext
+    def encode_block(b):
+        return _encode_ways_block(
+            b["ids"], b["versions"], b["tss"], b["css"], b["uids"],
+            b["vis"], b["hidden"], b["users"], b["tags"],
+            b["nds_flat"], b["nds_lens"], history,
+        )
 
-        idx = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"ways-{idx:05d}.pbfpart")
-        bufs: dict[str, list] = {}
-        total = 0
-        fh = None
-
-        def encode_ready(flush: bool):
-            nonlocal total, fh, bufs
-            while total >= limit or (flush and total):
-                merged = {
-                    k: (
-                        np.concatenate(bufs[k])
-                        if k in np_keys or k == "nds_flat"
-                        else [x for part in bufs[k] for x in part]
-                    )
-                    for k in bufs
-                }
-                take = min(limit, total)
-                nval = int(merged["nds_lens"][:take].sum())
-                block = {
-                    k: (merged[k][:nval] if k == "nds_flat"
-                        else merged[k][:take])
-                    for k in merged
-                }
-                rest = {
-                    k: [merged[k][nval:] if k == "nds_flat"
-                        else merged[k][take:]]
-                    for k in merged
-                }
-                if fh is None:
-                    fh = open(path, "wb")
-                fh.write(
-                    _encode_ways_block(
-                        block["ids"], block["versions"], block["tss"],
-                        block["css"], block["uids"], block["vis"],
-                        block["hidden"], block["users"], block["tags"],
-                        block["nds_flat"], block["nds_lens"], history,
-                    )
-                )
-                bufs = rest
-                total -= take
-
-        try:
-            for batch in batches:
-                if len(batch) == 0:
-                    continue
-                cols = cols_of(batch)
-                for k, v in cols.items():
-                    bufs.setdefault(k, []).append(v)
-                total += len(batch)
-                encode_ready(flush=False)
-            encode_ready(flush=True)
-        finally:
-            if fh is not None:
-                fh.close()
-        if fh is not None:
-            yield pa.RecordBatch.from_pydict({"path": [path]})
-
-    return run
+    return _arrow_stream_encoder(
+        "ways", cols_of, np_keys, encode_block, out_dir,
+        flat_keys=("nds_flat",), lens_key="nds_lens",
+    )
 
 
 def _encode_ways(rows: list, history: bool, anonymize: bool) -> bytes:
@@ -675,36 +630,11 @@ def _relations_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    limit = BLOCK_LIMITS["relations"]
     labels = pa.array(["Node", "Way", "Relation"])
 
     def cols_of(batch):
-        def col(name):
-            return batch.column(batch.schema.get_field_index(name))
-
-        for req in ("id", "version", "changeset_id"):
-            if col(req).null_count:
-                raise ValueError(f"null {req} in relations stream")
-        vis = (
-            col("visible").fill_null(False).to_numpy(zero_copy_only=False)
-        ).astype(bool)
-        uid_col = col("uid")
-        uid_null = (
-            uid_col.is_null().to_numpy(zero_copy_only=False).astype(bool)
-            if uid_col.null_count
-            else np.zeros(len(batch), dtype=bool)
-        )
-        hidden = uid_null | anonymize
-        uids = uid_col.fill_null(0).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        ts = (
-            col("timestamp")
-            .cast(pa.int64())
-            .fill_null(0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            // 1_000_000
+        col, vis, hidden, uids, ts = _batch_common(
+            batch, anonymize, "relations"
         )
         # NULL members behave like an EMPTY member list even on a
         # visible relation — the row encoder's `members or []`-shaped
@@ -749,14 +679,10 @@ def _relations_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
             roles_all[offs[i]: offs[i + 1]] for i in range(len(lens))
         ]
         return dict(
-            ids=col("id").to_numpy(zero_copy_only=False).astype(np.int64),
-            versions=col("version")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64),
+            ids=_np64(col("id")),
+            versions=_np64(col("version")),
             tss=ts,
-            css=col("changeset_id")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64),
+            css=_np64(col("changeset_id")),
             uids=uids,
             vis=vis,
             hidden=hidden,
@@ -770,71 +696,19 @@ def _relations_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
 
     np_keys = ("ids", "versions", "tss", "css", "uids", "vis", "hidden",
                "mem_lens")
-    flat_keys = ("mem_ids_flat", "mem_types_flat")
 
-    def run(batches):
-        from pyspark import TaskContext
+    def encode_block(b):
+        return _encode_relations_block(
+            b["ids"], b["versions"], b["tss"], b["css"], b["uids"],
+            b["vis"], b["hidden"], b["users"], b["tags"],
+            b["mem_roles"], b["mem_ids_flat"], b["mem_types_flat"],
+            b["mem_lens"], history,
+        )
 
-        idx = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"relations-{idx:05d}.pbfpart")
-        bufs: dict[str, list] = {}
-        total = 0
-        fh = None
-
-        def encode_ready(flush: bool):
-            nonlocal total, fh, bufs
-            while total >= limit or (flush and total):
-                merged = {
-                    k: (
-                        np.concatenate(bufs[k])
-                        if k in np_keys or k in flat_keys
-                        else [x for part in bufs[k] for x in part]
-                    )
-                    for k in bufs
-                }
-                take = min(limit, total)
-                nval = int(merged["mem_lens"][:take].sum())
-                block = {
-                    k: (merged[k][:nval] if k in flat_keys
-                        else merged[k][:take])
-                    for k in merged
-                }
-                rest = {
-                    k: [merged[k][nval:] if k in flat_keys
-                        else merged[k][take:]]
-                    for k in merged
-                }
-                if fh is None:
-                    fh = open(path, "wb")
-                fh.write(
-                    _encode_relations_block(
-                        block["ids"], block["versions"], block["tss"],
-                        block["css"], block["uids"], block["vis"],
-                        block["hidden"], block["users"], block["tags"],
-                        block["mem_roles"], block["mem_ids_flat"],
-                        block["mem_types_flat"], block["mem_lens"], history,
-                    )
-                )
-                bufs = rest
-                total -= take
-
-        try:
-            for batch in batches:
-                if len(batch) == 0:
-                    continue
-                cols = cols_of(batch)
-                for k, v in cols.items():
-                    bufs.setdefault(k, []).append(v)
-                total += len(batch)
-                encode_ready(flush=False)
-            encode_ready(flush=True)
-        finally:
-            if fh is not None:
-                fh.close()
-        if fh is not None:
-            yield pa.RecordBatch.from_pydict({"path": [path]})
-
-    return run
+    return _arrow_stream_encoder(
+        "relations", cols_of, np_keys, encode_block, out_dir,
+        flat_keys=("mem_ids_flat", "mem_types_flat"), lens_key="mem_lens",
+    )
 
 
 def _encode_relations(rows: list, history: bool, anonymize: bool) -> bytes:
