@@ -140,3 +140,53 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dsir_topk_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return ds.dsir_topk_select(d, F.col("lang") == "en", k=100, n_buckets=_B)
+
+
+@register(
+    "dsir_mean_weight_by_source",
+    _dsir_ctes()
+    + """
+    , w AS (SELECT f.doc_id,
+                   COUNT(*) AS n_feats,
+                   CAST(SUM(sc.delta_q20) AS BIGINT) AS logw_q20
+            FROM f JOIN sc USING (bucket)
+            GROUP BY f.doc_id)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(w.n_feats) AS BIGINT) AS total_feats,
+           CAST(SUM(w.logw_q20) AS BIGINT) AS total_logw_q20,
+           CAST(SUM(w.logw_q20) AS DOUBLE)
+             / CAST(SUM(w.n_feats) AS BIGINT) / 1048576
+             AS pooled_mean_bits
+    FROM w JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="DSIR as corpus governance: pooled mean importance weight PER "
+    "SOURCE — total Q20 mass over total features, the per-feed "
+    "domain-match number a curation owner reads next to "
+    "corpus_health_by_source when setting llm_pipeline.curate's "
+    "mix_weights (a feed whose pooled mean sits below zero is "
+    "anti-target on average and gets downweighted before any per-doc "
+    "gate runs).  Exact-integer numerator and denominator, so the "
+    "one float division is engine-deterministic; the per-source "
+    "rollup shuffles one row per source on top of the per-doc "
+    "aggregate.",
+    tags=("text", "sample", "agg"),
+)
+def dsir_mean_weight_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = ds.dsir_importance_weights(d, F.col("lang") == "en", n_buckets=_B)
+    return (
+        w.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_feats").cast("bigint").alias("total_feats"),
+            F.sum("logw_q20").cast("bigint").alias("total_logw_q20"),
+            (
+                F.sum("logw_q20").cast("double")
+                / F.sum("n_feats").cast("bigint")
+                / F.lit(1048576.0)
+            ).alias("pooled_mean_bits"),
+        )
+    )
