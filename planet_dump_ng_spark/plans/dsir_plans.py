@@ -41,6 +41,18 @@ def _ilog2_q20_sql(n: str, d: str) -> str:
     )
 
 
+#: per-doc weight rollup appended after _dsir_ctes() — ONE definition
+#: so the topk and by-source oracles can never desynchronize from the
+#: shared Spark operator (dsir_importance_weights) they both mirror
+_W_CTE = """
+    , w AS (SELECT f.doc_id,
+                   COUNT(*) AS n_feats,
+                   CAST(SUM(sc.delta_q20) AS BIGINT) AS logw_q20
+            FROM f JOIN sc USING (bucket)
+            GROUP BY f.doc_id)
+"""
+
+
 def _dsir_ctes() -> str:
     """Shared CTE chain: features -> bucket models -> Q20 scores."""
     bucket = xxh64_pmod_inline("gram", _B, prefix="dg")
@@ -117,12 +129,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dsir_topk_select",
     _dsir_ctes()
+    + _W_CTE
     + """
-    , w AS (SELECT f.doc_id,
-                   COUNT(*) AS n_feats,
-                   CAST(SUM(sc.delta_q20) AS BIGINT) AS logw_q20
-            FROM f JOIN sc USING (bucket)
-            GROUP BY f.doc_id)
     SELECT doc_id, n_feats, logw_q20,
            CAST(logw_q20 AS DOUBLE) / n_feats / 1048576 AS mean_logw_bits
     FROM w
@@ -145,12 +153,8 @@ def dsir_topk_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dsir_mean_weight_by_source",
     _dsir_ctes()
+    + _W_CTE
     + """
-    , w AS (SELECT f.doc_id,
-                   COUNT(*) AS n_feats,
-                   CAST(SUM(sc.delta_q20) AS BIGINT) AS logw_q20
-            FROM f JOIN sc USING (bucket)
-            GROUP BY f.doc_id)
     SELECT d.source,
            COUNT(*) AS n_docs,
            CAST(SUM(w.n_feats) AS BIGINT) AS total_feats,

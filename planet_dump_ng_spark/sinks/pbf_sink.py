@@ -382,7 +382,8 @@ def _dense_arrow_encoder(history: bool, anonymize: bool, out_dir: str):
                 mask = c.is_null().to_numpy(zero_copy_only=False).astype(bool)
                 if (mask & vis).any():
                     raise ValueError("null coordinate on a visible node")
-        uids = uids.copy()
+        # _batch_common's astype() allocated a fresh array (same
+        # guarantee lats/lons rely on below), so mutate in place
         uids[hidden] = 0
         lats = _np64(lats_col.fill_null(0))
         lons = _np64(lons_col.fill_null(0))
