@@ -43,12 +43,22 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--input", required=True)
     s.add_argument("--model-dir", required=True)
     s.add_argument("--text-col", default="text")
+    s.add_argument(
+        "--id-col",
+        default="doc_id",
+        help="document id column of the input corpus (default doc_id)",
+    )
     s.add_argument("--out", help="optional parquet path for the weights")
 
     k = sub.add_parser("select", help="top-k docs by mean feature weight")
     k.add_argument("--input", required=True)
     k.add_argument("--model-dir", required=True)
     k.add_argument("--text-col", default="text")
+    k.add_argument(
+        "--id-col",
+        default="doc_id",
+        help="document id column of the input corpus (default doc_id)",
+    )
     k.add_argument("--k", type=int, required=True)
     k.add_argument("--out", help="optional parquet path for the selection")
     return p
@@ -77,8 +87,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     docs = spark.read.parquet(args.input)
+    if args.id_col not in docs.columns:
+        raise SystemExit(
+            f"--id-col {args.id_col!r} is not a column of {args.input} "
+            f"(columns: {', '.join(docs.columns)})"
+        )
     w = ds.dsir_score_with_model(
-        docs, args.model_dir, text_col=args.text_col
+        docs, args.model_dir, text_col=args.text_col, id_col=args.id_col
     )
     if args.cmd == "select":
         mean_bits = (
@@ -87,8 +102,8 @@ def main(argv: list[str] | None = None) -> int:
             / F.lit(1048576.0)
         ).alias("mean_logw_bits")
         w = (
-            w.select("doc_id", "n_feats", "logw_q20", mean_bits)
-            .orderBy(F.col("mean_logw_bits").desc(), "doc_id")
+            w.select(args.id_col, "n_feats", "logw_q20", mean_bits)
+            .orderBy(F.col("mean_logw_bits").desc(), args.id_col)
             .limit(args.k)
         )
     if args.out:

@@ -301,7 +301,7 @@ def curate(
     max_bucket: int | None = None,
     auto_star_width: int = 256,
     dsir_target: "Column | str | None" = None,
-    dsir_min_bits: float = 0.0,
+    dsir_min_bits: float | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -359,14 +359,24 @@ def curate(
     model trains on this run's post-quality survivors, persists at
     ``<out_dir>_dsir`` (the frozen model every increment scores
     under), and docs keep iff their MEAN per-feature weight >=
-    ``dsir_min_bits`` (default 0.0: "looks more target than raw on
-    average").  The gate threshold and target provenance are recorded
-    in the dedup-artifact header with the same inherit-or-refuse
-    discipline as the other policies.
+    ``dsir_min_bits`` (``None`` resolves to 0.0 when the gate is on:
+    "looks more target than raw on average").  Passing ``dsir_min_bits``
+    WITHOUT ``dsir_target`` raises — no model would be trained, so no
+    gate would run, and an API caller who believes they configured a
+    gate must not silently get none (the CLI and the increment path
+    refuse the same half-specification).  The gate threshold and
+    target provenance are recorded in the dedup-artifact header with
+    the same inherit-or-refuse discipline as the other policies.
     """
     if lsh_mode not in ("pairs", "star", "auto"):
         raise ValueError(
             f"lsh_mode must be 'pairs', 'star' or 'auto', got {lsh_mode!r}"
+        )
+    if dsir_min_bits is not None and dsir_target is None:
+        raise ValueError(
+            "dsir_min_bits without dsir_target: no model would be "
+            "trained, so no gate would run — pass dsir_target to "
+            "enable the DSIR domain gate"
         )
     import time as _time
 
@@ -538,6 +548,7 @@ def curate(
     if dsir_target is not None:
         from planet_dump_ng_spark.operators import dsir as dsr
 
+        dsir_min_bits = 0.0 if dsir_min_bits is None else float(dsir_min_bits)
         tgt = (
             F.expr(dsir_target) if isinstance(dsir_target, str)
             else dsir_target
@@ -1530,9 +1541,7 @@ def main(argv: list[str] | None = None) -> int:
         lsh_mode=args.lsh_mode or "star",
         max_bucket=args.max_bucket,
         dsir_target=args.dsir_target,
-        dsir_min_bits=(
-            0.0 if args.dsir_min_bits is None else args.dsir_min_bits
-        ),
+        dsir_min_bits=args.dsir_min_bits,
     )
     if args.export_jsonl:
         (

@@ -61,6 +61,12 @@ FEATURIZER = "tokens-v1+bigram/xxh64"
 #: Q20 fixed point: scores are integer multiples of 2^-20 bits.
 Q20 = 1 << 20
 
+#: ilog2_q20's exact-integer window: every denominator (gram-instance
+#: total + n_buckets) must stay below this for the _idiv double division
+#: to be exact.  Enforced at artifact-write time (write_dsir_model) AND
+#: inline at score evaluation (_scores_from_features).
+EXACT_LOG_WINDOW = 1 << 33
+
 
 def _idiv(n: Column, d: Column) -> Column:
     """Exact integer division for non-negative bigints with ``n < 2**53``.
@@ -194,7 +200,18 @@ def dsir_bucket_scores(
 
 
 def _scores_from_features(feats: DataFrame, n_buckets: int) -> DataFrame:
-    """Bucket-score dimension from a (.., __is_t, bucket) feature table."""
+    """Bucket-score dimension from a (.., __is_t, bucket) feature table.
+
+    The delta is guarded by :func:`ilog2_q20`'s exact-integer window
+    (``d < 2**33``): past ~8.6e9 gram instances the float division in
+    ``_idiv`` silently rounds and Spark/DuckDB/Python deltas diverge.
+    ``write_dsir_model`` enforces this at artifact-write time; the
+    inline paths (``dsir_bucket_scores``, ``dsir_importance_weights``
+    with ``scores=None``, the registry queries) run through here, so
+    the same bound fails LOUDLY at evaluation instead of losing
+    exactness — a per-row ``raise_error`` branch that never fires
+    inside the window (tt <= rt, so the raw total is the binding one).
+    """
     per_bucket = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_count"),
         F.sum("__is_t").cast("bigint").alias("target_count"),
@@ -204,17 +221,27 @@ def _scores_from_features(feats: DataFrame, n_buckets: int) -> DataFrame:
         F.sum("target_count").cast("bigint").alias("tt"),
     )
     b = F.lit(n_buckets).cast("bigint")
-    return (
-        per_bucket.crossJoin(F.broadcast(tots))
-        .select(
-            "bucket",
-            "target_count",
-            "raw_count",
-            (
-                ilog2_q20(F.col("target_count") + 1, F.col("tt") + b)
-                - ilog2_q20(F.col("raw_count") + 1, F.col("rt") + b)
-            ).alias("delta_q20"),
-        )
+    delta = ilog2_q20(F.col("target_count") + 1, F.col("tt") + b) - ilog2_q20(
+        F.col("raw_count") + 1, F.col("rt") + b
+    )
+    guarded = F.when(
+        F.col("rt") + b >= F.lit(EXACT_LOG_WINDOW).cast("bigint"),
+        F.raise_error(
+            F.concat(
+                F.lit("DSIR totals overflow the exact-integer log window: "),
+                F.col("rt").cast("string"),
+                F.lit(
+                    f" raw feature instances + {n_buckets} buckets >= 2^33;"
+                    " train per-shard models or reduce the corpus slice"
+                ),
+            )
+        ).cast("bigint"),
+    ).otherwise(delta)
+    return per_bucket.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        "target_count",
+        "raw_count",
+        guarded.alias("delta_q20"),
     )
 
 
@@ -335,9 +362,15 @@ def write_dsir_model(
     if os.path.exists(meta_path):
         os.remove(meta_path)
     if _feats is None:
+        # training needs no document identity — only the (is_t, bucket)
+        # instances — so the feature scan carries a constant id and the
+        # input corpus may use ANY id column name
         _feats = hashed_gram_features(
-            df.withColumn("__is_t", target.cast("long")),
+            df.withColumn("__is_t", target.cast("long")).withColumn(
+                "__train_id", F.lit(0)
+            ),
             text_col=text_col,
+            id_col="__train_id",
             n_buckets=n_buckets,
             carry=("__is_t",),
         )
@@ -359,7 +392,7 @@ def write_dsir_model(
             "identically; fix the predicate (recorded desc: "
             f"{target_desc!r})"
         )
-    if (tot["rt"] or 0) + n_buckets >= 2**33:
+    if (tot["rt"] or 0) + n_buckets >= EXACT_LOG_WINDOW:
         # ilog2_q20's exact-integer window (docstring: 1 <= n <= d <
         # 2^33).  Past it the float division inside _idiv rounds and
         # the written deltas would silently diverge from the DuckDB /

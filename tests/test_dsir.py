@@ -539,3 +539,56 @@ def test_cli_dsir_min_bits_without_target_refuses(tmp_path, spark, domain_corpus
         lp.main(
             ["--input", inp, "--output", out, "--dsir-min-bits", "0.5"]
         )
+
+
+def test_curate_dsir_min_bits_without_target_refuses(
+    tmp_path, domain_corpus
+):
+    """The same half-specification refused at the API layer: a
+    programmatic caller who sets a threshold but no target believes
+    they configured a gate — silently running none is wrong."""
+    from planet_dump_ng_spark import llm_pipeline as lp
+
+    out = str(tmp_path / "api_halfspec")
+    with pytest.raises(ValueError, match="dsir_min_bits without"):
+        lp.curate(domain_corpus, out, min_tokens=5, dsir_min_bits=0.7)
+
+
+def test_inline_scores_enforce_exact_window(tiny_corpus, monkeypatch):
+    """The ilog2_q20 exact-integer bound fails LOUDLY on the inline
+    training paths too (write_dsir_model already refuses) — shrink the
+    window so the tiny corpus overflows it and expect the evaluated
+    plan to raise instead of silently rounding."""
+    monkeypatch.setattr(ds, "EXACT_LOG_WINDOW", 16)
+    with pytest.raises(Exception, match="exact-integer log window"):
+        ds.dsir_bucket_scores(
+            tiny_corpus, F.col("is_t"), n_buckets=8
+        ).collect()
+
+
+def test_cli_score_custom_id_col(tiny_corpus, spark, tmp_path):
+    """--id-col threads through score/select; a missing column refuses
+    with the column inventory instead of an unresolved-attribute
+    stacktrace."""
+    from planet_dump_ng_spark import dsir_cli
+
+    renamed = tiny_corpus.withColumnRenamed("doc_id", "item_id")
+    inp = str(tmp_path / "idcol_docs.parquet")
+    renamed.write.parquet(inp)
+    model = str(tmp_path / "idcol_model")
+    assert dsir_cli.main(
+        ["train", "--input", inp, "--model-dir", model,
+         "--target", "is_t", "--n-buckets", "256"]
+    ) == 0
+    kout = str(tmp_path / "idcol_kept.parquet")
+    assert dsir_cli.main(
+        ["select", "--input", inp, "--model-dir", model,
+         "--id-col", "item_id", "--k", "3", "--out", kout]
+    ) == 0
+    kept = {r.item_id for r in spark.read.parquet(kout).collect()}
+    assert kept == {0, 1, 2}
+    with pytest.raises(SystemExit, match="not a column"):
+        dsir_cli.main(
+            ["score", "--input", inp, "--model-dir", model,
+             "--id-col", "doc_id"]
+        )
