@@ -462,6 +462,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     block_col: str | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over document pairs.
 
@@ -471,26 +472,47 @@ def ngram_jaccard_pairs(
     Plans by mode:
     - ``candidates`` (e.g. from LSH): join the two shingle arrays onto the
       candidate pairs and intersect — O(|candidates|).
-    - ``block_col`` / full: INVERTED INDEX — explode shingles, self-join on
-      the shingle value (within the block), count common shingles per pair,
-      derive Jaccard from the per-doc set sizes.  Pairs sharing no shingle
-      never materialize (their Jaccard is 0 < threshold), so the cost is
-      sum over shingles of (docs-per-shingle choose 2) instead of
-      (all pairs) x (array intersection) — the standard similarity-join
-      plan that survives 100 TB.  Requires threshold > 0.  Ubiquitous
-      shingles are the skew risk: AQE skew-join splits those groups.
+    - ``prefix_filter``: PREFIX-FILTERED inverted index (Chaudhuri et al.
+      SSJoin / Xiao et al. ppjoin, public literature): order each doc's
+      shingles canonically by xxhash64 and index only the
+      ``floor((1-t)*|sh|) + 2`` smallest hashes — any pair with Jaccard
+      >= t must share a prefix shingle under a common total order, so
+      candidate recall is EXACT (the +2 over the tight +1 bound absorbs
+      float boundary error in the (1-t)*|sh| product; a hash tie or
+      collision only adds candidates, never loses one — see the inline
+      note).  A ppjoin length filter (integer-slack form) prunes
+      size-incompatible candidates.  Candidates then verify with the
+      exact array intersection, so the OUTPUT is identical to the
+      exhaustive mode — this is a physical optimization, not a semantic
+      cap, hence nothing to log per "no silent caps".  At a real dedup
+      threshold (t=0.5: half the index mass, ~quarter the pair mass;
+      t=0.8: 4% of the pair mass) this is what bounds the hot-shingle
+      quadratic: a ubiquitous boilerplate shingle only explodes if it is
+      also among a doc's smallest hashes, and the per-shingle fan-out
+      shrinks with (1-t)^2.  Requires threshold > 0.
+    - ``block_col`` / full: EXHAUSTIVE INVERTED INDEX — explode shingles,
+      self-join on the shingle value (within the block), count common
+      shingles per pair, derive Jaccard from the per-doc set sizes.  Pairs
+      sharing no shingle never materialize, so the cost is sum over
+      shingles of (docs-per-shingle choose 2).  This is the documented
+      exhaustive OPT-IN: a ubiquitous shingle (boilerplate, stopword
+      trigram) with document frequency d emits d^2/2 pairs, and AQE
+      skew-join splits the stragglers but not the pair mass — at corpus
+      scale prefer ``prefix_filter=True`` (same output) or LSH
+      ``candidates=`` (near-exact).
     """
     docs = spread_small_input(df).select(
         F.col(id_col).alias("id"),
         shingles(text_col, k).alias("sh"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    if candidates is not None:
+
+    def _verify(cand: DataFrame) -> DataFrame:
         a = docs.alias("a")
         b = docs.alias("b")
         pairs = (
-            candidates.join(a, candidates.id_a == F.col("a.id"))
-            .join(b, candidates.id_b == F.col("b.id"))
+            cand.join(a, cand.id_a == F.col("a.id"))
+            .join(b, cand.id_b == F.col("b.id"))
         )
         inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
         union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
@@ -503,7 +525,52 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
 
+    if candidates is not None:
+        return _verify(candidates)
+
     assert threshold > 0, "inverted-index path requires a positive threshold"
+    if prefix_filter:
+        # canonical order = ascending xxhash64(shingle); the index joins
+        # on the HASH, not the string (8-byte shuffle keys instead of
+        # shingle text) — a 64-bit collision only ADDS a candidate pair
+        # that exact verification discards, it can never lose one, so
+        # hash ties need no tiebreak and exactness is untouched
+        ordered = F.array_sort(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+        )
+        plen = (
+            F.floor(F.size("sh") * F.lit(1.0 - threshold)) + F.lit(2)
+        ).cast("int")
+        pex = docs.select(
+            "id",
+            *(["blk"] if block_col else []),
+            F.size("sh").alias("sz"),
+            F.explode(F.slice(ordered, 1, plen)).alias("h"),
+        )
+        pa, pb = pex.alias("a"), pex.alias("b")
+        cond = (F.col("a.h") == F.col("b.h")) & (
+            F.col("a.id") < F.col("b.id")
+        )
+        # ppjoin length filter: Jaccard >= t forces min(|A|,|B|) >=
+        # t*max(|A|,|B|).  Pruned with ONE unit of slack — sizes are
+        # ints, so the slack swallows any float rounding in t*max and
+        # can never drop a qualifying pair (verification is exact).
+        cond = cond & (
+            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+            >= F.lit(threshold)
+            * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
+            - F.lit(1.0)
+        )
+        if block_col:
+            cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        cand = (
+            pa.join(pb, cond)
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .distinct()
+        )
+        return _verify(cand)
     blk_cols = ["blk"] if block_col else []
     # carry the set size on every inverted-index row: the pair aggregation
     # then needs no join-back against a sizes table (2 fewer shuffles for a

@@ -48,7 +48,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
     """,
-    doc="Exact n-gram Jaccard near-dup pairs, blocked by source (equi-join).",
+    doc="Exact n-gram Jaccard near-dup pairs, blocked by source — the "
+    "documented EXHAUSTIVE opt-in: the inverted-index self-join emits "
+    "sum_s (df_s choose 2) pairs, so a ubiquitous shingle is quadratic "
+    "in its document frequency.  dedup_ngram_jaccard_prefix is the "
+    "same metric with prefix filtering (identical output, bounded "
+    "index) — prefer it beyond bounded corpora.",
     tags=("dedup", "bench"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,6 +62,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         threshold=0.1,
         block_col="source",
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_prefix",
+    # oracle = the INVERTED-INDEX form of the exhaustive all-pairs SQL
+    # (identical output: pairs sharing no shingle have jaccard 0 < t) —
+    # an all-pairs list_intersect over n^2/2 doc pairs is minutes-scale
+    # in DuckDB at sf0.1, while the shared-shingle join is sum df^2 rows
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS cmn
+               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           cmn::DOUBLE / (za.sz + zb.sz - cmn) AS jaccard
+    FROM common
+    JOIN sz za ON common.id_a = za.doc_id
+    JOIN sz zb ON common.id_b = zb.doc_id
+    WHERE cmn::DOUBLE / (za.sz + zb.sz - cmn) >= 0.5
+    """,
+    doc="Exact n-gram Jaccard pairs over the WHOLE corpus (no block "
+    "column) via prefix filtering (SSJoin/ppjoin): only each doc's "
+    "floor((1-t)|sh|)+2 smallest-hash shingles are indexed — any pair "
+    "at Jaccard >= t shares a prefix shingle under a common total "
+    "order, so candidate recall is exact and the verified output is "
+    "IDENTICAL to the exhaustive plan (the oracle is the plain "
+    "all-pairs SQL).  At t=0.5 the index carries half the shingle "
+    "mass and ~a quarter of the pair mass; the hot-shingle quadratic "
+    "of the exhaustive mode shrinks by (1-t)^2 — the scale path for "
+    "an EXACT (non-LSH) similarity self-join.",
+    tags=("dedup", "bench"),
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        prefix_filter=True,
     )
 
 

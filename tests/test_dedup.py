@@ -92,6 +92,53 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert (1, 5) not in by_pair
 
 
+def test_prefix_filter_equals_exhaustive(docs):
+    """Prefix filtering is a physical optimization: the verified output
+    must be IDENTICAL to the exhaustive inverted-index plan — same
+    pairs, same exact jaccard values — at several thresholds."""
+    for t in (0.2, 0.5, 0.8):
+        want = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.ngram_jaccard_pairs(docs, k=3, threshold=t).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.ngram_jaccard_pairs(
+                docs, k=3, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        assert got == want, f"threshold {t}"
+
+
+def test_prefix_filter_equals_exhaustive_blocked(spark):
+    """Same identity under block_col, on a corpus wide enough that
+    prefixes genuinely truncate (20+ shingles per doc, t=0.7 keeps
+    ~30% of each doc's index mass)."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    rows = []
+    for i in range(12):
+        words = base.split()
+        words[i % len(words)] = f"mut{i}"
+        rows.append((i, " ".join(words), "blk" + str(i % 2)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for kwargs in ({}, {"block_col": "source"}):
+        want = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.ngram_jaccard_pairs(
+                df, k=3, threshold=0.7, **kwargs
+            ).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.ngram_jaccard_pairs(
+                df, k=3, threshold=0.7, prefix_filter=True, **kwargs
+            ).collect()
+        }
+        assert want and got == want
+
+
 def test_minhash_signature_similarity(docs):
     """MinHash agreement rate approximates Jaccard."""
     sigs = {
