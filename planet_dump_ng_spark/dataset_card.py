@@ -74,6 +74,62 @@ def card_stats(docs: DataFrame) -> dict:
     return {"overall": overall.asDict(), "keep_rate": keep_rate, "by": by}
 
 
+def dsir_stats(docs: DataFrame, dataset_path: str) -> dict | None:
+    """DSIR governance numbers when the dataset carries a frozen model
+    artifact (`<dataset>_dsir`, written by llm_pipeline.curate's domain
+    gate): every doc scored under the FROZEN model (the exact scores
+    increments are gated by — not a retrain), pooled per source as
+    total Q20 mass over total features (the exact-integer shape of the
+    oracle-verified dsir_mean_weight_by_source query).  A source whose
+    pooled mean sits below the recorded gate threshold is anti-target
+    on average — the number a curation owner reads when setting
+    mix_weights.  Returns None when no model artifact is present."""
+    import json
+    import os
+
+    from planet_dump_ng_spark.llm_pipeline import (
+        _dedup_artifact_dir,
+        _dsir_model_dir,
+    )
+    from planet_dump_ng_spark.operators import dsir as ds
+
+    model_dir = _dsir_model_dir(dataset_path)
+    if not os.path.exists(os.path.join(model_dir, "meta.json")):
+        return None
+    w = ds.dsir_score_with_model(docs, model_dir)
+    dim = "source" if "source" in docs.columns else None
+    keys = [dim] if dim else []
+    grouped = (
+        w.join(docs.select("doc_id", *keys), "doc_id")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_feats").cast("bigint").alias("total_feats"),
+            F.sum("logw_q20").cast("bigint").alias("total_logw_q20"),
+        )
+        .orderBy(*keys)
+    )
+    rows = []
+    for r in grouped.collect():
+        d = r.asDict()
+        d["pooled_mean_bits"] = (
+            d["total_logw_q20"] / d["total_feats"] / 1048576.0
+            if d["total_feats"]
+            else None
+        )
+        rows.append(d)
+    out: dict = {"rows": rows, "dim": dim, "model_dir": model_dir}
+    meta_path = os.path.join(_dedup_artifact_dir(dataset_path), "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        out["min_bits"] = meta.get("dsir_min_bits")
+        out["target_desc"] = meta.get("dsir_target_desc")
+    with open(os.path.join(model_dir, "meta.json")) as fh:
+        out["model_meta"] = json.load(fh)
+    return out
+
+
 def render_card(stats: dict, dataset_path: str) -> str:
     o = stats["overall"]
     dup = o["n_docs"] - o["n_unique"]
@@ -126,6 +182,50 @@ def render_card(stats: dict, dataset_path: str) -> str:
                 for r in rows
             ]
         lines.append("")
+    dsir = stats.get("dsir")
+    if dsir:
+        lines += ["## DSIR domain match", ""]
+        mm = dsir.get("model_meta", {})
+        tgt = dsir.get("target_desc") or mm.get("target_desc") or "?"
+        lines.append(
+            f"Scored under the dataset's frozen DSIR model "
+            f"(`{dsir['model_dir']}`, target `{tgt}`, "
+            f"{mm.get('n_buckets', '?')} buckets)."
+        )
+        if dsir.get("min_bits") is not None:
+            lines.append(
+                f"Recorded gate: mean per-feature weight >= "
+                f"{dsir['min_bits']} bits (increments inherit it)."
+            )
+        dim = dsir["dim"]
+        if dim:
+            lines += [
+                "",
+                f"| {dim} | docs | pooled mean bits |",
+                "|---|---|---|",
+            ]
+            for r in dsir["rows"]:
+                pm = r["pooled_mean_bits"]
+                lines.append(
+                    f"| {r[dim]} | {r['n_docs']:,} |"
+                    f" {pm:+.4f} |" if pm is not None
+                    else f"| {r[dim]} | {r['n_docs']:,} | — |"
+                )
+            lines.append(
+                "\nA source pooled below the gate threshold is "
+                "anti-target on average — downweight it in "
+                "`curate(mix_weights=...)` before per-doc gating."
+            )
+        elif dsir["rows"]:
+            r = dsir["rows"][0]
+            pm = r["pooled_mean_bits"]
+            lines.append(
+                f"Corpus pooled mean: "
+                f"{pm:+.4f} bits over {r['n_docs']:,} docs."
+                if pm is not None
+                else f"Corpus pooled mean: — ({r['n_docs']:,} docs)."
+            )
+        lines.append("")
     return "\n".join(lines)
 
 
@@ -138,7 +238,9 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     spark = get_spark("planet-dump-ng-spark-card")
     docs = spark.read.parquet(args.dataset)
-    card = render_card(card_stats(docs), args.dataset)
+    stats = card_stats(docs)
+    stats["dsir"] = dsir_stats(docs, args.dataset)
+    card = render_card(stats, args.dataset)
     with open(args.out, "w", encoding="utf-8") as fh:
         fh.write(card)
     print(f"wrote {args.out}")

@@ -103,13 +103,11 @@ def dsir_bucket_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dsir_importance_weights",
     _dsir_ctes()
+    + _W_CTE
     + """
-    SELECT f.doc_id,
-           COUNT(*) AS n_feats,
-           CAST(SUM(sc.delta_q20) AS BIGINT) AS logw_q20,
-           CAST(SUM(sc.delta_q20) AS DOUBLE) / 1048576 AS logw_bits
-    FROM f JOIN sc USING (bucket)
-    GROUP BY f.doc_id
+    SELECT doc_id, n_feats, logw_q20,
+           CAST(logw_q20 AS DOUBLE) / 1048576 AS logw_bits
+    FROM w
     """,
     doc="DSIR per-document log importance weights: each doc's hashed "
     "unigram+bigram instances sum the broadcast bucket scores — "
@@ -193,4 +191,79 @@ def dsir_mean_weight_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1048576.0)
             ).alias("pooled_mean_bits"),
         )
+    )
+
+
+_SRC_CTE = """
+    , src AS (SELECT d.source,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(w.logw_q20) AS BIGINT) AS q,
+                     CAST(SUM(w.n_feats) AS BIGINT) AS f
+              FROM w JOIN documents d USING (doc_id)
+              GROUP BY d.source)
+"""
+
+
+@register(
+    "dsir_mix_suggestion",
+    _dsir_ctes()
+    + _W_CTE
+    + _SRC_CTE
+    + """
+    , pooled AS (SELECT source, n_docs,
+                        CAST(q AS DOUBLE) / f / 1048576 AS pooled_mean_bits
+                 FROM src),
+    ext AS (SELECT MIN(pooled_mean_bits) AS lo,
+                   MAX(pooled_mean_bits) AS hi FROM pooled)
+    SELECT source, n_docs, pooled_mean_bits,
+           CASE WHEN hi = lo THEN 1.0
+                ELSE (pooled_mean_bits - lo) / (hi - lo) END AS mix_weight
+    FROM pooled, ext
+    """,
+    doc="DSIR governance closed into an action: min-max-scaled per-source "
+    "mix weights from the pooled mean importance bits — the direct input "
+    "to llm_pipeline.curate(mix_weights=...) (the most anti-target feed "
+    "scales to 0, the most on-target to 1; a flat corpus degenerates to "
+    "1.0 everywhere).  Exactness: the pooled mean is one IEEE division "
+    "of exact BIGINTs and the scaling is min/max (order-independent) "
+    "plus two more single IEEE ops, so the floats are engine-identical "
+    "with no summation-order hazard.  Plan: the per-doc weight table "
+    "rolls up to one row per source; extremes are a 1-row broadcast "
+    "nested loop — nothing shuffles more than doc_count + n_sources "
+    "rows after the feature scan.",
+    tags=("text", "sample", "agg"),
+)
+def dsir_mix_suggestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = ds.dsir_importance_weights(d, F.col("lang") == "en", n_buckets=_B)
+    src = (
+        w.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("logw_q20").cast("bigint").alias("q"),
+            F.sum("n_feats").cast("bigint").alias("f"),
+        )
+    )
+    pooled = src.select(
+        "source",
+        "n_docs",
+        (F.col("q").cast("double") / F.col("f") / F.lit(1048576.0)).alias(
+            "pooled_mean_bits"
+        ),
+    )
+    ext = pooled.agg(
+        F.min("pooled_mean_bits").alias("lo"),
+        F.max("pooled_mean_bits").alias("hi"),
+    )
+    return pooled.crossJoin(F.broadcast(ext)).select(
+        "source",
+        "n_docs",
+        "pooled_mean_bits",
+        F.when(F.col("hi") == F.col("lo"), F.lit(1.0))
+        .otherwise(
+            (F.col("pooled_mean_bits") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+        )
+        .alias("mix_weight"),
     )

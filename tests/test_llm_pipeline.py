@@ -315,6 +315,69 @@ def test_dataset_card_generation(spark, sf_dir, tmp_path):
     assert f"{bpe:,}" not in ("",) and f"{bpe / toks:.3f}"[:3] in card
 
 
+def test_dataset_card_dsir_section(spark, tmp_path):
+    """A DSIR-gated dataset's card carries the governance section: per
+    source pooled mean bits under the FROZEN model plus the recorded
+    gate threshold; an ungated dataset's card has no such section."""
+    from planet_dump_ng_spark.dataset_card import (
+        card_stats,
+        dsir_stats,
+        render_card,
+        main,
+    )
+    from planet_dump_ng_spark.llm_pipeline import curate
+    from planet_dump_ng_spark.operators import dsir as ds
+
+    on = ("alpha beta gamma delta epsilon corpus training mixture "
+          "language model quality sample data target tokens")
+    off = ("zig zag zog quux blorp frobnicate wibble wobble flumox "
+           "grindle snark boojum mimsy borogove rath")
+    rows = [
+        (i, f"{on} doc number {'word%d ' % i * 3}", "en", "feedA", 1)
+        for i in range(30)
+    ] + [
+        (100 + j, f"{off} doc number {'term%d ' % j * 3}", "xx", "feedB", 1)
+        for j in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "dsir_card_ds")
+    curate(docs, out, min_tokens=5, dsir_target="lang = 'en'")
+    card_path = str(tmp_path / "CARD_DSIR.md")
+    assert main(["--dataset", out, "--out", card_path]) == 0
+    card = open(card_path).read()
+    assert "## DSIR domain match" in card
+    assert "target `lang = 'en'`" in card
+    assert "Recorded gate: mean per-feature weight >= 0.0 bits" in card
+    # the per-source pooled means equal the operator path exactly
+    kept = spark.read.parquet(out)
+    w = ds.dsir_score_with_model(kept, out + "_dsir")
+    pooled = {
+        r["source"]: r
+        for r in w.join(kept.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("logw_q20").cast("bigint").alias("q"),
+            F.sum("n_feats").cast("bigint").alias("f"),
+        )
+        .collect()
+    }
+    for src, r in pooled.items():
+        want = r["q"] / r["f"] / 1048576.0
+        assert f"| {src} |" in card and f"{want:+.4f}" in card
+
+    # ungated dataset: stats helper returns None, section absent
+    out2 = str(tmp_path / "plain_card_ds")
+    curate(docs, out2, min_tokens=5)
+    plain = spark.read.parquet(out2)
+    assert dsir_stats(plain, out2) is None
+    stats = card_stats(plain)
+    stats["dsir"] = None
+    assert "DSIR" not in render_card(stats, out2)
+
+
 def test_curate_leakage_free_split(spark, sf_dir, tmp_path):
     """leakage_free=True: no near-dup pair (at split_jaccard) crosses a
     split boundary in the materialized dataset, and the component helper
