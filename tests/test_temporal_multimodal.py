@@ -85,6 +85,156 @@ def test_multimodal_decode_matches_reference(spark):
         assert r.n_frames == (1 if fmt != "mp4" else 1 + d[2] % 120)
 
 
+def _tiny_png(width: int, height: int) -> bytes:
+    """A complete, spec-valid RGB PNG built with stdlib only: signature,
+    IHDR, one zlib-deflated IDAT of black scanlines, IEND — what a real
+    file on disk looks like, byte for byte."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00\x00\x00" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _tiny_jpeg(width: int, height: int) -> bytes:
+    """A JPEG header stream with the marker structure every real camera
+    file carries — SOI, JFIF APP0, a quantization table, then the SOF0
+    frame header holding the dimensions (big-endian height first)."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    sof0 = (
+        b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+
+    def seg(marker: bytes, body: bytes) -> bytes:
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    return (
+        b"\xff\xd8"
+        + seg(b"\xff\xe0", app0)
+        + seg(b"\xff\xdb", dqt)
+        + seg(b"\xff\xc0", sof0)
+        + b"\xff\xd9"
+    )
+
+
+def test_parse_image_header_real_bytes():
+    """The header parser reads REAL dimensions from real PNG/JPEG bytes
+    (pure-stdlib decode, no image libraries)."""
+    assert mm.parse_image_header(_tiny_png(3, 2)) == ("png", 3, 2)
+    assert mm.parse_image_header(_tiny_png(640, 480)) == ("png", 640, 480)
+    assert mm.parse_image_header(_tiny_jpeg(5, 7)) == ("jpeg", 5, 7)
+    assert mm.parse_image_header(_tiny_jpeg(1920, 1080)) == (
+        "jpeg",
+        1920,
+        1080,
+    )
+    # non-image payloads: no parse, the stub handles them
+    assert mm.parse_image_header(b"hello world") is None
+    assert mm.parse_image_header(b"") is None
+    assert mm.parse_image_header(b"\x89PNGxx") is None
+    assert mm.parse_image_header(b"\xff\xd8\xff\xd9") is None  # SOI+EOI only
+
+
+def _tiny_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """A complete, spec-valid mono PCM16 WAV: RIFF/WAVE header, fmt
+    chunk, data chunk of little-endian int16 samples."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_wav_header_and_real_energies():
+    """Real PCM16 WAV bytes parse to real header fields and exact
+    integer per-window mean-square energies."""
+    samples = [100, -100, 200, -200, 1000, -1000, 4, -4]
+    wav = _tiny_wav(samples, sample_rate=16000)
+    hdr = mm.parse_wav_header(wav)
+    assert hdr is not None
+    sr, ch, bits, off, dlen = hdr
+    assert (sr, ch, bits, dlen) == (16000, 1, 16, 16)
+    e = mm._wav_energies(wav, n_windows=4)
+    # windows of 2: mean square = (a^2 + b^2) // 2, exact ints
+    assert e == [10000, 40000, 1000000, 16]
+    # non-WAV payloads: no parse, the stub handles them
+    assert mm.parse_wav_header(b"not audio at all, just text") is None
+    assert mm._wav_energies(b"RIFFxxxxWAVE", 4) is None
+
+
+def test_audio_energy_stats_real_wav(spark):
+    """audio_energy_stats decodes real WAV bytes through the same
+    mapInPandas path the stub rows use: wav-format rows get exact
+    integer energies, mp4-format text payloads keep the stub."""
+    samples = [1000, -1000] * 8
+    rows = [
+        (0, _tiny_wav(samples), {"format": "wav", "n_bytes": 0}),
+        (1, b"opaque video bytes", {"format": "mp4", "n_bytes": 0}),
+        (2, b"a text doc, not audio", {"format": "png", "n_bytes": 0}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "media_meta struct<format:string,n_bytes:int>",
+    )
+    out = {r.doc_id: r for r in mm.audio_energy_stats(df, n_windows=8).collect()}
+    assert set(out) == {0, 1}  # png rows carry no audio track
+    assert out[0].peak_energy == 1000000  # real: every window all +/-1000
+    assert out[0].mean_energy == 1000000.0
+    d = hashlib.sha256(b"opaque video bytes").digest()
+    assert out[1].peak_energy == max(d[3:11])  # stub path untouched
+
+
+def test_decode_image_meta_real_dimensions(spark):
+    """multimodal_image_meta's decode stage reads real dimensions from
+    real image bytes through the SAME mapInPandas path the registry
+    query uses (text payloads keep the deterministic stub — oracle
+    unchanged)."""
+    rows = [
+        (0, _tiny_png(3, 2), {"format": "png", "n_bytes": 0}),
+        (1, _tiny_jpeg(5, 7), {"format": "jpeg", "n_bytes": 0}),
+        (2, b"just text bytes", {"format": "png", "n_bytes": 0}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "media_meta struct<format:string,n_bytes:int>",
+    )
+    meta = {r.doc_id: r for r in mm.decode_image_meta(df).collect()}
+    assert (meta[0].width, meta[0].height, meta[0].n_frames) == (3, 2, 1)
+    assert (meta[1].width, meta[1].height, meta[1].n_frames) == (5, 7, 1)
+    d = hashlib.sha256(b"just text bytes").digest()
+    assert (meta[2].width, meta[2].height) == (16 + d[0] % 240, 16 + d[1] % 240)
+
+
 def test_frame_sample_and_resize(spark):
     docs = spark.createDataFrame(
         [(2, "some video payload"), (5, "another clip")], "doc_id long, text string"
