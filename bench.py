@@ -133,7 +133,7 @@ def curation_bench(spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench") -> 
 
 
 def increment_bench(
-    spark, sf_dir: str, work: str = "/tmp/pdng-incr-bench"
+    spark, sf_dir: str, work: str = "/tmp/pdng-incr-bench", n_runs: int = 2
 ) -> dict:
     """Time incremental curation: build the standing dataset from 75% of
     the corpus once per run (not timed), then time curating the remaining
@@ -157,7 +157,7 @@ def increment_bench(
     base = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     runs: list[dict] = []
-    for _ in range(2):
+    for _ in range(n_runs):
         shutil.rmtree(work, ignore_errors=True)
         shutil.rmtree(work + "_dedup", ignore_errors=True)
         curate(base, work)
@@ -210,7 +210,10 @@ def main() -> int:
     # raw runs ride along in "query_runs" so a round-over-round diff can
     # tell a plan regression (both runs slow) from one noisy sample —
     # round 5 burned review time on two sub-second "regressions" that the
-    # run lists would have dismissed at a glance.
+    # run lists would have dismissed at a glance.  Sub-2 s queries get a
+    # THIRD pass: at that scale one JIT/GC hiccup is 30%+ of the total,
+    # and best-of-2 left two seconds-scale "regressions" unprovable in
+    # round 7's review.
     timings: dict[str, float] = {}
     query_runs: dict[str, list[float]] = {name: [] for name in bench_specs}
     for _ in range(2):
@@ -220,6 +223,13 @@ def main() -> int:
             dt = round(time.perf_counter() - t0, 3)
             query_runs[name].append(dt)
             timings[name] = min(timings.get(name, dt), dt)
+    for name, spec in bench_specs.items():
+        if timings[name] < 2.0:
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            query_runs[name].append(dt)
+            timings[name] = min(timings[name], dt)
 
     # Scale-ratio probe for the slowest queries: re-time them one SF down
     # (10x less data) and record t(bench_sf) / t(small_sf).  A plan with
@@ -274,7 +284,23 @@ def main() -> int:
                 os.path.normpath(sf_dir)
             )
             stress_scale.build(spark, 10)
-            for name in sorted(timings, key=timings.__getitem__, reverse=True)[:10]:
+            # slowest 10 + the queries whose scale claims the round's
+            # brief graded (the prefix-filtered exact jaccard must show
+            # its ratio even when it's fast at sf0.1)
+            anchored = sorted(
+                timings, key=timings.__getitem__, reverse=True
+            )[:10]
+            # Pair-ENUMERATING queries also record output rows at both
+            # scales: the replicated twin multiplies every dup-cluster
+            # size by 10, so the TRUE pair output grows ~100-1000x and a
+            # raw time ratio reads as super-linear when the per-output-
+            # row cost actually fell — rows_ratio is the denominator
+            # that makes the anchor honest.
+            extras = ("dedup_ngram_jaccard_prefix",)
+            for extra in extras:
+                if extra in timings and extra not in anchored:
+                    anchored.append(extra)
+            for name in anchored:
                 # contain failures per query: one query that can't run
                 # on the replicated twin must not discard the ratios
                 # already measured for the others
@@ -289,10 +315,36 @@ def main() -> int:
                         "t_sf1": t_sf1,
                         "ratio": round(t_sf1 / max(timings[name], 1e-9), 2),
                     }
+                    if name in extras:
+                        r_b = bench_specs[name].spark(spark, sf_dir).count()
+                        r_1 = bench_specs[name].spark(
+                            spark, stress_scale.DST
+                        ).count()
+                        sf1[name]["rows_bench"] = r_b
+                        sf1[name]["rows_sf1"] = r_1
+                        sf1[name]["rows_ratio"] = round(r_1 / max(r_b, 1), 1)
                 except Exception as e:
                     sf1[name] = {"error": str(e)[:200]}
         except Exception as e:  # the anchor must never sink the bench
             sf1 = {"error": str(e)[:200]}
+
+    # sf1 anchor for the two end-to-end PRODUCTION paths: curation and
+    # increment have no >sf0.1 evidence otherwise.  Single runs (a full
+    # 10x curation per sample; best-of-N would double a minutes-scale
+    # section) with per-phase attribution — the ratio against the 10x
+    # data growth is the number the 100 TB claim rests on.
+    cur_sf1: dict = {}
+    incr_sf1: dict = {}
+    if isinstance(sf1, dict) and sf1 and "error" not in sf1:
+        try:
+            cur_sf1 = curation_bench(
+                spark, stress_scale.DST, work="/tmp/pdng-curate-sf1"
+            )
+            incr_sf1 = increment_bench(
+                spark, stress_scale.DST, work="/tmp/pdng-incr-sf1", n_runs=1
+            )
+        except Exception as e:
+            cur_sf1 = {"error": str(e)[:200]}
 
     # The end-to-end sections are the noisiest samples on a shared host
     # (observed: identical code, 8 s -> 55 s emit within one evening while
@@ -320,30 +372,93 @@ def main() -> int:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
     except ValueError:
         sf = -1.0
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "query_runs": query_runs,
-                "scale_ratio": scale_ratio,
-                "sf1": sf1,
-                "pipeline": pipe,
-                "curation": cur,
-                "increment": incr,
-                "registry": {
-                    "n_queries": len(plans.QUERIES),
-                    "n_oracled": sum(
-                        1 for s in plans.QUERIES.values() if s.oracle
-                    ),
-                },
-                "calib_s": calib_s,
-                "sf": sf,
-            }
+
+    # Verification-staleness telemetry: the driver checks a 50-query
+    # prefix per round and __spark_entry__ rotates greens oldest-first,
+    # so the oldest latest-green round bounds how stale any green claim
+    # can be.  never_checked counts queries with no green row yet (new
+    # registrations land here until their first driver pass).
+    registry: dict = {
+        "n_queries": len(plans.QUERIES),
+        "n_oracled": sum(1 for s in plans.QUERIES.values() if s.oracle),
+    }
+    try:
+        import __spark_entry__ as entry_mod
+
+        green = entry_mod._driver_green()
+        registry["oldest_green_round"] = (
+            min(green.values()) if green else None
         )
-    )
+        registry["never_checked"] = sum(
+            1 for n in plans.QUERIES if n not in green
+        )
+    except Exception as e:
+        registry["staleness_error"] = str(e)[:120]
+
+    def _ratio(anchor: dict, base: dict) -> dict:
+        if not anchor or "error" in anchor or not base:
+            return anchor
+        out = {"total": anchor.get("total")}
+        if base.get("total"):
+            out["ratio_vs_bench_sf"] = round(
+                anchor["total"] / base["total"], 2
+            )
+        return out
+
+    # The driver records only the TAIL of stdout, so the one JSON line
+    # must stay compact and carry the per-query map LAST: even if the
+    # head is cut, every per-query pair survives in the kept tail.
+    # Full evidence (query_runs, per-phase dicts, raw sf1/scale tables)
+    # goes to BENCH_DETAIL.json beside the repo for the round archive.
+    compact = {
+        "metric": "bench_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "calib_s": calib_s,
+        "registry": registry,
+        "pipeline": {"total": pipe.get("total"), "runs": pipe.get("runs")},
+        "curation": {"total": cur.get("total"), "runs": cur.get("runs")},
+        "increment": {"total": incr.get("total"), "runs": incr.get("runs")},
+        "curation_sf1": _ratio(cur_sf1, cur),
+        "increment_sf1": _ratio(incr_sf1, incr),
+        # scalar = time ratio; [time_ratio, rows_ratio] for the pair-
+        # enumerating extras whose output itself grows super-linearly
+        "sf1_ratio": {
+            n: (
+                [v["ratio"], v["rows_ratio"]]
+                if "rows_ratio" in v
+                else v["ratio"] if "ratio" in v else "err"
+            )
+            for n, v in sf1.items()
+            if isinstance(v, dict)
+        },
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+    }
+    detail = {
+        **compact,
+        "queries": timings,
+        "query_runs": query_runs,
+        "scale_ratio": scale_ratio,
+        "sf1": sf1,
+        "pipeline": pipe,
+        "curation": cur,
+        "increment": incr,
+        "curation_sf1_full": cur_sf1,
+        "increment_sf1_full": incr_sf1,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    # tightest separators: the driver keeps only the last 2000 chars of
+    # stdout, and the default ", " padding alone overflows that window
+    print(json.dumps(compact, separators=(",", ":")))
     return 0
 
 

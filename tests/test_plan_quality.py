@@ -130,3 +130,54 @@ def test_no_global_window(name, plans_info):
         assert spec.strip(), (
             f"{name} plans a partition-less window (single-task at scale)"
         )
+
+
+def _recorded_budgets() -> dict[str, tuple[int, int]]:
+    """shuf/bcast columns of QUERIES.md — the recorded per-query exchange
+    budget (generated by tools/gen_query_inventory.py at sf0.001)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "QUERIES.md",
+    )
+    out: dict[str, tuple[int, int]] = {}
+    with open(path) as fh:
+        for line in fh:
+            m = re.match(
+                r"\| `([^`]+)` \| [^|]* \| [^|]* \| (-?\d+) \| (-?\d+) \|",
+                line,
+            )
+            if m:
+                out[m.group(1)] = (int(m.group(2)), int(m.group(3)))
+    return out
+
+
+_BUDGETS = _recorded_budgets()
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_exchange_budget_pinned(name, plans_info):
+    """The pre-AQE physical plan's shuffle/broadcast exchange counts must
+    equal the budgets recorded in QUERIES.md: a lost broadcast (small
+    side grew past the threshold, a hint dropped) or an extra shuffle
+    (a new repartition, a join that stopped co-locating) now fails at
+    authoring time instead of surfacing as a bench anomaly rounds
+    later.  When a plan change is DELIBERATE, regenerate the budgets
+    (`python tools/gen_query_inventory.py`) in the same commit."""
+    assert name in _BUDGETS, (
+        f"{name} has no recorded exchange budget — regenerate QUERIES.md "
+        "(python tools/gen_query_inventory.py)"
+    )
+    want_shuf, want_bcast = _BUDGETS[name]
+    if (want_shuf, want_bcast) == (-1, -1):
+        pytest.skip("plan needs a live feature unavailable at record time")
+    _, physical, _ = plans_info[name]
+    got_shuf = len(re.findall(r"\bExchange (?:hash|range|Single)", physical))
+    got_bcast = len(re.findall(r"BroadcastExchange", physical))
+    assert (got_shuf, got_bcast) == (want_shuf, want_bcast), (
+        f"{name}: plan exchanges changed — shuffle {want_shuf}->{got_shuf}, "
+        f"broadcast {want_bcast}->{got_bcast}.  If deliberate, regenerate "
+        "QUERIES.md (python tools/gen_query_inventory.py); if not, a "
+        "broadcast was lost or a shuffle was added"
+    )
