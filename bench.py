@@ -316,13 +316,22 @@ def main() -> int:
                         "ratio": round(t_sf1 / max(timings[name], 1e-9), 2),
                     }
                     if name in extras:
-                        r_b = bench_specs[name].spark(spark, sf_dir).count()
-                        r_1 = bench_specs[name].spark(
-                            spark, stress_scale.DST
-                        ).count()
-                        sf1[name]["rows_bench"] = r_b
-                        sf1[name]["rows_sf1"] = r_1
-                        sf1[name]["rows_ratio"] = round(r_1 / max(r_b, 1), 1)
+                        # a rows-count failure must not discard the time
+                        # ratio already measured above
+                        try:
+                            r_b = bench_specs[name].spark(
+                                spark, sf_dir
+                            ).count()
+                            r_1 = bench_specs[name].spark(
+                                spark, stress_scale.DST
+                            ).count()
+                            sf1[name]["rows_bench"] = r_b
+                            sf1[name]["rows_sf1"] = r_1
+                            sf1[name]["rows_ratio"] = round(
+                                r_1 / max(r_b, 1), 1
+                            )
+                        except Exception as e:
+                            sf1[name]["rows_error"] = str(e)[:120]
                 except Exception as e:
                     sf1[name] = {"error": str(e)[:200]}
         except Exception as e:  # the anchor must never sink the bench
@@ -336,15 +345,20 @@ def main() -> int:
     cur_sf1: dict = {}
     incr_sf1: dict = {}
     if isinstance(sf1, dict) and sf1 and "error" not in sf1:
+        # independent failure domains: an increment failure must not
+        # overwrite a measured curation anchor (or vice versa)
         try:
             cur_sf1 = curation_bench(
                 spark, stress_scale.DST, work="/tmp/pdng-curate-sf1"
             )
+        except Exception as e:
+            cur_sf1 = {"error": str(e)[:200]}
+        try:
             incr_sf1 = increment_bench(
                 spark, stress_scale.DST, work="/tmp/pdng-incr-sf1", n_runs=1
             )
         except Exception as e:
-            cur_sf1 = {"error": str(e)[:200]}
+            incr_sf1 = {"error": str(e)[:200]}
 
     # The end-to-end sections are the noisiest samples on a shared host
     # (observed: identical code, 8 s -> 55 s emit within one evening while

@@ -157,23 +157,41 @@ _BUDGETS = _recorded_budgets()
 
 
 @pytest.mark.parametrize("name", _QUERIES)
-def test_exchange_budget_pinned(name, plans_info):
+def test_exchange_budget_pinned(name, plans_info, sf_dir):
     """The pre-AQE physical plan's shuffle/broadcast exchange counts must
     equal the budgets recorded in QUERIES.md: a lost broadcast (small
     side grew past the threshold, a hint dropped) or an extra shuffle
     (a new repartition, a join that stopped co-locating) now fails at
     authoring time instead of surfacing as a bench anomaly rounds
     later.  When a plan change is DELIBERATE, regenerate the budgets
-    (`python tools/gen_query_inventory.py`) in the same commit."""
+    (`python tools/gen_query_inventory.py`) in the same commit.
+
+    Two classes of plan are exempt: budgets are recorded at sf0.001
+    (file-size statistics steer broadcast choices, so another SF pins
+    nothing), and plans containing InMemoryTableScan substitute
+    session-cached frames — unpersist() is async, so whether a cached
+    subtree (this query's own persist() or an earlier query's) is
+    still present at capture time is a race, and the exchange count
+    legitimately varies with it (observed: kmv_set_overlap at 34/35/37
+    across runs)."""
+    if sf_dir != "/root/testdata/sf0.001":
+        pytest.skip("budgets are recorded at sf0.001; stats-driven "
+                    "broadcast choices differ at other SFs")
     assert name in _BUDGETS, (
         f"{name} has no recorded exchange budget — regenerate QUERIES.md "
         "(python tools/gen_query_inventory.py)"
     )
     want_shuf, want_bcast = _BUDGETS[name]
     if (want_shuf, want_bcast) == (-1, -1):
-        pytest.skip("plan needs a live feature unavailable at record time")
+        pytest.skip("recorded as unpinnable (live feature or cache-state-"
+                    "dependent plan)")
     _, physical, _ = plans_info[name]
-    got_shuf = len(re.findall(r"\bExchange (?:hash|range|Single)", physical))
+    if "InMemoryTableScan" in physical:
+        pytest.skip("plan substitutes session-cached frames; exchange "
+                    "count depends on async cache state")
+    got_shuf = len(
+        re.findall(r"\bExchange (?:hash|range|Single|RoundRobin)", physical)
+    )
     got_bcast = len(re.findall(r"BroadcastExchange", physical))
     assert (got_shuf, got_bcast) == (want_shuf, want_bcast), (
         f"{name}: plan exchanges changed — shuffle {want_shuf}->{got_shuf}, "
