@@ -382,6 +382,85 @@ def _bucket_candidates(
     )
 
 
+def ngram_jaccard_join(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric EXACT near-dup join: ``(id_a, id_b, jaccard)`` for every
+    (new doc, corpus doc) pair at Jaccard >= ``threshold`` — the
+    ingest-shaped twin of :func:`minhash_lsh_join`, but exact instead of
+    banding-approximate: dedup a new batch AGAINST the standing corpus
+    without an LSH recall trade.
+
+    Plan: prefix-filter BOTH sides (each doc indexes its
+    ``floor((1-t)|sh|)+2`` smallest-xxhash shingles — the same
+    SSJoin/ppjoin bound as the self-join mode of
+    :func:`ngram_jaccard_pairs`, so candidate recall is exact), join the
+    two prefix indexes on the 8-byte hash with the integer-slack length
+    filter, verify candidates with the exact array intersection.  At
+    100 TB the corpus prefix index ``(id, sz, h)`` is a precomputed
+    persisted artifact (the analogue of the LSH bucket artifact the
+    curation dataset persists): each ingest batch equi-joins against it,
+    so per-batch cost is proportional to the batch's candidate fan-out,
+    not the corpus scan.  A doc present on BOTH sides (re-ingest
+    overlap) is excluded the way the LSH join excludes it — it would
+    trivially emit itself at jaccard 1.0.
+    """
+    assert threshold > 0, "prefix filtering requires a positive threshold"
+
+    def prep(df: DataFrame) -> DataFrame:
+        return spread_small_input(df).select(
+            F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+        )
+
+    nd, cd = prep(new), prep(corpus)
+
+    def prefix_index(docs: DataFrame) -> DataFrame:
+        ordered = F.array_sort(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+        )
+        plen = (
+            F.floor(F.size("sh") * F.lit(1.0 - threshold)) + F.lit(2)
+        ).cast("int")
+        return docs.select(
+            "id",
+            F.size("sh").alias("sz"),
+            F.explode(F.slice(ordered, 1, plen)).alias("h"),
+        )
+
+    pn, pc = prefix_index(nd).alias("a"), prefix_index(cd).alias("b")
+    cond = (
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.id") != F.col("b.id"))
+        & (
+            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+            >= F.lit(threshold)
+            * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
+            - F.lit(1.0)
+        )
+    )
+    cand = (
+        pn.join(pc, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a, b = nd.alias("a"), cd.alias("b")
+    pairs = cand.join(a, cand.id_a == F.col("a.id")).join(
+        b, cand.id_b == F.col("b.id")
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (inter.cast("double") / union).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_join(
     new: DataFrame,
     corpus: DataFrame,

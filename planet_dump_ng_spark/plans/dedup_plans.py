@@ -107,6 +107,47 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_jaccard_ingest",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    n AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
+    c AS (SELECT * FROM sh WHERE doc_id % 4 <> 0),
+    ex_n AS (SELECT doc_id, unnest(sh) AS s FROM n),
+    ex_c AS (SELECT doc_id, unnest(sh) AS s FROM c),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS cmn
+               FROM ex_n a JOIN ex_c b ON a.s = b.s
+               GROUP BY a.doc_id, b.doc_id),
+    szn AS (SELECT doc_id, len(sh) AS sz FROM n),
+    szc AS (SELECT doc_id, len(sh) AS sz FROM c)
+    SELECT id_a, id_b,
+           cmn::DOUBLE / (za.sz + zb.sz - cmn) AS jaccard
+    FROM common
+    JOIN szn za ON common.id_a = za.doc_id
+    JOIN szc zb ON common.id_b = zb.doc_id
+    WHERE cmn::DOUBLE / (za.sz + zb.sz - cmn) >= 0.5
+    """,
+    doc="Asymmetric EXACT near-dup ingest join (every 4th doc as the new "
+    "batch vs the rest as the standing corpus): prefix-filtered "
+    "candidates on BOTH sides verify to the exact (batch doc, corpus "
+    "doc) Jaccard pairs at t=0.5 — the exact twin of "
+    "dedup_incremental_lsh, for pipelines whose dedup guarantee cannot "
+    "accept LSH's recall trade.  At 100 TB the corpus prefix index is "
+    "a persisted artifact each batch equi-joins against; per-batch "
+    "cost follows the batch's candidate fan-out, not a corpus rescan.",
+    tags=("dedup", "bench"),
+)
+def dedup_ngram_jaccard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_join(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        k=3,
+        threshold=0.5,
+    )
+
+
 def _lsh_bnd_ctes(num_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
     """The shared CTE chain shingles -> hashes -> signatures -> band keys
     (``sh``/``ex``/``hh``/``sig``/``bnd``) that every LSH oracle builds on.

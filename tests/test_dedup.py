@@ -139,6 +139,37 @@ def test_prefix_filter_equals_exhaustive_blocked(spark):
         assert want and got == want
 
 
+def test_ngram_jaccard_join_matches_self_join_cross_pairs(docs):
+    """The asymmetric exact join returns exactly the cross (new, corpus)
+    pairs of the exhaustive self-join — no LSH recall trade."""
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_join(
+            new, corpus, k=3, threshold=0.4
+        ).collect()
+    }
+    full = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.4).collect()
+    want = {}
+    for r in full:
+        # self-join emits id_a < id_b; the ingest join is (new, corpus)
+        if r.id_a % 2 == 0 and r.id_b % 2 == 1:
+            want[(r.id_a, r.id_b)] = r.jaccard
+        elif r.id_b % 2 == 0 and r.id_a % 2 == 1:
+            want[(r.id_b, r.id_a)] = r.jaccard
+    assert got == want and want  # non-empty: the fixture has cross dups
+
+
+def test_ngram_jaccard_join_excludes_reingested_doc(spark):
+    """A doc present on both sides (re-ingest overlap) must not emit
+    itself at jaccard 1.0."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = dd.ngram_jaccard_join(df, df, k=3, threshold=0.5).collect()
+    assert out == []
+
+
 def test_minhash_signature_similarity(docs):
     """MinHash agreement rate approximates Jaccard."""
     sigs = {
