@@ -296,7 +296,10 @@ def main() -> int:
             # raw time ratio reads as super-linear when the per-output-
             # row cost actually fell — rows_ratio is the denominator
             # that makes the anchor honest.
-            extras = ("dedup_ngram_jaccard_prefix",)
+            extras = (
+                "dedup_ngram_jaccard_prefix",
+                "dedup_ngram_jaccard_ingest",
+            )
             for extra in extras:
                 if extra in timings and extra not in anchored:
                     anchored.append(extra)

@@ -1,6 +1,8 @@
 """Dedup operator semantics on hand-built fixtures with known duplicates."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from planet_dump_ng_spark.operators import dedup as dd
@@ -342,3 +344,77 @@ def test_star_mode_rejects_unknown_mode(spark):
     docs = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
     with pytest.raises(ValueError, match="mode"):
         dd.minhash_lsh_candidates(docs, mode="mesh")
+
+
+def _prefix_candidates_py(
+    sets: dict[int, frozenset], t: float
+) -> set[tuple[int, int]]:
+    """Pure-Python twin of the prefix-filter candidate stage: the same
+    plen = floor((1-t)*n) + 2 bound and min >= t*max - 1 length filter
+    as operators.dedup (any consistent total order satisfies the
+    SSJoin theorem; md5 stands in for xxhash64 here — the Spark
+    equality tests pin the production ordering)."""
+    import hashlib
+    import math
+
+    def h(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+    prefixes = {
+        i: set(sorted(vals, key=h)[: math.floor((1.0 - t) * len(vals)) + 2])
+        for i, vals in sets.items()
+    }
+    out = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            na, nb = len(sets[a]), len(sets[b])
+            if min(na, nb) < t * max(na, nb) - 1.0:
+                continue
+            if prefixes[a] & prefixes[b]:
+                out.add((a, b))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_prefix_filter_candidate_recall_is_exact(data):
+    """THE prefix-filter safety property: every pair at Jaccard >= t is
+    a candidate (shares a prefix element AND survives the length
+    filter) under the exact plen/slack formulas the operator uses —
+    including adversarial thresholds near float boundaries (t*n exactly
+    integral) and tiny/skewed set sizes, where an off-by-one prefix
+    silently loses pairs."""
+    from hypothesis import assume
+
+    n_docs = data.draw(st.integers(2, 8), label="n_docs")
+    vocab = [f"w{i}" for i in range(12)]  # small: forces overlap
+    sets = {}
+    for i in range(n_docs):
+        vals = data.draw(
+            st.frozensets(st.sampled_from(vocab), min_size=1, max_size=12),
+            label=f"set{i}",
+        )
+        sets[i] = vals
+    t = data.draw(
+        st.one_of(
+            st.floats(0.05, 0.95, allow_nan=False),
+            # exact rationals hit the floor((1-t)n) boundaries
+            st.sampled_from([0.1, 0.2, 0.25, 1 / 3, 0.5, 2 / 3, 0.75, 0.8]),
+        ),
+        label="threshold",
+    )
+    assume(t > 0)
+    cands = _prefix_candidates_py(sets, t)
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                assert (a, b) in cands, (
+                    f"qualifying pair lost: J={inter}/{union} >= {t}, "
+                    f"sizes {len(sets[a])}/{len(sets[b])}"
+                )
