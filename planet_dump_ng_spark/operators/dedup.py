@@ -382,13 +382,97 @@ def _bucket_candidates(
     )
 
 
-def ngram_jaccard_join(
-    new: DataFrame,
+#: persisted corpus prefix-index artifact format (write_prefix_index)
+PREFIX_INDEX_FORMAT = "ngram-prefix-index-v1"
+
+
+def write_prefix_index(
     corpus: DataFrame,
+    index_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+) -> dict:
+    """Persist the corpus side of :func:`ngram_jaccard_join` — the
+    build-once/probe-every-batch artifact the ingest join's 100 TB
+    story rests on.  Two tables: ``docs`` (id, sz, sh — the full
+    shingle arrays exact verification needs) and ``pindex`` (id, sz, h
+    — the exploded prefix entries each batch equi-joins against), plus
+    ``meta.json`` written LAST as the commit marker with any
+    pre-existing header deleted first (the dsir/tokenizer/dedup
+    artifact crash-window protocol: a half-written index reads as no
+    index).  ``threshold`` is the MINIMUM queryable threshold: prefix
+    length shrinks as t grows, so serving any t >= the recorded value
+    only over-indexes (extra candidates verify away); serving a lower
+    t would silently lose pairs and is refused at read time.
+    """
+    import json
+    import os
+
+    d = index_dir.rstrip("/")
+    os.makedirs(d, exist_ok=True)
+    meta_path = f"{d}/meta.json"
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    spark = corpus.sparkSession
+    docs = spread_small_input(corpus).select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, k).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    docs.write.mode("overwrite").parquet(f"{d}/docs")
+    persisted = spark.read.parquet(f"{d}/docs")
+    ordered = F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+    plen = (
+        F.floor(F.col("sz") * F.lit(1.0 - threshold)) + F.lit(2)
+    ).cast("int")
+    persisted.select(
+        "id", "sz", F.explode(F.slice(ordered, 1, plen)).alias("h")
+    ).write.mode("overwrite").parquet(f"{d}/pindex")
+    meta = {
+        "format": PREFIX_INDEX_FORMAT,
+        "k": k,
+        "threshold": threshold,
+        "n_docs": spark.read.parquet(f"{d}/docs").count(),
+        "n_prefix_entries": spark.read.parquet(f"{d}/pindex").count(),
+    }
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def read_prefix_index(spark, index_dir: str):
+    """(docs, pindex, meta) from a persisted prefix-index artifact;
+    refuses a missing/foreign header loudly."""
+    import json
+    import os
+
+    d = index_dir.rstrip("/")
+    meta_path = f"{d}/meta.json"
+    if not os.path.exists(meta_path):
+        raise ValueError(f"{index_dir} has no meta.json — not a prefix index")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("format") != PREFIX_INDEX_FORMAT:
+        raise ValueError(
+            f"{index_dir} format {meta.get('format')!r} != "
+            f"{PREFIX_INDEX_FORMAT!r}"
+        )
+    return (
+        spark.read.parquet(f"{d}/docs"),
+        spark.read.parquet(f"{d}/pindex"),
+        meta,
+    )
+
+
+def ngram_jaccard_join(
+    new: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    corpus_index: str | None = None,
 ) -> DataFrame:
     """Asymmetric EXACT near-dup join: ``(id_a, id_b, jaccard)`` for every
     (new doc, corpus doc) pair at Jaccard >= ``threshold`` — the
@@ -402,22 +486,29 @@ def ngram_jaccard_join(
     :func:`ngram_jaccard_pairs`, so candidate recall is exact), join the
     two prefix indexes on the 8-byte hash with the integer-slack length
     filter, verify candidates with the exact array intersection.  At
-    100 TB the corpus prefix index ``(id, sz, h)`` is a precomputed
-    persisted artifact (the analogue of the LSH bucket artifact the
-    curation dataset persists): each ingest batch equi-joins against it,
-    so per-batch cost is proportional to the batch's candidate fan-out,
-    not the corpus scan.  A doc present on BOTH sides (re-ingest
-    overlap) is excluded the way the LSH join excludes it — it would
-    trivially emit itself at jaccard 1.0.
+    100 TB the corpus prefix index ``(id, sz, h)`` is a PRECOMPUTED
+    PERSISTED ARTIFACT (pass ``corpus_index=`` a directory written by
+    :func:`write_prefix_index` — the analogue of the LSH bucket
+    artifact the curation dataset persists): each ingest batch
+    equi-joins against it, so per-batch cost is proportional to the
+    batch's candidate fan-out, not the corpus scan; without it the
+    index is re-derived from ``corpus`` per call.  The artifact's
+    recorded threshold is a floor: serving a HIGHER t only
+    over-indexes (extra candidates verify away); a lower t would lose
+    pairs and raises.  A doc present on BOTH sides (re-ingest overlap)
+    is excluded the way the LSH join excludes it — it would trivially
+    emit itself at jaccard 1.0.
     """
     assert threshold > 0, "prefix filtering requires a positive threshold"
+    assert (corpus is None) != (corpus_index is None), (
+        "pass exactly one of corpus= (derive per call) or "
+        "corpus_index= (persisted artifact)"
+    )
 
     def prep(df: DataFrame) -> DataFrame:
         return spread_small_input(df).select(
             F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
         )
-
-    nd, cd = prep(new), prep(corpus)
 
     def prefix_index(docs: DataFrame) -> DataFrame:
         ordered = F.array_sort(
@@ -432,7 +523,27 @@ def ngram_jaccard_join(
             F.explode(F.slice(ordered, 1, plen)).alias("h"),
         )
 
-    pn, pc = prefix_index(nd).alias("a"), prefix_index(cd).alias("b")
+    nd = prep(new)
+    if corpus_index is not None:
+        cdocs, cpindex, meta = read_prefix_index(
+            new.sparkSession, corpus_index
+        )
+        if meta["k"] != k:
+            raise ValueError(
+                f"index built with k={meta['k']}, queried with k={k}"
+            )
+        if threshold < meta["threshold"]:
+            raise ValueError(
+                f"index prefix length covers threshold >= "
+                f"{meta['threshold']}; querying t={threshold} would "
+                "silently lose pairs — rebuild the index at the lower t"
+            )
+        cd = cdocs.select("id", "sh")
+        pc = cpindex.alias("b")
+    else:
+        cd = prep(corpus)
+        pc = prefix_index(cd).alias("b")
+    pn = prefix_index(nd).alias("a")
     cond = (
         (F.col("a.h") == F.col("b.h"))
         & (F.col("a.id") != F.col("b.id"))

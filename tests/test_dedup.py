@@ -172,6 +172,66 @@ def test_ngram_jaccard_join_excludes_reingested_doc(spark):
     assert out == []
 
 
+def test_prefix_index_artifact_serves_identical(docs, tmp_path):
+    """The persisted corpus prefix index serves the ingest join
+    bit-identically to the derive-per-call path, a higher-t probe is
+    valid (over-indexing only), and the guards refuse k mismatches,
+    lower-t probes, and headerless dirs."""
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "pidx")
+    meta = dd.write_prefix_index(corpus, idx, k=3, threshold=0.4)
+    assert meta["format"] == dd.PREFIX_INDEX_FORMAT and meta["n_docs"] == 3
+    direct = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_join(
+            new, corpus, k=3, threshold=0.4
+        ).collect()
+    }
+    served = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_join(
+            new, k=3, threshold=0.4, corpus_index=idx
+        ).collect()
+    }
+    assert served == direct and direct
+    # higher threshold than recorded: safe (over-indexed candidates)
+    d9 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_join(
+            new, corpus, k=3, threshold=0.9
+        ).collect()
+    }
+    s9 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_join(
+            new, k=3, threshold=0.9, corpus_index=idx
+        ).collect()
+    }
+    assert s9 == d9
+    with pytest.raises(ValueError, match="k="):
+        dd.ngram_jaccard_join(new, k=4, threshold=0.5, corpus_index=idx)
+    with pytest.raises(ValueError, match="lose pairs"):
+        dd.ngram_jaccard_join(new, k=3, threshold=0.2, corpus_index=idx)
+    with pytest.raises(ValueError, match="no meta.json"):
+        dd.read_prefix_index(docs.sparkSession, str(tmp_path / "nope"))
+
+
+def test_prefix_index_crash_window(docs, tmp_path):
+    """A rebuild that crashes mid-write leaves no stale header: the old
+    meta is deleted BEFORE tables are rewritten, so the half-built
+    artifact reads as 'not a prefix index'."""
+    import os
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "pidx2")
+    dd.write_prefix_index(corpus, idx, k=3, threshold=0.5)
+    # forge the crash: header removal is the first step of any rebuild
+    os.remove(f"{idx}/meta.json")
+    with pytest.raises(ValueError, match="no meta.json"):
+        dd.read_prefix_index(docs.sparkSession, idx)
+
+
 def test_minhash_signature_similarity(docs):
     """MinHash agreement rate approximates Jaccard."""
     sigs = {
