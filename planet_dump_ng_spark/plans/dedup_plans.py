@@ -148,6 +148,58 @@ def dedup_ngram_jaccard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_jaccard_served",
+    # same SQL as dedup_ngram_jaccard_ingest: the artifact is a physical
+    # serving layout, so served output must be IDENTICAL to derive-mode
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    n AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
+    c AS (SELECT * FROM sh WHERE doc_id % 4 <> 0),
+    ex_n AS (SELECT doc_id, unnest(sh) AS s FROM n),
+    ex_c AS (SELECT doc_id, unnest(sh) AS s FROM c),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS cmn
+               FROM ex_n a JOIN ex_c b ON a.s = b.s
+               GROUP BY a.doc_id, b.doc_id),
+    szn AS (SELECT doc_id, len(sh) AS sz FROM n),
+    szc AS (SELECT doc_id, len(sh) AS sz FROM c)
+    SELECT id_a, id_b,
+           cmn::DOUBLE / (za.sz + zb.sz - cmn) AS jaccard
+    FROM common
+    JOIN szn za ON common.id_a = za.doc_id
+    JOIN szc zb ON common.id_b = zb.doc_id
+    WHERE cmn::DOUBLE / (za.sz + zb.sz - cmn) >= 0.5
+    """,
+    doc="The ingest join SERVED from the persisted corpus prefix-index "
+    "artifact: build (write_prefix_index: docs + pindex tables, "
+    "meta.json commit marker) then probe "
+    "(ngram_jaccard_join(corpus_index=...)), full lifecycle under the "
+    "driver gate.  The artifact is a physical serving layout, so the "
+    "oracle is literally dedup_ngram_jaccard_ingest's SQL — served "
+    "output must hash-match derive-mode exactly.  At 100 TB the build "
+    "runs once per corpus snapshot and each batch pays only its "
+    "candidate fan-out.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    docs = table(spark, sf_dir, "documents")
+    idx = "/tmp/pdng-prefix-index-" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
+    dd.write_prefix_index(
+        docs.filter(F.col("doc_id") % 4 != 0), idx, k=3, threshold=0.5
+    )
+    return dd.ngram_jaccard_join(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        k=3,
+        threshold=0.5,
+        corpus_index=idx,
+    )
+
+
 def _lsh_bnd_ctes(num_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
     """The shared CTE chain shingles -> hashes -> signatures -> band keys
     (``sh``/``ex``/``hh``/``sig``/``bnd``) that every LSH oracle builds on.
