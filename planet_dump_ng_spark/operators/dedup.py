@@ -385,6 +385,12 @@ def _bucket_candidates(
 #: persisted corpus prefix-index artifact format (write_prefix_index)
 PREFIX_INDEX_FORMAT = "ngram-prefix-index-v1"
 
+#: featurizer identity recorded in the index header and checked at probe
+#: time — bump when tokens()/shingles()/the hash canonical order change,
+#: so an index built by older featurization refuses loudly instead of
+#: silently returning wrong pairs (the DSIR model-header protocol).
+PREFIX_FEATURIZER = "ws-tokens/k-gram-shingles/xxhash64-asc-v1"
+
 
 def write_prefix_index(
     corpus: DataFrame,
@@ -415,26 +421,41 @@ def write_prefix_index(
     meta_path = f"{d}/meta.json"
     if os.path.exists(meta_path):
         os.remove(meta_path)
+    from pyspark.sql import Observation
+
     spark = corpus.sparkSession
     docs = spread_small_input(corpus).select(
         F.col(id_col).alias("id"),
         shingles(text_col, k).alias("sh"),
     ).withColumn("sz", F.size("sh"))
-    docs.write.mode("overwrite").parquet(f"{d}/docs")
+    # Observations ride the write jobs, so the meta counts cost ZERO
+    # extra scans — re-reading two freshly written tables (the pindex
+    # one being the exploded prefix mass) just for metadata would be a
+    # material per-snapshot cost at the corpus scale this targets.
+    obs_docs = Observation()
+    docs.observe(obs_docs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/docs")
     persisted = spark.read.parquet(f"{d}/docs")
     ordered = F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
     plen = (
         F.floor(F.col("sz") * F.lit(1.0 - threshold)) + F.lit(2)
     ).cast("int")
+    obs_pi = Observation()
     persisted.select(
         "id", "sz", F.explode(F.slice(ordered, 1, plen)).alias("h")
-    ).write.mode("overwrite").parquet(f"{d}/pindex")
+    ).observe(obs_pi, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/pindex")
     meta = {
         "format": PREFIX_INDEX_FORMAT,
+        "featurizer": PREFIX_FEATURIZER,
+        "text_col": text_col,
+        "id_col": id_col,
         "k": k,
         "threshold": threshold,
-        "n_docs": spark.read.parquet(f"{d}/docs").count(),
-        "n_prefix_entries": spark.read.parquet(f"{d}/pindex").count(),
+        "n_docs": obs_docs.get["n"],
+        "n_prefix_entries": obs_pi.get["n"],
     }
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
@@ -531,6 +552,21 @@ def ngram_jaccard_join(
         if meta["k"] != k:
             raise ValueError(
                 f"index built with k={meta['k']}, queried with k={k}"
+            )
+        # featurizer identity + column provenance: an index built from a
+        # different text column — or by an older tokens()/shingles()
+        # version — would silently return wrong pairs; refuse loudly
+        # (pre-provenance headers pass, same policy as _check_dedup_meta)
+        if meta.get("featurizer", PREFIX_FEATURIZER) != PREFIX_FEATURIZER:
+            raise ValueError(
+                f"index featurizer {meta['featurizer']!r} != this build's "
+                f"{PREFIX_FEATURIZER!r} — rebuild the index"
+            )
+        if meta.get("text_col", text_col) != text_col:
+            raise ValueError(
+                f"index was featurized from column {meta['text_col']!r}, "
+                f"probed with text_col={text_col!r} — pairs would be "
+                "computed over different text; rebuild or rename"
             )
         if threshold < meta["threshold"]:
             raise ValueError(

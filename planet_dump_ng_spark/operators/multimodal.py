@@ -3,8 +3,10 @@ decoded/feature-extracted through Arrow-batched mapInPandas.
 
 Image DIMENSIONS are decoded for REAL from PNG/JPEG headers
 (``parse_image_header`` — pure-stdlib ``struct`` over the IHDR chunk /
-SOFn marker, no image libraries needed); payloads that are not
-parseable images fall back to a DETERMINISTIC FAKE (clearly marked
+SOFn marker, no image libraries needed), and video dimensions / frame
+counts / duration from the MP4 container (``parse_mp4_header`` —
+ISO-BMFF box walk to moov/trak/tkhd + stts); payloads that are not
+parseable media fall back to a DETERMINISTIC FAKE (clearly marked
 below) standing in for a full pixel decode, since PIL/ffmpeg are not in
 this container.  Everything around the decode — the binary column
 schema, the mapInPandas batch shape, partitioning, the frame-sampling
@@ -69,6 +71,13 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         if len(payload) >= 24 and payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
+            # Implausible dims = unparseable: the PNG spec caps both at
+            # 2^31-1, and the unsigned unpack would otherwise overflow
+            # the int32 schema column — one crafted header in an
+            # untrusted corpus must fall back to the stub, not fail the
+            # whole Arrow batch.
+            if not (0 < w < 2**31 and 0 < h < 2**31):
+                return None
             return ("png", w, h)
         return None
     if payload[:2] == b"\xff\xd8":
@@ -91,9 +100,124 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
                 if i + 9 > n:
                     return None
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                if w == 0 or h == 0:  # dimensionless frame header
+                    return None
                 return ("jpeg", w, h)
             i += 2 + seg_len
         return None
+    return None
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for the ISO-BMFF boxes in
+    ``buf[start:end]`` — the [size:4 BE][type:4] framing, with the
+    64-bit largesize escape (size == 1) and the to-end-of-file form
+    (size == 0).  Malformed sizes terminate the walk instead of
+    raising: a truncated/crafted box reads as "no more boxes", so the
+    caller falls back to the stub."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", buf[i : i + 4])[0]
+        typ = buf[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < body - i or i + size > end:
+            return
+        yield typ, body, i + size
+        i += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, typ: bytes):
+    """(body_start, body_end) of the first ``typ`` box in the range."""
+    for t, b, e in _mp4_boxes(buf, start, end):
+        if t == typ:
+            return b, e
+    return None
+
+
+def parse_mp4_header(
+    payload: bytes,
+) -> tuple[int, int, int, int] | None:
+    """REAL ISO-BMFF (MP4) container parse, pure stdlib ``struct`` — no
+    media libraries.  Walks ``moov`` for the movie header (``mvhd``:
+    timescale + duration -> integer milliseconds) and the first VIDEO
+    track (``trak`` whose ``tkhd`` carries nonzero 16.16-fixed
+    width/height), then that track's sample table (``mdia/minf/stbl/
+    stts``) for the exact frame count (sum of the time-to-sample entry
+    counts).  Returns (width, height, n_frames, duration_ms), or None
+    when the payload is not a parseable MP4 — the caller falls back to
+    the deterministic stub, so text-byte payloads (the oracle
+    fixtures) are untouched: they would need an ``ftyp`` box at offset
+    4 with a plausible size to get past the gate.  Both tkhd versions
+    are handled (v0: 32-bit times, width at body offset 76; v1: 64-bit
+    times, offset 88); dims outside (0, 2^31) are treated as
+    unparseable, matching ``parse_image_header``'s overflow guard.
+    """
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        return None
+    moov = _mp4_find(payload, 0, n, b"moov")
+    if moov is None:
+        return None
+    duration_ms = 0
+    mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is not None and mvhd[1] - mvhd[0] >= 4:
+        ver = payload[mvhd[0]]
+        try:
+            if ver == 1:
+                ts, dur = struct.unpack(
+                    ">IQ", payload[mvhd[0] + 20 : mvhd[0] + 32]
+                )
+            else:
+                ts, dur = struct.unpack(
+                    ">II", payload[mvhd[0] + 12 : mvhd[0] + 20]
+                )
+            if ts > 0:
+                duration_ms = dur * 1000 // ts
+        except struct.error:
+            pass
+    for t, b, e in _mp4_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        tkhd = _mp4_find(payload, b, e, b"tkhd")
+        if tkhd is None or tkhd[1] - tkhd[0] < 4:
+            continue
+        woff = tkhd[0] + (88 if payload[tkhd[0]] == 1 else 76)
+        if woff + 8 > tkhd[1]:
+            continue
+        w16, h16 = struct.unpack(">II", payload[woff : woff + 8])
+        w, h = w16 >> 16, h16 >> 16  # 16.16 fixed-point, integer part
+        if not (0 < w < 2**31 and 0 < h < 2**31):
+            continue  # audio/hint tracks carry zero dims — keep looking
+        n_frames = 1
+        mdia = _mp4_find(payload, b, e, b"mdia")
+        if mdia is not None:
+            minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
+            if minf is not None:
+                stbl = _mp4_find(payload, minf[0], minf[1], b"stbl")
+                if stbl is not None:
+                    stts = _mp4_find(payload, stbl[0], stbl[1], b"stts")
+                    if stts is not None and stts[1] - stts[0] >= 8:
+                        n_entries = struct.unpack(
+                            ">I", payload[stts[0] + 4 : stts[0] + 8]
+                        )[0]
+                        total = 0
+                        for j in range(n_entries):
+                            off = stts[0] + 8 + 8 * j
+                            if off + 8 > stts[1]:
+                                break
+                            total += struct.unpack(
+                                ">I", payload[off : off + 4]
+                            )[0]
+                        if total > 0:
+                            n_frames = total
+        return (w, h, n_frames, duration_ms)
     return None
 
 
@@ -117,9 +241,13 @@ def decode_image_meta(with_payload: DataFrame) -> DataFrame:
     """
 
     def decode_one(payload: bytes, fmt: str) -> tuple[int, int, int]:
-        real = parse_image_header(bytes(payload))
+        b = bytes(payload)
+        real = parse_image_header(b)
         if real is not None:
             return real[1], real[2], 1
+        mp4 = parse_mp4_header(b)
+        if mp4 is not None:
+            return mp4[0], mp4[1], mp4[2]
         return _fake_decode(payload, fmt)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -216,11 +344,13 @@ def parse_wav_header(
 
 def _wav_energies(payload: bytes, n_windows: int = 8) -> list[int] | None:
     """REAL per-window energies for PCM16 WAV payloads: the data chunk's
-    little-endian int16 samples split into ``n_windows`` equal windows,
-    each reduced to its integer mean square (sum(x^2) // n — exact
-    integer arithmetic, engine- and platform-deterministic; 32767^2
-    fits the int32 output column).  None when the payload is not
-    PCM16 WAV — the stub handles it."""
+    little-endian int16 samples split into ``n_windows`` windows of
+    ``n_samples // n_windows`` samples each, the LAST window absorbing
+    the ``n_samples % n_windows`` remainder; each window reduces to its
+    integer mean square (sum(x^2) // len — exact integer arithmetic,
+    engine- and platform-deterministic; 32767^2 fits the int32 output
+    column).  None when the payload is not PCM16 WAV — the stub
+    handles it."""
     hdr = parse_wav_header(payload)
     if hdr is None or hdr[2] != 16:
         return None

@@ -184,10 +184,17 @@ def dedup_ngram_jaccard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import tempfile
 
     docs = table(spark, sf_dir, "documents")
-    idx = "/tmp/pdng-prefix-index-" + os.path.basename(
-        os.path.normpath(sf_dir)
+    # unique per-run directory: a fixed shared path raced the delete-
+    # header-first rebuild protocol when two sessions (driver gate +
+    # bench) built concurrently — one deleted meta.json mid-read of the
+    # other, a spurious "not a prefix index"
+    idx = tempfile.mkdtemp(
+        prefix="pdng-prefix-index-"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + "-"
     )
     dd.write_prefix_index(
         docs.filter(F.col("doc_id") % 4 != 0), idx, k=3, threshold=0.5
