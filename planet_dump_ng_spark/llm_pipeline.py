@@ -78,6 +78,13 @@ def _dsir_model_dir(dataset_dir: str) -> str:
     return dataset_dir.rstrip("/") + "_dsir"
 
 
+def _pindex_dir(dataset_dir: str) -> str:
+    """The corpus prefix-index artifact a ``near_dedup="exact"`` dataset
+    persists beside itself (operators.dedup.write_prefix_index) — the
+    exact twin of the ``_dedup`` LSH bucket artifact."""
+    return dataset_dir.rstrip("/") + "_pindex"
+
+
 #: the ONE definition of the dedup probe geometry — artifact writer and
 #: increment prober both read these, so they can never silently diverge
 #: (divergent band params would make every LSH probe miss and quietly
@@ -97,6 +104,8 @@ def _write_dedup_artifact(
     mode: str = "overwrite",
     extra_meta: dict | None = None,
     max_bucket: int | None = None,
+    include_buckets: bool = True,
+    buckets: DataFrame | None = None,
 ) -> None:
     """Persist the dataset's dedup probe tables beside it — the corpus
     fingerprint set (16-byte digests) and the LSH bucket table
@@ -108,6 +117,11 @@ def _write_dedup_artifact(
     increment probes these artifacts instead of re-deriving
     corpus-sized signatures per batch; increments APPEND their own
     survivors, keeping the artifact exactly in step with the dataset.
+
+    ``include_buckets=False`` (near_dedup="exact" datasets) skips the
+    LSH bucket table — those datasets probe the ``_pindex`` prefix
+    artifact instead, so the corpus-sized signature pass would be pure
+    waste; the fingerprint commit-marker discipline is unchanged.
 
     Write order is the crash-safety contract: META first, BUCKETS next,
     FINGERPRINTS last, because the stale-artifact repair in
@@ -145,10 +159,22 @@ def _write_dedup_artifact(
     if mode == "overwrite" or not os.path.exists(meta_path):
         with open(meta_path, "w", encoding="utf-8") as fh:
             json.dump({**_DEDUP_META, **(extra_meta or {})}, fh)
-    bkt = corpus_lsh_buckets(docs, **_DEDUP_LSH)
-    if max_bucket is not None:
-        bkt = dd.cap_lsh_buckets(bkt, max_bucket)
-    bkt.write.mode(mode).parquet(f"{d}/buckets")
+    if include_buckets:
+        # near_dedup="exact" datasets probe the _pindex artifact instead
+        # and skip this corpus-sized signature pass entirely.
+        # ``buckets``: a precomputed _DEDUP_LSH bucket table of exactly
+        # ``docs`` (the increment passes its already-materialized batch
+        # buckets semi-joined to the survivors, so the dominant
+        # per-batch cost — the signature map — runs once per increment,
+        # not twice)
+        bkt = (
+            buckets
+            if buckets is not None
+            else corpus_lsh_buckets(docs, **_DEDUP_LSH)
+        )
+        if max_bucket is not None:
+            bkt = dd.cap_lsh_buckets(bkt, max_bucket)
+        bkt.write.mode(mode).parquet(f"{d}/buckets")
     docs.select(
         F.col("doc_id"), tx.fingerprint("text").alias("fp")
     ).write.mode(mode).parquet(f"{d}/fingerprints")
@@ -253,6 +279,8 @@ def dedup_compact(spark, dataset_dir: str) -> dict:
     before = after = 0
     for t, cols in keys.items():
         src, tmp, old = f"{art}/{t}", f"{art}/{t}.compact", f"{art}/{t}.old"
+        if not os.path.exists(src):
+            continue  # exact-mode artifacts carry no buckets table
         before += _nfiles(src)
         tbl = spark.read.parquet(src)
         # a recorded max_bucket means the artifact's invariant is "the
@@ -302,6 +330,7 @@ def curate(
     auto_star_width: int = 256,
     dsir_target: "Column | str | None" = None,
     dsir_min_bits: float | None = None,
+    near_dedup: str = "lsh",
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -367,7 +396,29 @@ def curate(
     refuse the same half-specification).  The gate threshold and
     target provenance are recorded in the dedup-artifact header with
     the same inherit-or-refuse discipline as the other policies.
+
+    ``near_dedup`` selects the near-dup detection family: ``"lsh"``
+    (DEFAULT — MinHash banding candidates, the recall-trading scale
+    path above) or ``"exact"`` — the prefix-filtered SSJoin/ppjoin
+    self-join (operators.dedup.ngram_jaccard_pairs(prefix_filter=True)),
+    whose output is IDENTICAL to the exhaustive all-pairs Jaccard at
+    the threshold: for pipelines whose dedup guarantee cannot accept
+    LSH's recall trade.  Under exact mode the leakage-free component
+    pass is exact too (so the split guarantee is exhaustive, closing
+    the star-mode caveat documented above), and the dataset persists a
+    corpus PREFIX INDEX artifact at ``<out_dir>_pindex``
+    (write_prefix_index) instead of relying on the LSH bucket table
+    for increments — built at the LOWEST threshold any increment will
+    probe (``split_jaccard`` when leakage_free, else
+    ``jaccard_threshold``; the index threshold is a floor, higher
+    probes only over-index).  The mode is recorded in the artifact
+    header and inherited by every increment under the same
+    inherit-or-refuse discipline as the other policies.
     """
+    if near_dedup not in ("lsh", "exact"):
+        raise ValueError(
+            f"near_dedup must be 'lsh' or 'exact', got {near_dedup!r}"
+        )
     if lsh_mode not in ("pairs", "star", "auto"):
         raise ValueError(
             f"lsh_mode must be 'pairs', 'star' or 'auto', got {lsh_mode!r}"
@@ -437,10 +488,14 @@ def curate(
             dd.span_dedup_rewrite(docs, span_tokens=span_dedup_tokens),
         )
 
-    # 2. near-dup removal: LSH candidates -> exact-Jaccard verify; the
-    # larger doc id of every verified pair drops (min-id survivor rule,
-    # consistent with exact dedup)
+    # 2. near-dup removal: the larger doc id of every verified pair
+    # drops (min-id survivor rule, consistent with exact dedup).
+    # near_dedup="exact": prefix-filtered SSJoin self-join — output
+    # identical to exhaustive all-pairs Jaccard, no LSH recall trade.
+    # near_dedup="lsh": LSH candidates -> exact-Jaccard verify.
     bkts = None
+    if near_dedup == "exact":
+        lsh_mode = None  # no banding ran; the record must not claim one
     if lsh_mode == "auto":
         # one lazy localCheckpoint: the stats probe and the candidate
         # join read the SAME materialized bucket table (no second
@@ -457,12 +512,20 @@ def curate(
         report.lsh_auto_widest = int(widest)
         _tick("lsh_auto_probe")
     report.lsh_mode_resolved = lsh_mode
-    cands = dd.minhash_lsh_candidates(
-        docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket, buckets=bkts
-    )
-    pairs = dd.ngram_jaccard_pairs(
-        docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold, candidates=cands
-    )
+    if near_dedup == "exact":
+        pairs = dd.ngram_jaccard_pairs(
+            docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
+            prefix_filter=True,
+        )
+    else:
+        cands = dd.minhash_lsh_candidates(
+            docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket,
+            buckets=bkts,
+        )
+        pairs = dd.ngram_jaccard_pairs(
+            docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
+            candidates=cands,
+        )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     docs = checkpoint("near_dedup", docs.join(losers, "doc_id", "left_anti"))
 
@@ -656,12 +719,21 @@ def curate(
     if leakage_free:
         from planet_dump_ng_spark.operators.graph import connected_components
 
-        cands2 = dd.minhash_lsh_candidates(
-            docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket
-        )
-        pairs2 = dd.ngram_jaccard_pairs(
-            docs, k=_DEDUP_LSH["k"], threshold=split_jaccard, candidates=cands2
-        )
+        if near_dedup == "exact":
+            # exhaustive component edges: under exact mode the leakage
+            # guarantee has no star-emission recall caveat
+            pairs2 = dd.ngram_jaccard_pairs(
+                docs, k=_DEDUP_LSH["k"], threshold=split_jaccard,
+                prefix_filter=True,
+            )
+        else:
+            cands2 = dd.minhash_lsh_candidates(
+                docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket
+            )
+            pairs2 = dd.ngram_jaccard_pairs(
+                docs, k=_DEDUP_LSH["k"], threshold=split_jaccard,
+                candidates=cands2,
+            )
         comp = connected_components(
             docs.select(F.col("doc_id").alias("id")),
             pairs2.select(
@@ -701,8 +773,10 @@ def curate(
             "fractions": fractions
             or {"train": 0.8, "val": 0.1, "test": 0.1},
             "leakage_free": leakage_free,
-            "lsh_mode": lsh_mode,
+            "near_dedup": near_dedup,
         }
+        if lsh_mode is not None:  # exact mode ran no banding
+            extra_meta["lsh_mode"] = lsh_mode
         if max_bucket is not None:
             extra_meta["max_bucket"] = max_bucket
         if dsir_target is not None:
@@ -711,8 +785,22 @@ def curate(
             # threshold (inherit-or-refuse, like every policy above)
             extra_meta["dsir_min_bits"] = float(dsir_min_bits)
             extra_meta["dsir_target_desc"] = tgt_desc
+        if near_dedup == "exact":
+            # the exact twin of the LSH bucket artifact: every increment
+            # equi-joins its batch prefix against this instead of
+            # re-deriving corpus shingles.  Built at the lowest threshold
+            # increments will probe (the index threshold is a floor).
+            dd.write_prefix_index(
+                docs,
+                _pindex_dir(out_dir),
+                k=_DEDUP_LSH["k"],
+                threshold=(
+                    split_jaccard if leakage_free else jaccard_threshold
+                ),
+            )
         _write_dedup_artifact(
-            docs, out_dir, extra_meta=extra_meta, max_bucket=max_bucket
+            docs, out_dir, extra_meta=extra_meta, max_bucket=max_bucket,
+            include_buckets=(near_dedup != "exact"),
         )
         _tick("dedup_artifact")
     if prev is not None:  # the dataset is on disk; release the last cache
@@ -736,6 +824,7 @@ def curate_increment(
     max_bucket: int | None = None,
     audit_tokens: bool = False,
     dsir_min_bits: float | None = None,
+    near_dedup: str | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Incremental curation: run a NEW batch through the curation gates
     AGAINST the standing curated dataset and append the survivors — the
@@ -773,6 +862,17 @@ def curate_increment(
     representatives); increments append their batch buckets capped the
     same way and probe with the cap re-applied, so a hot boilerplate
     bucket hands each batch doc O(cap) candidates forever.
+
+    ``near_dedup`` inherits the recorded detection family the same way:
+    a dataset curated with ``near_dedup="exact"`` takes its increments
+    exactly — within-batch via the prefix-filtered self-join, batch-vs-
+    corpus via ``ngram_jaccard_join`` against the persisted
+    ``<dataset>_pindex`` prefix-index artifact (extended with this
+    batch's survivors by ``prefix_index_add`` after the append, and
+    rebuilt from the corpus when a crash window left it headerless or
+    out of step) — and a contradicting flag raises.  Probing at a
+    threshold below the index's recorded floor raises inside
+    ``ngram_jaccard_join`` rather than silently losing pairs.
 
     Returns (increment manifest, attrition report) — the report carries
     the same per-stage doc-count audit as :func:`curate`, plus wall
@@ -852,6 +952,23 @@ def curate_increment(
         )
     if lsh_mode not in ("pairs", "star"):
         raise ValueError(f"lsh_mode must be 'pairs' or 'star', got {lsh_mode!r}")
+    if near_dedup is None:
+        near_dedup = recorded.get("near_dedup", "lsh")
+    elif (
+        recorded.get("near_dedup") is not None
+        and recorded["near_dedup"] != near_dedup
+    ):
+        raise ValueError(
+            f"near_dedup={near_dedup!r} contradicts the dataset's recorded "
+            f"near_dedup={recorded['near_dedup']!r} — a dataset deduped "
+            "under one detection family cannot take increments deduped "
+            "under the other (the dedup guarantee would silently change "
+            "mid-dataset); omit the flag to inherit the recorded family"
+        )
+    if near_dedup not in ("lsh", "exact"):
+        raise ValueError(
+            f"near_dedup must be 'lsh' or 'exact', got {near_dedup!r}"
+        )
     if max_bucket is None:
         max_bucket = recorded.get("max_bucket")
     elif (
@@ -933,7 +1050,13 @@ def curate_increment(
 
     art = _dedup_artifact_dir(dataset_dir)
     _check_dedup_meta(art)
-    have_art = os.path.exists(f"{art}/buckets")
+    # exact-mode artifacts carry no buckets table (they probe _pindex),
+    # so artifact presence is either probe table; the fingerprint
+    # commit-marker discipline below is unchanged
+    have_art = os.path.exists(f"{art}/buckets") or os.path.exists(
+        f"{art}/fingerprints"
+    )
+    pind = _pindex_dir(dataset_dir)
     # _synced is the known-clean marker: deleted BEFORE every dataset
     # append and re-created only after the artifact appends land, so its
     # presence (plus a live fingerprints table — a mid-compact crash can
@@ -965,7 +1088,8 @@ def curate_increment(
             n_fp = spark.read.parquet(f"{art}/fingerprints").count()
         except AnalysisException:
             n_fp = -1
-        if n_fp != corpus.count():
+        n_corpus = corpus.count()
+        if n_fp != n_corpus:
             # rebuild preserves the recorded curation parameters — the
             # repair must not erase the fractions/leakage_free record
             _write_dedup_artifact(
@@ -976,12 +1100,34 @@ def curate_increment(
                     k: recorded[k]
                     for k in (
                         "fractions", "leakage_free", "lsh_mode",
-                        "max_bucket", "dsir_min_bits", "dsir_target_desc"
+                        "max_bucket", "dsir_min_bits", "dsir_target_desc",
+                        "near_dedup",
                     )
                     if k in recorded
                 },
                 max_bucket=recorded.get("max_bucket"),
+                include_buckets=(near_dedup != "exact"),
             )
+        if near_dedup == "exact":
+            # the prefix index has its own crash windows (a kill inside
+            # prefix_index_add leaves it headerless; one between the
+            # dataset append and the add leaves it short) — same
+            # dataset-vs-artifact count check, same rebuild-from-corpus
+            # repair
+            try:
+                _, _, pmeta = dd.read_prefix_index(spark, pind)
+                pindex_ok = pmeta.get("n_docs") == n_corpus
+            except ValueError:
+                pindex_ok = False
+            if not pindex_ok:
+                dd.write_prefix_index(
+                    corpus,
+                    pind,
+                    k=_DEDUP_LSH["k"],
+                    threshold=(
+                        split_jaccard if leakage_free else jaccard_threshold
+                    ),
+                )
     _tick("stale_check")
     corp_fp = (
         spark.read.parquet(f"{art}/fingerprints").select(
@@ -997,53 +1143,91 @@ def curate_increment(
         .drop("_fp"),
     )
 
-    # 3. near-dedup: within-batch self-LSH plus the asymmetric
-    # batch-vs-corpus join; both verified with exact Jaccard on the
-    # candidate pairs only.  The corpus side of the LSH join is the
-    # precomputed bucket artifact when present (per-batch cost is then
-    # proportional to the batch), and only corpus docs that actually
-    # appear as candidates get shingled for the verify.
-    # ONE batch signature pass feeds both the within-batch self-join and
-    # the batch-vs-corpus probe (localCheckpoint, not persist — blocks
-    # release on GC, no CacheManager entry per ingest batch); at ingest
-    # scale the batch signature map is the dominant per-batch cost
-    batch_buckets = dd.lsh_buckets(
-        docs, **_DEDUP_LSH
-    ).localCheckpoint(eager=False)
-    self_cands = dd.minhash_lsh_candidates(
-        docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket,
-        buckets=batch_buckets,
+    # 3. near-dedup: within-batch self-dedup plus the asymmetric
+    # batch-vs-corpus join, per the inherited detection family.
+    have_pindex = near_dedup == "exact" and os.path.exists(
+        f"{pind}/meta.json"
     )
-    self_pairs = dd.ngram_jaccard_pairs(
-        docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
-        candidates=self_cands,
-    )
-    self_losers = self_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    cross_cands = dd.minhash_lsh_join(
-        docs, corpus, **_DEDUP_LSH,
-        corpus_buckets=(
-            spark.read.parquet(f"{art}/buckets") if have_art else None
-        ),
-        # re-apply a recorded cap at probe time: appends cap within
-        # their batch, so the UNION of capped writes can exceed the cap
-        # per bucket between compactions — re-ranking near-capped
-        # buckets is cheap and restores the O(cap) probe bound
-        max_bucket=max_bucket,
-        new_buckets=batch_buckets,
-    )
-    corpus_needed = corpus.select("doc_id", "text").join(
-        cross_cands.select(F.col("id_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
-    )
-    both = docs.select("doc_id", "text").unionByName(corpus_needed)
-    cross_pairs = dd.ngram_jaccard_pairs(
-        both,
-        k=_DEDUP_LSH["k"],
-        threshold=jaccard_threshold,
-        candidates=cross_cands,
-    )
-    cross_losers = cross_pairs.select(F.col("id_a").alias("doc_id")).distinct()
+    if near_dedup == "exact":
+        # exact family: prefix-filtered SSJoin within the batch, and the
+        # batch-vs-corpus prefix join SERVED from the persisted _pindex
+        # artifact when present (per-batch cost follows the batch's
+        # candidate fan-out, not a corpus rescan) — derive-from-corpus
+        # otherwise (a write_dedup_artifact=False dataset).
+        self_pairs = dd.ngram_jaccard_pairs(
+            docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
+            prefix_filter=True,
+        )
+        self_losers = self_pairs.select(
+            F.col("id_b").alias("doc_id")
+        ).distinct()
+        if have_pindex:
+            cross_pairs = dd.ngram_jaccard_join(
+                docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
+                corpus_index=pind,
+            )
+        else:
+            cross_pairs = dd.ngram_jaccard_join(
+                docs, corpus.select("doc_id", "text"),
+                k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
+            )
+        cross_losers = cross_pairs.select(
+            F.col("id_a").alias("doc_id")
+        ).distinct()
+    else:
+        # LSH family: both sides verified with exact Jaccard on the
+        # candidate pairs only.  The corpus side of the LSH join is the
+        # precomputed bucket artifact when present (per-batch cost is
+        # then proportional to the batch), and only corpus docs that
+        # actually appear as candidates get shingled for the verify.
+        # ONE batch signature pass feeds both the within-batch self-join
+        # and the batch-vs-corpus probe (localCheckpoint, not persist —
+        # blocks release on GC, no CacheManager entry per ingest batch);
+        # at ingest scale the batch signature map is the dominant
+        # per-batch cost
+        batch_buckets = dd.lsh_buckets(
+            docs, **_DEDUP_LSH
+        ).localCheckpoint(eager=False)
+        self_cands = dd.minhash_lsh_candidates(
+            docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket,
+            buckets=batch_buckets,
+        )
+        self_pairs = dd.ngram_jaccard_pairs(
+            docs, k=_DEDUP_LSH["k"], threshold=jaccard_threshold,
+            candidates=self_cands,
+        )
+        self_losers = self_pairs.select(
+            F.col("id_b").alias("doc_id")
+        ).distinct()
+        cross_cands = dd.minhash_lsh_join(
+            docs, corpus, **_DEDUP_LSH,
+            corpus_buckets=(
+                spark.read.parquet(f"{art}/buckets")
+                if os.path.exists(f"{art}/buckets")
+                else None
+            ),
+            # re-apply a recorded cap at probe time: appends cap within
+            # their batch, so the UNION of capped writes can exceed the cap
+            # per bucket between compactions — re-ranking near-capped
+            # buckets is cheap and restores the O(cap) probe bound
+            max_bucket=max_bucket,
+            new_buckets=batch_buckets,
+        )
+        corpus_needed = corpus.select("doc_id", "text").join(
+            cross_cands.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        both = docs.select("doc_id", "text").unionByName(corpus_needed)
+        cross_pairs = dd.ngram_jaccard_pairs(
+            both,
+            k=_DEDUP_LSH["k"],
+            threshold=jaccard_threshold,
+            candidates=cross_cands,
+        )
+        cross_losers = cross_pairs.select(
+            F.col("id_a").alias("doc_id")
+        ).distinct()
     docs = checkpoint(
         "near_dedup",
         docs.join(self_losers, "doc_id", "left_anti").join(
@@ -1106,39 +1290,66 @@ def curate_increment(
         from planet_dump_ng_spark.operators.graph import connected_components
 
         k_sh = _DEDUP_LSH["k"]
-        # docs has shrunk since the near-dedup stage (gates dropped
-        # rows), so this stage derives its OWN shared bucket table
-        guard_buckets = dd.lsh_buckets(
-            docs, **_DEDUP_LSH
-        ).localCheckpoint(eager=False)
-        sc2 = dd.minhash_lsh_candidates(
-            docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket,
-            buckets=guard_buckets,
-        )
-        sp2 = dd.ngram_jaccard_pairs(
-            docs, k=k_sh, threshold=split_jaccard, candidates=sc2
-        )
-        comp = connected_components(
-            docs.select(F.col("doc_id").alias("id")),
-            sp2.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        )
-        cc2 = dd.minhash_lsh_join(
-            docs, corpus, **_DEDUP_LSH,
-            corpus_buckets=(
-                spark.read.parquet(f"{art}/buckets") if have_art else None
-            ),
-            max_bucket=max_bucket,
-            new_buckets=guard_buckets,
-        )
-        corpus_needed2 = corpus.select("doc_id", "text").join(
-            cc2.select(F.col("id_b").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_semi",
-        )
-        cp2 = dd.ngram_jaccard_pairs(
-            docs.select("doc_id", "text").unionByName(corpus_needed2),
-            k=k_sh, threshold=split_jaccard, candidates=cc2,
-        )
+        if near_dedup == "exact":
+            # exact family: the split guard's edges are exhaustive too —
+            # the _pindex floor is split_jaccard for leakage-free
+            # datasets, so the lower-threshold probe is in-contract
+            sp2 = dd.ngram_jaccard_pairs(
+                docs, k=k_sh, threshold=split_jaccard, prefix_filter=True
+            )
+            comp = connected_components(
+                docs.select(F.col("doc_id").alias("id")),
+                sp2.select(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                ),
+            )
+            if have_pindex:
+                cp2 = dd.ngram_jaccard_join(
+                    docs, k=k_sh, threshold=split_jaccard, corpus_index=pind
+                )
+            else:
+                cp2 = dd.ngram_jaccard_join(
+                    docs, corpus.select("doc_id", "text"),
+                    k=k_sh, threshold=split_jaccard,
+                )
+        else:
+            # docs has shrunk since the near-dedup stage (gates dropped
+            # rows), so this stage derives its OWN shared bucket table
+            guard_buckets = dd.lsh_buckets(
+                docs, **_DEDUP_LSH
+            ).localCheckpoint(eager=False)
+            sc2 = dd.minhash_lsh_candidates(
+                docs, **_DEDUP_LSH, mode=lsh_mode, max_bucket=max_bucket,
+                buckets=guard_buckets,
+            )
+            sp2 = dd.ngram_jaccard_pairs(
+                docs, k=k_sh, threshold=split_jaccard, candidates=sc2
+            )
+            comp = connected_components(
+                docs.select(F.col("doc_id").alias("id")),
+                sp2.select(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                ),
+            )
+            cc2 = dd.minhash_lsh_join(
+                docs, corpus, **_DEDUP_LSH,
+                corpus_buckets=(
+                    spark.read.parquet(f"{art}/buckets")
+                    if os.path.exists(f"{art}/buckets")
+                    else None
+                ),
+                max_bucket=max_bucket,
+                new_buckets=guard_buckets,
+            )
+            corpus_needed2 = corpus.select("doc_id", "text").join(
+                cc2.select(F.col("id_b").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            cp2 = dd.ngram_jaccard_pairs(
+                docs.select("doc_id", "text").unionByName(corpus_needed2),
+                k=k_sh, threshold=split_jaccard, candidates=cc2,
+            )
         # ALL partner rows, not a per-doc election: the distinct-split
         # count below must see every partner's split, or a doc bridging
         # train and test content would count a single (elected) split
@@ -1215,7 +1426,9 @@ def curate_increment(
     # _lf_known.  lsh_mode is always safe to record — every pre-header
     # dataset was curated before star mode existed, so "pairs" is its
     # true history, not a guess.
-    extra = {"lsh_mode": lsh_mode}
+    extra = {"near_dedup": near_dedup}
+    if near_dedup != "exact":  # exact runs no banding; don't record one
+        extra["lsh_mode"] = lsh_mode
     if fractions is not None:
         extra["fractions"] = fractions
     if _lf_known:
@@ -1226,13 +1439,40 @@ def curate_increment(
         extra["dsir_min_bits"] = recorded["dsir_min_bits"]
         if "dsir_target_desc" in recorded:
             extra["dsir_target_desc"] = recorded["dsir_target_desc"]
+    if near_dedup == "exact":
+        # extend the prefix index with the appended survivors BEFORE the
+        # _dedup append re-creates _synced (the marker must only assert
+        # a fully-committed artifact set); a missing index (pre-pindex
+        # exact dataset or crash debris) backfills from the grown corpus
+        if have_pindex:
+            dd.prefix_index_add(docs, pind)
+        else:
+            dd.write_prefix_index(
+                spark.read.parquet(dataset_dir),
+                pind,
+                k=_DEDUP_LSH["k"],
+                threshold=(
+                    split_jaccard if leakage_free else jaccard_threshold
+                ),
+            )
     if have_art:
         # bake only a RECORDED cap into the appended buckets — an
         # explicit probe-only cap on a capless dataset must not leave
-        # the artifact partially capped against its own header
+        # the artifact partially capped against its own header.
+        # Reuse the batch bucket table the near-dedup (or split-guard)
+        # stage already materialized, filtered to the survivors: the
+        # append must not pay the batch signature map a second time.
+        reuse = None
+        if near_dedup != "exact":
+            src_b = guard_buckets if leakage_free else batch_buckets
+            reuse = src_b.join(
+                docs.select(F.col("doc_id").alias("id")), "id", "left_semi"
+            )
         _write_dedup_artifact(
             docs, dataset_dir, mode="append",
             extra_meta=extra, max_bucket=recorded.get("max_bucket"),
+            include_buckets=(near_dedup != "exact"),
+            buckets=reuse,
         )
     else:
         _write_dedup_artifact(
@@ -1241,6 +1481,7 @@ def curate_increment(
             mode="overwrite",
             extra_meta=extra,
             max_bucket=max_bucket,
+            include_buckets=(near_dedup != "exact"),
         )
     # _write_dedup_artifact re-created the _synced marker after its
     # fingerprints append — the artifact is in step with the dataset again
@@ -1381,6 +1622,18 @@ def main(argv: list[str] | None = None) -> int:
         "('auto' is curate-time only and raises)",
     )
     p.add_argument(
+        "--near-dedup",
+        choices=("lsh", "exact"),
+        default=None,
+        help="near-dup detection family: 'lsh' (the fresh-curation "
+        "default — MinHash banding candidates, recall-trading scale "
+        "path) or 'exact' — prefix-filtered SSJoin whose output is "
+        "identical to exhaustive all-pairs Jaccard at the threshold; "
+        "exact datasets persist a <output>_pindex prefix-index artifact "
+        "their increments probe.  With --increment, omitted = inherit "
+        "the dataset's recorded family (contradicting it raises)",
+    )
+    p.add_argument(
         "--max-bucket",
         type=int,
         default=None,
@@ -1443,13 +1696,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = p.parse_args(argv)
     if args.compact_dedup:
+        import os as _os
+
         from planet_dump_ng_spark.session import get_spark as _gs
 
-        stats = dedup_compact(_gs("planet-dump-ng-spark-curate"), args.output)
+        _sp = _gs("planet-dump-ng-spark-curate")
+        stats = dedup_compact(_sp, args.output)
         print(
             f"{'dedup_compact':16s} files {stats['files_before']} -> "
             f"{stats['files_after']}"
         )
+        if _os.path.exists(f"{_pindex_dir(args.output)}/meta.json"):
+            pstats = dd.prefix_index_compact(_sp, _pindex_dir(args.output))
+            print(
+                f"{'pindex_compact':16s} files {pstats['files_before']} -> "
+                f"{pstats['files_after']}"
+            )
         return 0
     if not args.input:
         p.error("--input is required (except with --compact-dedup)")
@@ -1499,6 +1761,7 @@ def main(argv: list[str] | None = None) -> int:
             lsh_mode=args.lsh_mode,
             max_bucket=args.max_bucket,
             dsir_min_bits=args.dsir_min_bits,
+            near_dedup=args.near_dedup,
         )
         toks = dict(report.tokens)
         for stage, n in report.stages:
@@ -1542,6 +1805,7 @@ def main(argv: list[str] | None = None) -> int:
         max_bucket=args.max_bucket,
         dsir_target=args.dsir_target,
         dsir_min_bits=args.dsir_min_bits,
+        near_dedup=args.near_dedup or "lsh",
     )
     if args.export_jsonl:
         (

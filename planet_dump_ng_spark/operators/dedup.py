@@ -462,6 +462,155 @@ def write_prefix_index(
     return meta
 
 
+def prefix_index_add(
+    new_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Extend a persisted prefix index with a new batch — the lifecycle
+    verb that keeps the artifact in step with a growing corpus without
+    the once-per-snapshot rebuild (the ``ivfpq_add_to_dir`` /
+    ``_write_dedup_artifact(mode="append")`` pattern).
+
+    Idempotent: ids already present in the ``docs`` table anti-join
+    away, so a redelivered batch appends NOTHING.  Featurization is
+    taken from the header (k, and the recorded featurizer/text_col are
+    checked), so an add can never silently diverge from the build.
+    Crash-window protocol: the header is DELETED first and rewritten
+    LAST with the updated counts — a crash mid-add leaves a headerless
+    directory that ``read_prefix_index`` refuses loudly, which the
+    curation increment treats as the rebuild-from-corpus state (a
+    half-appended index must never serve).  Counts ride Observations
+    on the append jobs, zero extra scans.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Observation
+
+    spark = new_docs.sparkSession
+    _, _, meta = read_prefix_index(spark, index_dir)
+    if meta.get("featurizer", PREFIX_FEATURIZER) != PREFIX_FEATURIZER:
+        raise ValueError(
+            f"index featurizer {meta['featurizer']!r} != this build's "
+            f"{PREFIX_FEATURIZER!r} — adds would mix featurizations; "
+            "rebuild the index"
+        )
+    if meta.get("text_col", text_col) != text_col:
+        raise ValueError(
+            f"index was featurized from column {meta['text_col']!r}, "
+            f"add offers text_col={text_col!r} — rebuild or rename"
+        )
+    d = index_dir.rstrip("/")
+    k, threshold = meta["k"], meta["threshold"]
+    fresh = (
+        spread_small_input(new_docs)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .join(
+            spark.read.parquet(f"{d}/docs").select("id"), "id", "left_anti"
+        )
+        .select("id", shingles("_t", k).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+        # one batch-sized materialization feeds both appends; lineage to
+        # the docs table is cut, so the append cannot poison its own
+        # anti-join (the recache-by-path hazard curate_increment documents)
+        .localCheckpoint(eager=True)
+    )
+    meta_path = f"{d}/meta.json"
+    os.remove(meta_path)  # header absent until both appends land
+    ordered = F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+    plen = (
+        F.floor(F.col("sz") * F.lit(1.0 - threshold)) + F.lit(2)
+    ).cast("int")
+    obs_pi = Observation()
+    fresh.select(
+        "id", "sz", F.explode(F.slice(ordered, 1, plen)).alias("h")
+    ).observe(obs_pi, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).parquet(f"{d}/pindex")
+    obs_docs = Observation()
+    fresh.select("id", "sh", "sz").observe(
+        obs_docs, F.count(F.lit(1)).alias("n")
+    ).write.mode("append").parquet(f"{d}/docs")
+    meta = {
+        **meta,
+        "n_docs": meta["n_docs"] + obs_docs.get["n"],
+        "n_prefix_entries": meta["n_prefix_entries"] + obs_pi.get["n"],
+    }
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def prefix_index_compact(spark, index_dir: str) -> dict:
+    """Rewrite the prefix-index tables at full width — the maintenance
+    pass for an index grown by many :func:`prefix_index_add` appends
+    (each append lands a handful of small files; probe scan cost
+    becomes file-count-bound).  Content untouched: same rows, so probes
+    serve identically before and after.  ``pindex`` range-shards on the
+    hash ``h`` (the batch equi-join key) and ``docs`` on ``id`` (the
+    verify join key), so file min/max stats stay selective.  Same
+    two-rename swap + recovery preamble as ``llm_pipeline.dedup_compact``:
+    every crash window self-heals on the next call, and the header —
+    whose counts the rewrite does not change — stays in place
+    throughout.  Only the HEADER is validated up front (a prior
+    compact's crash can have the live table parked at ``.old``, so an
+    eager table read here would fail exactly when the preamble is
+    needed).  Returns {files_before, files_after}."""
+    import json
+    import os
+    import shutil
+
+    d = index_dir.rstrip("/")
+    meta_path = f"{d}/meta.json"
+    if not os.path.exists(meta_path):
+        raise ValueError(f"{index_dir} has no meta.json — not a prefix index")
+    with open(meta_path) as fh:
+        _meta = json.load(fh)
+    if _meta.get("format") != PREFIX_INDEX_FORMAT:
+        raise ValueError(
+            f"{index_dir} format {_meta.get('format')!r} != "
+            f"{PREFIX_INDEX_FORMAT!r}"
+        )
+    keys = {"pindex": ["h"], "docs": ["id"]}
+    for t in keys:  # heal a PRIOR compact's crash windows
+        src, tmp, old = f"{d}/{t}", f"{d}/{t}.compact", f"{d}/{t}.old"
+        if os.path.exists(old):
+            if not os.path.exists(src):
+                os.rename(old, src)
+            else:
+                shutil.rmtree(old)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+    def _nfiles(path: str) -> int:
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    n = spark.sparkContext.defaultParallelism
+    before = after = 0
+    for t, cols in keys.items():
+        src, tmp, old = f"{d}/{t}", f"{d}/{t}.compact", f"{d}/{t}.old"
+        before += _nfiles(src)
+        (
+            spark.read.parquet(src)
+            .repartitionByRange(n, *[F.col(c) for c in cols])
+            .sortWithinPartitions(*cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        after += _nfiles(src)
+    return {"files_before": before, "files_after": after}
+
+
 def read_prefix_index(spark, index_dir: str):
     """(docs, pindex, meta) from a persisted prefix-index artifact;
     refuses a missing/foreign header loudly."""

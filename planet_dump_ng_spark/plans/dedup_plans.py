@@ -252,6 +252,7 @@ def _minhash_lsh_oracle(
     seed: int = 42,
     pair_pred: str = "x.doc_id < y.doc_id",
     cand_sql: str | None = None,
+    threshold: float = 0.1,
 ) -> str:
     """Full DuckDB replica of the MinHash+LSH candidate pipeline: the
     shared band CTEs (:func:`_lsh_bnd_ctes`), a candidate CTE, then the
@@ -276,7 +277,7 @@ def _minhash_lsh_oracle(
     JOIN sh sa ON sa.doc_id = c.id_a
     JOIN sh sb ON sb.doc_id = c.id_b
     WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.1
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {threshold}
     """
 
 
@@ -401,7 +402,7 @@ def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    sh.unpersist()
+    sh.unpersist(blocking=True)
     return out
 
 
@@ -810,7 +811,7 @@ def exact_substring_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    sh.unpersist()
+    sh.unpersist(blocking=True)
     return out
 
 
@@ -901,7 +902,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(est - exact).alias("abs_err"),
     ).persist()
     out.count()
-    sigs.unpersist()
+    sigs.unpersist(blocking=True)
     return out
 
 
@@ -1067,8 +1068,8 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    pairs.unpersist()
-    comp.unpersist()
+    pairs.unpersist(blocking=True)
+    comp.unpersist(blocking=True)
     return out
 
 # -- round 6: mega-bucket containment ------------------------------------------
@@ -1426,3 +1427,197 @@ def dedup_lsh_bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hashes=64, bands=16, k=3, mode="pairs", max_bucket=2
     )
     return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.1, candidates=cands)
+
+# -- round 9: exact near-dup lifecycle + calibration --------------------------
+
+
+@register(
+    "dedup_ngram_jaccard_extend",
+    # oracle = the derive-mode ingest SQL over the FULL corpus side: an
+    # extended index must serve exactly what a fresh build over the
+    # grown corpus would — the extend verb is a physical append, never
+    # a semantic change
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    n AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
+    c AS (SELECT * FROM sh WHERE doc_id % 4 <> 0),
+    ex_n AS (SELECT doc_id, unnest(sh) AS s FROM n),
+    ex_c AS (SELECT doc_id, unnest(sh) AS s FROM c),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS cmn
+               FROM ex_n a JOIN ex_c b ON a.s = b.s
+               GROUP BY a.doc_id, b.doc_id),
+    szn AS (SELECT doc_id, len(sh) AS sz FROM n),
+    szc AS (SELECT doc_id, len(sh) AS sz FROM c)
+    SELECT id_a, id_b,
+           cmn::DOUBLE / (za.sz + zb.sz - cmn) AS jaccard
+    FROM common
+    JOIN szn za ON common.id_a = za.doc_id
+    JOIN szc zb ON common.id_b = zb.doc_id
+    WHERE cmn::DOUBLE / (za.sz + zb.sz - cmn) >= 0.5
+    """,
+    doc="The prefix-index EXTEND lifecycle verb under the driver gate: "
+    "build the artifact on part of the corpus (doc_id % 4 in (1,2)), "
+    "prefix_index_add the rest (% 4 = 3) — idempotent anti-join append, "
+    "header deleted first / rewritten last with Observation-carried "
+    "counts — then probe with the batch (% 4 = 0).  The oracle is the "
+    "derive-mode ingest SQL over the FULL corpus side: an extended "
+    "index must serve exactly what a fresh build over the grown corpus "
+    "would.  This is the artifact verb curate_increment(near_dedup="
+    "'exact') runs per batch, so its correctness is the incremental "
+    "exact-dedup guarantee.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(
+        prefix="pdng-pindex-extend-"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + "-"
+    )
+    dd.write_prefix_index(
+        docs.filter((F.col("doc_id") % 4).isin(1, 2)), idx, k=3, threshold=0.5
+    )
+    dd.prefix_index_add(docs.filter(F.col("doc_id") % 4 == 3), idx)
+    return dd.ngram_jaccard_join(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        k=3,
+        threshold=0.5,
+        corpus_index=idx,
+    )
+
+
+def _exact_pairs_sql(threshold: float) -> str:
+    """Whole-corpus exact Jaccard pairs at ``threshold`` — the
+    inverted-index form (identical output to all-pairs: no shared
+    shingle => jaccard 0 < t)."""
+    return f"""
+    WITH sh2 AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    ex2 AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+    sz2 AS (SELECT doc_id, len(sh) AS sz FROM sh2),
+    common2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS cmn
+                FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b
+    FROM common2
+    JOIN sz2 za ON common2.id_a = za.doc_id
+    JOIN sz2 zb ON common2.id_b = zb.doc_id
+    WHERE cmn::DOUBLE / (za.sz + zb.sz - cmn) >= {threshold}
+    """
+
+
+@register(
+    "dedup_exact_vs_lsh_recall",
+    f"""
+    SELECT ne AS n_exact_pairs, nl AS n_lsh_pairs, ne - nl AS n_missed,
+           nl::DOUBLE / ne AS lsh_recall
+    FROM (SELECT count(*) AS ne FROM ({_exact_pairs_sql(0.5)})),
+         (SELECT count(*) AS nl FROM ({_minhash_lsh_oracle(threshold=0.5)}))
+    """,
+    doc="Measured LSH recall against exact ground truth at the SAME "
+    "threshold (t=0.5): pairs found by the prefix-filtered exact "
+    "self-join (= ALL pairs at Jaccard >= t) vs MinHash(64)/16-band "
+    "candidates verified at t — the verified-LSH set is a subset of "
+    "the exact set, so n_missed counts true near-dup pairs that never "
+    "shared a band bucket.  This is the number the 1-(1-s^r)^b recall "
+    "model predicts and curate(near_dedup=) trades on: the measured "
+    "datum an operator consults before choosing the family at 100 TB.  "
+    "Both counts are exact integers; recall is their IEEE-exact ratio.",
+    tags=("dedup", "eval"),
+)
+def dedup_exact_vs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    exact = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, prefix_filter=True)
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16, k=3)
+    lsh = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cands)
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nl = lsh.select("id_a", "id_b").distinct().agg(
+        F.count(F.lit(1)).alias("n_lsh_pairs")
+    )
+    return ne.crossJoin(F.broadcast(nl)).select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        (F.col("n_exact_pairs") - F.col("n_lsh_pairs")).alias("n_missed"),
+        (
+            F.col("n_lsh_pairs").cast("double") / F.col("n_exact_pairs")
+        ).alias("lsh_recall"),
+    )
+
+
+def _prefix_audit_oracle(threshold: float = 0.5) -> str:
+    from planet_dump_ng_spark.plans.duck_xxh64 import xxh64_inline
+
+    h_expr = xxh64_inline("s")
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+    hh AS MATERIALIZED (SELECT doc_id, sz, {h_expr} AS h FROM ex),
+    pfx AS (SELECT doc_id, h FROM (
+              SELECT doc_id, h,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn,
+                     CAST(floor(sz * {1.0 - threshold}) AS INT) + 2 AS plen
+              FROM hh)
+            WHERE rn <= plen),
+    p AS (SELECT h, count(*) AS posting_size FROM pfx GROUP BY h),
+    hist AS (SELECT posting_size, count(*) AS n_hashes
+             FROM p GROUP BY posting_size),
+    tot AS (SELECT sum(posting_size * n_hashes) AS t FROM hist)
+    SELECT posting_size, n_hashes,
+           CAST(posting_size * n_hashes AS BIGINT) AS postings,
+           (posting_size * n_hashes)::DOUBLE / t AS postings_share
+    FROM hist, tot
+    """
+
+
+@register(
+    "prefix_posting_size_audit",
+    _prefix_audit_oracle(),
+    doc="Prefix-index posting-size histogram at t=0.5: how many 8-byte "
+    "shingle hashes carry each posting-list size in the "
+    "floor((1-t)|sh|)+2 smallest-hash index, with each size's share of "
+    "the total posting mass — the prefix-side twin of "
+    "lsh_bucket_size_audit.  The prefix join's candidate fan-out "
+    "concentrates on high-document-frequency shingles that survive "
+    "into prefixes; a fat top row here is the loud signal that a "
+    "boilerplate shingle dominates candidates (the skew an operator "
+    "checks before trusting dedup_ngram_jaccard_prefix at a new "
+    "corpus).  Two map-side-combinable aggregations over the same "
+    "prefix derivation the join uses; the oracle replays the xxhash64 "
+    "canonical order and the row_number prefix cut exactly.",
+    tags=("dedup", "agg"),
+)
+def prefix_posting_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    threshold = 0.5
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", dd.shingles("text", 3).alias("sh")
+    )
+    ordered = F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+    plen = (
+        F.floor(F.size("sh") * F.lit(1.0 - threshold)) + F.lit(2)
+    ).cast("int")
+    posting = (
+        docs.select(F.explode(F.slice(ordered, 1, plen)).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("posting_size"))
+    )
+    hist = posting.groupBy("posting_size").agg(
+        F.count(F.lit(1)).alias("n_hashes")
+    )
+    tot = hist.agg(
+        F.sum(F.col("posting_size") * F.col("n_hashes")).alias("t")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "posting_size",
+        "n_hashes",
+        (F.col("posting_size") * F.col("n_hashes"))
+        .cast("bigint")
+        .alias("postings"),
+        (
+            (F.col("posting_size") * F.col("n_hashes")).cast("double")
+            / F.col("t")
+        ).alias("postings_share"),
+    )

@@ -47,6 +47,12 @@ DEFAULT_QUERIES = [
     # linear-by-construction span/ngram paths under maximal span sharing
     "span_dedup_c4",
     "duplicated_ngram_fraction",
+    # prefix-filtered exact family: the Zipf mega-cluster concentrates
+    # posting mass on the boilerplate's smallest-hash shingles — the
+    # audit shows it, and the pair join's cost should track its OUTPUT
+    # (the cluster's true pair mass), never the corpus
+    "prefix_posting_size_audit",
+    "dedup_ngram_jaccard_prefix",
     # the mega-order wedge
     "market_basket_pairs",
 ]
