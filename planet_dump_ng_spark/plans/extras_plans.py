@@ -90,7 +90,7 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    bg.unpersist()
+    bg.unpersist(blocking=True)
     return out
 
 
@@ -458,7 +458,7 @@ def token_drift_tv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    sw.unpersist()
+    sw.unpersist(blocking=True)
     return out
 
 
@@ -572,7 +572,7 @@ def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    s.unpersist()
+    s.unpersist(blocking=True)
     return out
 
 
@@ -672,7 +672,7 @@ def ngram_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    hh.unpersist()
+    hh.unpersist(blocking=True)
     return out
 
 
@@ -938,8 +938,8 @@ def bm25_self_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mrr_q"),
     ).persist()
     out.count()
-    tf.unpersist()
-    hit.unpersist()
+    tf.unpersist(blocking=True)
+    hit.unpersist(blocking=True)
     return out
 
 
@@ -1209,7 +1209,7 @@ def heldout_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    bg.unpersist()
+    bg.unpersist(blocking=True)
     return out
 
 

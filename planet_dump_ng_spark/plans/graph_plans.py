@@ -189,7 +189,7 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kcore materializes its result eagerly, so the projected-edge cache
     # (read twice by the symmetrization) can be released here
     out = kcore(edges, k=3, n_rounds=3)
-    und.unpersist()
+    und.unpersist(blocking=True)
     return out
 
 
@@ -296,5 +296,5 @@ def bfs_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bfs_levels(edges, n_rounds=3).select(
         F.col("id").alias("suppkey"), F.col("dist").alias("hops")
     )
-    und.unpersist()
+    und.unpersist(blocking=True)
     return out

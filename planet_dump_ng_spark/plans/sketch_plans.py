@@ -218,7 +218,7 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.count()  # materialize the 1-row result, then release the sketches
     for c in (ka, kb, ku):
-        c.unpersist()
+        c.unpersist(blocking=True)
     return out
 
 

@@ -627,7 +627,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (near-dup-density) pair output, then release the
     # term-weight cache instead of holding it for the session
     out.count()
-    w.unpersist()
+    w.unpersist(blocking=True)
     return out
 
 
@@ -687,7 +687,7 @@ def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    tok.unpersist()
+    tok.unpersist(blocking=True)
     return out
 
 
@@ -767,7 +767,7 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    t.unpersist()
+    t.unpersist(blocking=True)
     return out
 
 
@@ -1067,7 +1067,7 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    tok.unpersist()
+    tok.unpersist(blocking=True)
     return out
 
 

@@ -30,6 +30,11 @@ def plans_info(spark, sf_dir):
     schema fixture would re-run all those jobs a second time."""
     out = {}
     for name in _QUERIES:
+        # same capture hygiene as tools/gen_query_inventory.plan_budgets:
+        # an empty cache at entry makes any InMemoryTableScan in the
+        # plan the query's OWN (synchronously registered) persists, so
+        # the exchange counts pinned in QUERIES.md are reproducible here
+        spark.catalog.clearCache()
         df = plans.QUERIES[name].spark(spark, sf_dir)
         qe = df._jdf.queryExecution()
         out[name] = (
@@ -37,6 +42,7 @@ def plans_info(spark, sf_dir):
             qe.executedPlan().toString(),
             df.schema,
         )
+    spark.catalog.clearCache()
     return out
 
 
@@ -168,12 +174,13 @@ def test_exchange_budget_pinned(name, plans_info, sf_dir):
 
     Two classes of plan are exempt: budgets are recorded at sf0.001
     (file-size statistics steer broadcast choices, so another SF pins
-    nothing), and plans containing InMemoryTableScan substitute
-    session-cached frames — unpersist() is async, so whether a cached
-    subtree (this query's own persist() or an earlier query's) is
-    still present at capture time is a race, and the exchange count
-    legitimately varies with it (observed: kmv_set_overlap at 34/35/37
-    across runs)."""
+    nothing), and queries recorded -1 — the generator's double capture
+    (cleared cache, built twice) disagreed, i.e. the plan is MEASURED
+    nondeterministic even with cache hygiene.  Cross-query cache
+    substitution is no longer an exemption: both the generator and the
+    plans_info fixture clearCache() before each build, so a plan's
+    InMemoryTableScan subtrees are its own synchronous persists and
+    pin deterministically."""
     if sf_dir != "/root/testdata/sf0.001":
         pytest.skip("budgets are recorded at sf0.001; stats-driven "
                     "broadcast choices differ at other SFs")
@@ -183,12 +190,9 @@ def test_exchange_budget_pinned(name, plans_info, sf_dir):
     )
     want_shuf, want_bcast = _BUDGETS[name]
     if (want_shuf, want_bcast) == (-1, -1):
-        pytest.skip("recorded as unpinnable (live feature or cache-state-"
-                    "dependent plan)")
+        pytest.skip("recorded as unpinnable (double capture disagreed or "
+                    "construction raised)")
     _, physical, _ = plans_info[name]
-    if "InMemoryTableScan" in physical:
-        pytest.skip("plan substitutes session-cached frames; exchange "
-                    "count depends on async cache state")
     got_shuf = len(
         re.findall(r"\bExchange (?:hash|range|Single|RoundRobin)", physical)
     )
