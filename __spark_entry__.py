@@ -75,19 +75,100 @@ def _driver_green() -> dict[str, int]:
     return {n: last_green[n] for n, ok in verdict.items() if ok}
 
 
+def _changed_plan_queries() -> set[str]:
+    """Queries whose code changed THIS round: the plan module a query's
+    spark fn is defined in, or any planet_dump_ng_spark module that plan
+    module directly imports, differs from the last driver round commit
+    (``round N: ...``) — including uncommitted edits.  These jump the
+    staleness queue: a touched plan must re-verify in the same round it
+    changed, not ride a green row from four rounds ago.  Best-effort:
+    any git/inspect failure returns the empty set (ordering then falls
+    back to pure staleness)."""
+    import inspect
+    import re
+    import subprocess
+
+    try:
+        base = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1",
+             "--format=%H"],
+            capture_output=True, text=True, cwd=_REPO_DIR, timeout=15,
+        ).stdout.strip()
+        if not base:
+            return set()
+        committed = subprocess.run(
+            ["git", "diff", "--name-only", base, "HEAD"],
+            capture_output=True, text=True, cwd=_REPO_DIR, timeout=15,
+        ).stdout.splitlines()
+        dirty = [
+            line[3:]
+            for line in subprocess.run(
+                ["git", "status", "--porcelain"],
+                capture_output=True, text=True, cwd=_REPO_DIR, timeout=15,
+            ).stdout.splitlines()
+        ]
+    except Exception:
+        return set()
+    changed = {
+        f for f in (*committed, *dirty)
+        if f.startswith("planet_dump_ng_spark/") and f.endswith(".py")
+    }
+    if not changed:
+        return set()
+    imports_of: dict[str, set[str]] = {}
+
+    def _deps(path: str) -> set[str]:
+        # the module itself + its direct planet_dump_ng_spark imports
+        if path not in imports_of:
+            deps = {path}
+            try:
+                with open(os.path.join(_REPO_DIR, path)) as fh:
+                    src = fh.read()
+                for m in re.finditer(
+                    r"(?:from|import)\s+planet_dump_ng_spark((?:\.\w+)+)", src
+                ):
+                    deps.add(
+                        "planet_dump_ng_spark/"
+                        + m.group(1).lstrip(".").replace(".", "/")
+                        + ".py"
+                    )
+            except OSError:
+                pass
+            imports_of[path] = deps
+        return imports_of[path]
+
+    out = set()
+    for name, spec in plans.QUERIES.items():
+        try:
+            mod = os.path.relpath(inspect.getfile(spec.spark), _REPO_DIR)
+        except Exception:
+            continue
+        if _deps(mod) & changed:
+            out.add(name)
+    return out
+
+
 def _ordered_names() -> list[str]:
-    """Registry names, never-driver-green first, then green queries
-    STALEST-VERIFIED first (oldest latest-green round; registry order
-    breaks ties) — so the driver's 50-query prefix sweeps the whole
-    registry across rounds instead of re-checking one fixed slice."""
+    """Registry names: never-driver-green first, then queries whose plan
+    code CHANGED this round (stalest first — a touched plan re-verifies
+    in the round it changed), then the rest STALEST-VERIFIED first
+    (oldest latest-green round; registry order breaks ties) — so the
+    driver's 50-query prefix sweeps the whole registry across rounds
+    instead of re-checking one fixed slice."""
     green = _driver_green()
     names = list(plans.QUERIES)
     pos = {n: i for i, n in enumerate(names)}
+    changed = _changed_plan_queries()
     never = [n for n in names if n not in green]
-    checked = sorted(
-        (n for n in names if n in green), key=lambda n: (green[n], pos[n])
+    touched = sorted(
+        (n for n in names if n in green and n in changed),
+        key=lambda n: (green[n], pos[n]),
     )
-    return never + checked
+    rest = sorted(
+        (n for n in names if n in green and n not in changed),
+        key=lambda n: (green[n], pos[n]),
+    )
+    return never + touched + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -5,7 +5,15 @@ same parquet tables, then compares row count, sorted column names, and
 values (exact for ints/strings/timestamps; exact-by-default for floats with
 a tiny-ulp fallback report).  Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--record ROUND] [sf_dir] [query ...]
+
+``--record ROUND`` merges every full-oracle PASS into repo-root
+``SELFCHECK.json`` as {query: round} — the self-run verification ledger
+that keeps the registry's staleness floor honest between driver passes
+(the driver re-oracles only a 50-query prefix per round; with 200+
+queries the tail would otherwise age ~4 rounds between driver checks).
+bench.py's registry telemetry reports the union AND the driver-only
+number separately, so self-checks never masquerade as driver rounds.
 """
 
 from __future__ import annotations
@@ -109,8 +117,13 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    record_round = None
+    if argv and argv[0] == "--record":
+        record_round = int(argv[1])
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from planet_dump_ng_spark.session import get_spark
@@ -124,6 +137,7 @@ def main() -> int:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    passed: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -159,7 +173,25 @@ def main() -> int:
         else:
             print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
+            passed.append(name)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if record_round is not None and passed:
+        import json
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SELFCHECK.json",
+        )
+        try:
+            with open(path) as fh:
+                ledger = json.load(fh)
+        except (OSError, ValueError):
+            ledger = {}
+        for name in passed:
+            ledger[name] = max(record_round, ledger.get(name, 0))
+        with open(path, "w") as fh:
+            json.dump(ledger, fh, indent=0, sort_keys=True)
+        print(f"recorded {len(passed)} greens at round {record_round}")
     return 1 if n_fail else 0
 
 
