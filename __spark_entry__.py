@@ -118,20 +118,39 @@ def _changed_plan_queries() -> set[str]:
     imports_of: dict[str, set[str]] = {}
 
     def _deps(path: str) -> set[str]:
-        # the module itself + its direct planet_dump_ng_spark imports
+        # the module itself + its direct planet_dump_ng_spark imports.
+        # Both forms matter: `import planet_dump_ng_spark.a.b` AND the
+        # dominant `from planet_dump_ng_spark.a import b, c as d` —
+        # the latter's imported NAMES are submodule files for the
+        # operator imports plan modules actually use, so each name maps
+        # to <pkg>/<name>.py as well (non-module names produce paths
+        # that simply never appear in the changed-file set)
         if path not in imports_of:
             deps = {path}
             try:
                 with open(os.path.join(_REPO_DIR, path)) as fh:
                     src = fh.read()
                 for m in re.finditer(
-                    r"(?:from|import)\s+planet_dump_ng_spark((?:\.\w+)+)", src
+                    r"import\s+planet_dump_ng_spark((?:\.\w+)+)", src
                 ):
                     deps.add(
                         "planet_dump_ng_spark/"
                         + m.group(1).lstrip(".").replace(".", "/")
                         + ".py"
                     )
+                for m in re.finditer(
+                    r"from\s+planet_dump_ng_spark((?:\.\w+)*)\s+import\s+"
+                    r"\(?\s*([\w\s,]+)",
+                    src,
+                ):
+                    pkg = m.group(1).lstrip(".").replace(".", "/")
+                    base = "planet_dump_ng_spark" + (f"/{pkg}" if pkg else "")
+                    if pkg:
+                        deps.add(base + ".py")
+                    for item in m.group(2).split(","):
+                        name = item.split(" as ")[0].strip()
+                        if name.isidentifier():
+                            deps.add(f"{base}/{name}.py")
             except OSError:
                 pass
             imports_of[path] = deps

@@ -171,10 +171,19 @@ def served_bench(
         out = dd.ngram_jaccard_join(
             batch, k=3, threshold=0.5, corpus_index=idx
         )
-        out.write.format("noop").mode("overwrite").save()
-        r["probe_s"] = round(time.perf_counter() - t0, 3)
         if rows is None:
-            rows = out.count()
+            # the count rides the timed noop write via an Observation —
+            # a separate count() would re-execute the whole probe join
+            from pyspark.sql import Observation, functions as F2
+
+            obs = Observation()
+            out = out.observe(obs, F2.count(F2.lit(1)).alias("n"))
+            out.write.format("noop").mode("overwrite").save()
+            r["probe_s"] = round(time.perf_counter() - t0, 3)
+            rows = obs.get["n"]
+        else:
+            out.write.format("noop").mode("overwrite").save()
+            r["probe_s"] = round(time.perf_counter() - t0, 3)
         runs.append(r)
         if corpus_index is None:
             shutil.rmtree(idx, ignore_errors=True)
@@ -445,6 +454,7 @@ def main() -> int:
         and sf1
         and "error" not in sf1
     ):
+        idx = None
         try:
             import tempfile
 
@@ -472,9 +482,12 @@ def main() -> int:
             served_sf1["rows_ratio"] = round(
                 served_sf1["rows"] / max(served["rows"], 1), 1
             )
-            shutil.rmtree(idx, ignore_errors=True)
         except Exception as e:
             served_sf1 = {"error": str(e)[:200]}
+        finally:
+            # the sf1-scale index must not outlive a failed run
+            if idx is not None:
+                shutil.rmtree(idx, ignore_errors=True)
 
     t0 = time.perf_counter()
     acc = 0

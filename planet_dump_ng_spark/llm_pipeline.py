@@ -1065,9 +1065,20 @@ def curate_increment(
     # Any crash window deletes or predates it, falling back to the full
     # count check and its rebuild path.
     synced = f"{art}/_synced"
-    if have_art and not (
-        os.path.exists(synced) and os.path.exists(f"{art}/fingerprints")
-    ):
+    # the family's FULL probe-table set must be live for _synced to
+    # short-circuit: a crash between dedup_compact's two bucket renames
+    # leaves fingerprints + _synced intact with buckets parked at
+    # buckets.old — skipping the check there would let the append below
+    # write a batch-only buckets table that every later probe trusts as
+    # the corpus (and the next compact preamble would delete the real
+    # one as .old debris)
+    lsh_family = near_dedup != "exact"
+    probe_tables_ok = os.path.exists(f"{art}/fingerprints") and (
+        os.path.exists(f"{art}/buckets")
+        if lsh_family
+        else os.path.isdir(f"{pind}/pindex")
+    )
+    if have_art and not (os.path.exists(synced) and probe_tables_ok):
         # repair a STALE artifact (a crash between a prior increment's
         # dataset append and its artifact append): fingerprint rows must
         # match the dataset row-for-row, else rebuild from the dataset —
@@ -1089,9 +1100,22 @@ def curate_increment(
         except AnalysisException:
             n_fp = -1
         n_corpus = corpus.count()
-        if n_fp != n_corpus:
+        if n_fp != n_corpus or (
+            lsh_family and not os.path.exists(f"{art}/buckets")
+        ):
             # rebuild preserves the recorded curation parameters — the
-            # repair must not erase the fractions/leakage_free record
+            # repair must not erase the fractions/leakage_free record.
+            # The buckets-missing-with-fingerprints-intact case is the
+            # mid-compact-swap crash above: counts agree, so without the
+            # explicit table check no rebuild would fire
+            import shutil as _shutil
+
+            # clear compact debris first: a parked buckets.old must not
+            # survive the rebuild for a later compact preamble to
+            # "restore" over the fresh table
+            for t in ("buckets", "fingerprints"):
+                for sfx in (".old", ".compact"):
+                    _shutil.rmtree(f"{art}/{t}{sfx}", ignore_errors=True)
             _write_dedup_artifact(
                 corpus,
                 dataset_dir,
@@ -1114,10 +1138,14 @@ def curate_increment(
             # dataset append and the add leaves it short) — same
             # dataset-vs-artifact count check, same rebuild-from-corpus
             # repair
+            # AnalysisException: a mid-prefix_index_compact crash parks
+            # a table at .old with the header intact — the eager parquet
+            # read inside read_prefix_index surfaces it; rebuild, same
+            # as a headerless index
             try:
                 _, _, pmeta = dd.read_prefix_index(spark, pind)
                 pindex_ok = pmeta.get("n_docs") == n_corpus
-            except ValueError:
+            except (ValueError, AnalysisException):
                 pindex_ok = False
             if not pindex_ok:
                 dd.write_prefix_index(

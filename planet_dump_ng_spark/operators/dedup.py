@@ -502,6 +502,12 @@ def prefix_index_add(
             f"index was featurized from column {meta['text_col']!r}, "
             f"add offers text_col={text_col!r} — rebuild or rename"
         )
+    if meta.get("id_col", id_col) != id_col:
+        raise ValueError(
+            f"index ids come from column {meta['id_col']!r}, add offers "
+            f"id_col={id_col!r} — appending a different id namespace "
+            "would silently mix keys; rebuild or rename"
+        )
     d = index_dir.rstrip("/")
     k, threshold = meta["k"], meta["threshold"]
     fresh = (
@@ -716,6 +722,12 @@ def ngram_jaccard_join(
                 f"index was featurized from column {meta['text_col']!r}, "
                 f"probed with text_col={text_col!r} — pairs would be "
                 "computed over different text; rebuild or rename"
+            )
+        if meta.get("id_col", id_col) != id_col:
+            raise ValueError(
+                f"index ids come from column {meta['id_col']!r}, probe "
+                f"offers id_col={id_col!r} — the output would pair two "
+                "different id namespaces; rebuild or rename"
             )
         if threshold < meta["threshold"]:
             raise ValueError(

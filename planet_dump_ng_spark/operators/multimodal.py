@@ -215,7 +215,10 @@ def parse_mp4_header(
                             total += struct.unpack(
                                 ">I", payload[off : off + 4]
                             )[0]
-                        if total > 0:
+                        # same int32-schema guard as the dimensions: a
+                        # crafted uint32 sample_count must not overflow
+                        # the 'n_frames int' column and fail the batch
+                        if 0 < total < 2**31:
                             n_frames = total
         return (w, h, n_frames, duration_ms)
     return None

@@ -148,6 +148,29 @@ def dedup_ngram_jaccard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fresh_index_dir(prefix: str) -> str:
+    """Unique per-run artifact dir (concurrent driver/bench sessions must
+    not race each other's delete-header-first rebuilds) with stale-
+    sibling cleanup: prior runs' directories older than 2 h are pruned,
+    so repeated sweeps don't grow /tmp without bound.  The age floor
+    protects any concurrently-running session (its dir is minutes old);
+    the returned DataFrame reads lazily, which is why the dir can't be
+    deleted in-function."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        try:
+            if time.time() - os.path.getmtime(d) > 7200:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 @register(
     "dedup_ngram_jaccard_served",
     # same SQL as dedup_ngram_jaccard_ingest: the artifact is a physical
@@ -184,15 +207,14 @@ def dedup_ngram_jaccard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     docs = table(spark, sf_dir, "documents")
     # unique per-run directory: a fixed shared path raced the delete-
     # header-first rebuild protocol when two sessions (driver gate +
     # bench) built concurrently — one deleted meta.json mid-read of the
     # other, a spurious "not a prefix index"
-    idx = tempfile.mkdtemp(
-        prefix="pdng-prefix-index-"
+    idx = _fresh_index_dir(
+        "pdng-prefix-index-"
         + os.path.basename(os.path.normpath(sf_dir))
         + "-"
     )
@@ -1470,11 +1492,10 @@ def dedup_lsh_bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     docs = table(spark, sf_dir, "documents")
-    idx = tempfile.mkdtemp(
-        prefix="pdng-pindex-extend-"
+    idx = _fresh_index_dir(
+        "pdng-pindex-extend-"
         + os.path.basename(os.path.normpath(sf_dir))
         + "-"
     )
@@ -1514,7 +1535,7 @@ def _exact_pairs_sql(threshold: float) -> str:
     "dedup_exact_vs_lsh_recall",
     f"""
     SELECT ne AS n_exact_pairs, nl AS n_lsh_pairs, ne - nl AS n_missed,
-           nl::DOUBLE / ne AS lsh_recall
+           CASE WHEN ne > 0 THEN nl::DOUBLE / ne END AS lsh_recall
     FROM (SELECT count(*) AS ne FROM ({_exact_pairs_sql(0.5)})),
          (SELECT count(*) AS nl FROM ({_minhash_lsh_oracle(threshold=0.5)}))
     """,
@@ -1542,8 +1563,11 @@ def dedup_exact_vs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_pairs",
         "n_lsh_pairs",
         (F.col("n_exact_pairs") - F.col("n_lsh_pairs")).alias("n_missed"),
-        (
-            F.col("n_lsh_pairs").cast("double") / F.col("n_exact_pairs")
+        # NULL on a pair-free corpus: Spark's 0/0 yields NaN while the
+        # oracle's CASE yields NULL — guard both sides identically
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.col("n_lsh_pairs").cast("double") / F.col("n_exact_pairs"),
         ).alias("lsh_recall"),
     )
 

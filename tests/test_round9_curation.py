@@ -309,7 +309,10 @@ def test_exact_vs_lsh_recall_query_sane(spark, sf_dir):
     ).first()
     assert row["n_missed"] >= 0
     assert row["n_lsh_pairs"] + row["n_missed"] == row["n_exact_pairs"]
-    assert 0.0 <= row["lsh_recall"] <= 1.0
+    if row["n_exact_pairs"] > 0:
+        assert 0.0 <= row["lsh_recall"] <= 1.0
+    else:  # recall is undefined, not NaN, on a pair-free corpus
+        assert row["lsh_recall"] is None
 
 
 # -- MP4 container parse ---------------------------------------------------------
@@ -401,3 +404,79 @@ def test_parse_image_header_rejects_overflow_dims():
     assert parse_image_header(
         sig + struct.pack(">II", 640, 480) + bytes(8)
     ) == ("png", 640, 480)
+
+
+# -- mid-compact crash windows (review findings) ---------------------------------
+
+
+def test_increment_rebuilds_buckets_after_mid_compact_crash(
+    spark, sf_dir, tmp_path
+):
+    """A dedup_compact crash between its two bucket renames leaves
+    fingerprints + _synced intact with buckets parked at buckets.old —
+    the one state where the synced short-circuit used to let the append
+    write a BATCH-ONLY buckets table that every later probe would trust
+    as the corpus.  The increment must detect the missing table and
+    rebuild from the corpus."""
+    out = str(tmp_path / "midswap")
+    docs = _docs(spark, sf_dir)
+    curate(docs.filter(F.col("doc_id") % 4 != 0), out)  # LSH family
+    art = out + "_dedup"
+    base_ids = (
+        spark.read.parquet(art + "/buckets").select("id").distinct().count()
+    )
+    os.rename(art + "/buckets", art + "/buckets.old")
+    assert os.path.exists(art + "/_synced")  # the deceptive state
+    manifest, _ = curate_increment(docs.filter(F.col("doc_id") % 4 == 0), out)
+    appended = sum(r.n_rows for r in manifest.collect())
+    after_ids = (
+        spark.read.parquet(art + "/buckets").select("id").distinct().count()
+    )
+    # rebuilt table covers the base corpus plus the append — a
+    # batch-only table would hold at most `appended` ids
+    assert after_ids >= base_ids
+    assert after_ids > appended
+    # the parked copy must not survive for a later compact preamble to
+    # "restore" over the rebuilt table
+    assert not os.path.exists(art + "/buckets.old")
+
+
+def test_exact_increment_rebuilds_pindex_after_mid_compact_crash(
+    spark, sf_dir, tmp_path
+):
+    """Same window on the exact family: prefix_index_compact dying
+    between renames parks pindex at .old with the header and _synced
+    intact; the increment rebuilds instead of crashing on the missing
+    table."""
+    out = str(tmp_path / "midswap-exact")
+    docs = _docs(spark, sf_dir)
+    curate(docs.filter(F.col("doc_id") % 4 != 0), out, near_dedup="exact")
+    pind = _pindex_dir(out)
+    os.rename(pind + "/pindex", pind + "/pindex.old")
+    manifest, _ = curate_increment(docs.filter(F.col("doc_id") % 4 == 0), out)
+    assert sum(r.n_rows for r in manifest.collect()) > 0
+    pmeta = json.load(open(pind + "/meta.json"))
+    assert pmeta["n_docs"] == spark.read.parquet(out).count()
+
+
+def test_mp4_n_frames_overflow_falls_back_to_one():
+    """A crafted uint32 stts sample_count must not overflow the int32
+    n_frames column (same guard class as the PNG dimension check)."""
+    from planet_dump_ng_spark.operators.multimodal import parse_mp4_header
+
+    payload = _mp4_fixture(w=64, h=64, frames=(0xFFFFFFFF,))
+    w, h, n_frames, _dur = parse_mp4_header(payload)
+    assert (w, h) == (64, 64)
+    assert n_frames == 1  # implausible count ignored, not propagated
+
+
+def test_prefix_index_refuses_foreign_id_col(spark, sf_dir, built_index):
+    idx, _ = built_index
+    docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "vec_id")
+    with pytest.raises(ValueError, match="id_col"):
+        dd.prefix_index_add(docs.limit(5), idx, id_col="vec_id")
+    with pytest.raises(ValueError, match="id_col"):
+        dd.ngram_jaccard_join(
+            docs.limit(5), k=3, threshold=0.5, corpus_index=idx,
+            id_col="vec_id",
+        )
