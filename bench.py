@@ -94,14 +94,19 @@ def pipeline_bench(spark, dump: str = _LIECHTENSTEIN,
     }
 
 
-def curation_bench(spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench") -> dict:
+def curation_bench(
+    spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench",
+    near_dedup: str = "lsh",
+) -> dict:
     """Time the end-to-end LLM curation pipeline (llm_pipeline.curate) at
     the bench SF: dedup chain -> decontamination -> scrub -> rule +
     classifier quality gates -> split materialization + pack manifest.
     The second end-to-end throughput number beside the OSM pipeline —
     sink/stage regressions in the curation path show up here per round.
-    Returns {"total": sec, "rows_in": N, "rows_out": N}; {} if the
-    documents table is unavailable."""
+    ``near_dedup`` selects the detection family so the exact
+    (prefix-filtered SSJoin) path gets its own measured number beside
+    the LSH default.  Returns {"total": sec, "rows_in": N,
+    "rows_out": N}; {} if the documents table is unavailable."""
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if not os.path.exists(docs_path):
         return {}
@@ -109,6 +114,7 @@ def curation_bench(spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench") -> 
 
     shutil.rmtree(work, ignore_errors=True)
     shutil.rmtree(work + "_dedup", ignore_errors=True)
+    shutil.rmtree(work + "_pindex", ignore_errors=True)
     docs = spark.read.parquet(docs_path)
     bench_set = docs.filter((docs.doc_id % 97) == 0).select("doc_id", "text")
     t0 = time.perf_counter()
@@ -118,6 +124,7 @@ def curation_bench(spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench") -> 
         bench=bench_set,
         classifier_margin=0.0,
         pack_capacity=2048,
+        near_dedup=near_dedup,
     )
     total = round(time.perf_counter() - t0, 2)
     stages = dict(report.stages)
@@ -129,6 +136,7 @@ def curation_bench(spark, sf_dir: str, work: str = "/tmp/pdng-curate-bench") -> 
     }
     shutil.rmtree(work, ignore_errors=True)
     shutil.rmtree(work + "_dedup", ignore_errors=True)
+    shutil.rmtree(work + "_pindex", ignore_errors=True)
     return out
 
 
@@ -442,6 +450,20 @@ def main() -> int:
     cur = min((c for c in cur_runs if c), key=lambda c: c["total"], default={})
     if cur:
         cur["runs"] = [c.get("total") for c in cur_runs if c]
+    # the exact (prefix-filtered SSJoin) curation family, best-of-2: the
+    # round-9 path needs its own end-to-end number beside the LSH default
+    cx_runs = [
+        curation_bench(
+            spark, sf_dir, work="/tmp/pdng-curate-exact-bench",
+            near_dedup="exact",
+        )
+        for _ in range(2)
+    ]
+    cur_exact = min(
+        (c for c in cx_runs if c), key=lambda c: c["total"], default={}
+    )
+    if cur_exact:
+        cur_exact["runs"] = [c.get("total") for c in cx_runs if c]
     incr = increment_bench(spark, sf_dir)
     # build/probe split for the prefix-index serving path, plus a 10x
     # probe anchor against a PREBUILT twin index: the per-batch probe is
@@ -576,6 +598,10 @@ def main() -> int:
         "registry": registry,
         "pipeline": {"total": pipe.get("total"), "runs": pipe.get("runs")},
         "curation": {"total": cur.get("total"), "runs": cur.get("runs")},
+        "curation_exact": {
+            "total": cur_exact.get("total"),
+            "runs": cur_exact.get("runs"),
+        },
         "increment": {"total": incr.get("total"), "runs": incr.get("runs")},
         "served": {
             "build_s": served.get("build_s"),
@@ -610,6 +636,7 @@ def main() -> int:
         "pipeline": pipe,
         "curation": cur,
         "increment": incr,
+        "curation_exact": cur_exact,
         "served": served,
         "served_sf1": served_sf1,
         "curation_sf1_full": cur_sf1,

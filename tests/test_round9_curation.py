@@ -480,3 +480,35 @@ def test_prefix_index_refuses_foreign_id_col(spark, sf_dir, built_index):
             docs.limit(5), k=3, threshold=0.5, corpus_index=idx,
             id_col="vec_id",
         )
+
+
+def test_prefix_index_multi_add_equals_fresh_build(spark, sf_dir, tmp_path):
+    """Commutativity of the extend verb: a build plus several adds in
+    arbitrary slice order serves exactly what one fresh build over the
+    union serves — including a fully-overlapping re-add in the middle
+    (pure no-op)."""
+    idx = str(tmp_path / "multi")
+    docs = _docs(spark, sf_dir)
+    dd.write_prefix_index(
+        docs.filter(F.col("doc_id") % 8 == 1), idx, k=3, threshold=0.5
+    )
+    for m in (5, 2, 7, 3, 6):
+        dd.prefix_index_add(docs.filter(F.col("doc_id") % 8 == m), idx)
+    # full redelivery of every slice added so far: a pure no-op
+    dd.prefix_index_add(
+        docs.filter((F.col("doc_id") % 8).isin(1, 2, 3, 5, 6, 7)), idx
+    )
+    batch = docs.filter(F.col("doc_id") % 8 == 0)
+    served = dd.ngram_jaccard_join(batch, k=3, threshold=0.5, corpus_index=idx)
+    corpus = docs.filter((F.col("doc_id") % 8).isin(1, 2, 3, 5, 6, 7))
+    derived = dd.ngram_jaccard_join(batch, corpus, k=3, threshold=0.5)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, derived.collect())
+    )
+    # counts stayed exact through every append
+    meta = json.load(open(f"{idx}/meta.json"))
+    assert spark.read.parquet(f"{idx}/docs").count() == meta["n_docs"]
+    assert (
+        spark.read.parquet(f"{idx}/pindex").count()
+        == meta["n_prefix_entries"]
+    )
