@@ -244,7 +244,14 @@ def curate_ingest_stream(
     pair with their compactors).  Returns the per-batch attrition
     reports (driver-side audit trail).
     """
-    from planet_dump_ng_spark.llm_pipeline import curate_increment, dedup_compact
+    import os
+
+    from planet_dump_ng_spark.llm_pipeline import (
+        _pindex_dir,
+        curate_increment,
+        dedup_compact,
+    )
+    from planet_dump_ng_spark.operators.dedup import prefix_index_compact
 
     reports: list = []
     n_done = 0
@@ -258,6 +265,11 @@ def curate_ingest_stream(
         n_done += 1
         if compact_every and n_done % compact_every == 0:
             dedup_compact(batch_df.sparkSession, dataset_dir)
+            # near_dedup="exact" datasets grow a _pindex artifact the
+            # same few-small-files-per-append way — fold its compactor in
+            pind = _pindex_dir(dataset_dir)
+            if os.path.exists(f"{pind}/meta.json"):
+                prefix_index_compact(batch_df.sparkSession, pind)
 
     q = (
         docs_stream.writeStream.foreachBatch(_fold)

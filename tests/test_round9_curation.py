@@ -512,3 +512,52 @@ def test_prefix_index_multi_add_equals_fresh_build(spark, sf_dir, tmp_path):
         spark.read.parquet(f"{idx}/pindex").count()
         == meta["n_prefix_entries"]
     )
+
+
+def test_curate_ingest_stream_exact_family(spark, sf_dir, tmp_path):
+    """The streaming ingest twin under near_dedup='exact': each
+    micro-batch's curate_increment INHERITS the recorded family, the
+    _pindex artifact grows in lockstep (and gets compacted by the
+    folded maintenance pass), and the streamed dataset equals the
+    sequential-batch reference — the same exactly-once-by-idempotence
+    contract the LSH twin pins in test_round6_curation."""
+    from planet_dump_ng_spark.streaming import jobs
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+
+    ref = str(tmp_path / "seq_ds")
+    curate(base, ref, near_dedup="exact")
+    curate_increment(b1.select(*cols), ref)
+    curate_increment(b2.select(*cols), ref)
+    want = {
+        (r.doc_id, r.split)
+        for r in spark.read.parquet(ref).select("doc_id", "split").collect()
+    }
+
+    out = str(tmp_path / "stream_ds")
+    curate(base, out, near_dedup="exact")
+    bus = str(tmp_path / "bus")
+    b1.select(*cols).coalesce(1).write.mode("append").parquet(bus)
+    b2.select(*cols).coalesce(1).write.mode("append").parquet(bus)
+    stream = jobs.read_documents_stream(spark, bus, max_files_per_trigger=1)
+    reports = jobs.curate_ingest_stream(
+        stream, out, str(tmp_path / "ckpt"), compact_every=1
+    )
+    got = {
+        (r.doc_id, r.split)
+        for r in spark.read.parquet(out).select("doc_id", "split").collect()
+    }
+    assert got == want
+    assert len(reports) >= 1
+    n = spark.read.parquet(out).count()
+    pmeta = json.load(open(_pindex_dir(out) + "/meta.json"))
+    assert pmeta["n_docs"] == n  # artifact in lockstep through the stream
+    # redelivery through a fresh stream appends nothing
+    stream2 = jobs.read_documents_stream(spark, bus, max_files_per_trigger=1)
+    jobs.curate_ingest_stream(stream2, out, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(out).count() == n
+    assert json.load(open(_pindex_dir(out) + "/meta.json")) == pmeta
