@@ -1645,3 +1645,49 @@ def prefix_posting_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("t")
         ).alias("postings_share"),
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH sh3 AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    ex3 AS (SELECT doc_id, unnest(sh) AS s FROM sh3),
+    sz3 AS (SELECT doc_id, len(sh) AS sz FROM sh3),
+    common3 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS cmn
+                FROM ex3 a JOIN ex3 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+    jac AS (SELECT cmn::DOUBLE / (za.sz + zb.sz - cmn) AS j
+            FROM common3
+            JOIN sz3 za ON common3.id_a = za.doc_id
+            JOIN sz3 zb ON common3.id_b = zb.doc_id
+            WHERE cmn::DOUBLE / (za.sz + zb.sz - cmn) >= 0.5)
+    SELECT CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_t50,
+           CAST(SUM(CASE WHEN j >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_t60,
+           CAST(SUM(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_t70,
+           CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_t80,
+           CAST(SUM(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_t90
+    FROM jac
+    """,
+    doc="Dedup-threshold tuning curve in ONE pass: exact pair counts at "
+    "Jaccard >= 0.5/0.6/0.7/0.8/0.9 from a single prefix-filtered "
+    "derivation at the LOWEST threshold — the floor property the "
+    "persisted index serves by (an index at t=0.5 answers every higher "
+    "t, extra candidates verify away), turned into the measured curve "
+    "an operator reads before picking jaccard_threshold for "
+    "curate(near_dedup=).  One pair derivation + one conditional "
+    "aggregate instead of five sweeps; counts are exact integers on "
+    "both engines.",
+    tags=("dedup", "eval", "agg"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, prefix_filter=True)
+    return pairs.agg(
+        *[
+            F.sum((F.col("jaccard") >= F.lit(t)).cast("bigint")).alias(
+                f"pairs_t{int(round(t * 100))}"
+            )
+            for t in (0.5, 0.6, 0.7, 0.8, 0.9)
+        ]
+    )

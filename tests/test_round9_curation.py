@@ -561,3 +561,52 @@ def test_curate_ingest_stream_exact_family(spark, sf_dir, tmp_path):
     jobs.curate_ingest_stream(stream2, out, str(tmp_path / "ckpt2"))
     assert spark.read.parquet(out).count() == n
     assert json.load(open(_pindex_dir(out) + "/meta.json")) == pmeta
+
+
+def test_pindex_cli_lifecycle(spark, sf_dir, tmp_path, capsys):
+    """The standalone CLI drives the full artifact lifecycle:
+    build -> add -> compact -> probe, with probe == derive."""
+    from planet_dump_ng_spark import pindex_cli
+
+    docs = _docs(spark, sf_dir)
+    corpus_p = str(tmp_path / "corpus.parquet")
+    batch_p = str(tmp_path / "batch.parquet")
+    add_p = str(tmp_path / "add.parquet")
+    docs.filter((F.col("doc_id") % 4).isin(1, 2)).write.parquet(corpus_p)
+    docs.filter(F.col("doc_id") % 4 == 3).write.parquet(add_p)
+    docs.filter(F.col("doc_id") % 4 == 0).write.parquet(batch_p)
+    idx = str(tmp_path / "idx")
+    out_p = str(tmp_path / "pairs.parquet")
+
+    assert pindex_cli.main(
+        ["build", "--input", corpus_p, "--index-dir", idx,
+         "--threshold", "0.5"]
+    ) == 0
+    assert pindex_cli.main(
+        ["add", "--input", add_p, "--index-dir", idx]
+    ) == 0
+    assert pindex_cli.main(["compact", "--index-dir", idx]) == 0
+    assert pindex_cli.main(
+        ["probe", "--input", batch_p, "--index-dir", idx, "--out", out_p]
+    ) == 0
+    got = sorted(
+        map(tuple, spark.read.parquet(out_p).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            dd.ngram_jaccard_join(
+                docs.filter(F.col("doc_id") % 4 == 0),
+                docs.filter(F.col("doc_id") % 4 != 0),
+                k=3,
+                threshold=0.5,
+            ).collect(),
+        )
+    )
+    assert got == want
+    # probing below the recorded floor refuses
+    with pytest.raises(ValueError, match="threshold"):
+        pindex_cli.main(
+            ["probe", "--input", batch_p, "--index-dir", idx,
+             "--threshold", "0.3"]
+        )
