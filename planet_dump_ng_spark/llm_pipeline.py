@@ -303,6 +303,23 @@ def dedup_compact(spark, dataset_dir: str) -> dict:
     return {"files_before": before, "files_after": after}
 
 
+def compact_artifacts(spark, dataset_dir: str) -> dict:
+    """The ONE maintenance entry point for a dataset's probe artifacts:
+    :func:`dedup_compact` on the ``_dedup`` tables plus, when the
+    dataset carries the exact-family ``_pindex`` artifact, its
+    :func:`operators.dedup.prefix_index_compact` — so the CLI's
+    ``--compact-dedup`` and the streaming ingest's folded maintenance
+    pass can never diverge on which artifacts get compacted.  Returns
+    {"dedup": {...}, "pindex": {...}|None}."""
+    import os
+
+    stats = {"dedup": dedup_compact(spark, dataset_dir), "pindex": None}
+    pind = _pindex_dir(dataset_dir)
+    if os.path.exists(f"{pind}/meta.json"):
+        stats["pindex"] = dd.prefix_index_compact(spark, pind)
+    return stats
+
+
 def curate(
     docs: DataFrame,
     out_dir: str,
@@ -1724,21 +1741,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = p.parse_args(argv)
     if args.compact_dedup:
-        import os as _os
-
         from planet_dump_ng_spark.session import get_spark as _gs
 
-        _sp = _gs("planet-dump-ng-spark-curate")
-        stats = dedup_compact(_sp, args.output)
+        stats = compact_artifacts(_gs("planet-dump-ng-spark-curate"), args.output)
         print(
-            f"{'dedup_compact':16s} files {stats['files_before']} -> "
-            f"{stats['files_after']}"
+            f"{'dedup_compact':16s} files {stats['dedup']['files_before']} "
+            f"-> {stats['dedup']['files_after']}"
         )
-        if _os.path.exists(f"{_pindex_dir(args.output)}/meta.json"):
-            pstats = dd.prefix_index_compact(_sp, _pindex_dir(args.output))
+        if stats["pindex"] is not None:
             print(
-                f"{'pindex_compact':16s} files {pstats['files_before']} -> "
-                f"{pstats['files_after']}"
+                f"{'pindex_compact':16s} files "
+                f"{stats['pindex']['files_before']} -> "
+                f"{stats['pindex']['files_after']}"
             )
         return 0
     if not args.input:

@@ -74,10 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument(
         "--threshold", type=float, default=None,
         help="probe Jaccard threshold (default: the index's recorded "
-        "floor); below the floor refuses",
+        "floor); below the floor refuses.  Shingle width is always the "
+        "index's recorded k — a different k cannot probe this index",
     )
-    q.add_argument("--k", type=int, default=None,
-                   help="shingle width (default: the index's recorded k)")
     q.add_argument("--out", help="optional parquet path for the pair table")
     q.add_argument("--show", type=int, default=10,
                    help="print the first N pairs as JSON lines")
@@ -119,18 +118,20 @@ def main(argv: list[str] | None = None) -> int:
         spark.read.parquet(args.input),
         text_col=args.text_col,
         id_col=args.id_col,
-        k=args.k if args.k is not None else meta["k"],
+        k=meta["k"],
         threshold=(
             args.threshold if args.threshold is not None
             else meta["threshold"]
         ),
         corpus_index=args.index_dir,
     )
+    n = None
     if args.out:
+        # the join runs ONCE, into the parquet; count and preview read
+        # the materialized file instead of re-executing the probe
         pairs.write.mode("overwrite").parquet(args.out)
-        n = spark.read.parquet(args.out).count()
-    else:
-        n = None
+        pairs = spark.read.parquet(args.out)
+        n = pairs.count()
     for row in pairs.limit(args.show).collect():
         print(json.dumps(row.asDict()))
     if n is not None:

@@ -244,14 +244,10 @@ def curate_ingest_stream(
     pair with their compactors).  Returns the per-batch attrition
     reports (driver-side audit trail).
     """
-    import os
-
     from planet_dump_ng_spark.llm_pipeline import (
-        _pindex_dir,
+        compact_artifacts,
         curate_increment,
-        dedup_compact,
     )
-    from planet_dump_ng_spark.operators.dedup import prefix_index_compact
 
     reports: list = []
     n_done = 0
@@ -264,12 +260,10 @@ def curate_ingest_stream(
         reports.append((batch_id, report))
         n_done += 1
         if compact_every and n_done % compact_every == 0:
-            dedup_compact(batch_df.sparkSession, dataset_dir)
-            # near_dedup="exact" datasets grow a _pindex artifact the
-            # same few-small-files-per-append way — fold its compactor in
-            pind = _pindex_dir(dataset_dir)
-            if os.path.exists(f"{pind}/meta.json"):
-                prefix_index_compact(batch_df.sparkSession, pind)
+            # the one shared maintenance entry point: _dedup tables plus
+            # the exact-family _pindex when present — identical to the
+            # CLI's --compact-dedup, by construction
+            compact_artifacts(batch_df.sparkSession, dataset_dir)
 
     q = (
         docs_stream.writeStream.foreachBatch(_fold)
