@@ -204,7 +204,8 @@ def served_bench(
 
 
 def increment_bench(
-    spark, sf_dir: str, work: str = "/tmp/pdng-incr-bench", n_runs: int = 3
+    spark, sf_dir: str, work: str = "/tmp/pdng-incr-bench", n_runs: int = 3,
+    near_dedup: str = "lsh",
 ) -> dict:
     """Time incremental curation: build the standing dataset from 75% of
     the corpus once per run (not timed), then time curating the remaining
@@ -233,7 +234,8 @@ def increment_bench(
     for _ in range(n_runs):
         shutil.rmtree(work, ignore_errors=True)
         shutil.rmtree(work + "_dedup", ignore_errors=True)
-        curate(base, work)
+        shutil.rmtree(work + "_pindex", ignore_errors=True)
+        curate(base, work, near_dedup=near_dedup)
         t0 = time.perf_counter()
         manifest, report = curate_increment(batch, work)
         total = round(time.perf_counter() - t0, 2)
@@ -248,6 +250,7 @@ def increment_bench(
         )
     shutil.rmtree(work, ignore_errors=True)
     shutil.rmtree(work + "_dedup", ignore_errors=True)
+    shutil.rmtree(work + "_pindex", ignore_errors=True)
     best = min(runs, key=lambda r: r["total"])
     best["runs"] = [r["total"] for r in runs]
     return best
@@ -436,6 +439,30 @@ def main() -> int:
         except Exception as e:
             incr_sf1 = {"error": str(e)[:200]}
 
+    # the EXACT family's 10x twins: curation_exact (below) is
+    # end-to-end-benched at the bench SF only — without these a
+    # super-linear exact-family regression (the pair-enumerating
+    # prefix join is the stage with quadratic potential) would be
+    # invisible until production scale.  Same single-run budget and
+    # independent failure domains as the LSH anchors above.
+    cur_exact_sf1: dict = {}
+    incr_exact_sf1: dict = {}
+    if isinstance(sf1, dict) and sf1 and "error" not in sf1:
+        try:
+            cur_exact_sf1 = curation_bench(
+                spark, stress_scale.DST,
+                work="/tmp/pdng-curate-exact-sf1", near_dedup="exact",
+            )
+        except Exception as e:
+            cur_exact_sf1 = {"error": str(e)[:200]}
+        try:
+            incr_exact_sf1 = increment_bench(
+                spark, stress_scale.DST, work="/tmp/pdng-incr-exact-sf1",
+                n_runs=1, near_dedup="exact",
+            )
+        except Exception as e:
+            incr_exact_sf1 = {"error": str(e)[:200]}
+
     # The end-to-end sections are the noisiest samples on a shared host
     # (observed: identical code, 8 s -> 55 s emit within one evening while
     # CPU microbenchmarks stayed flat).  Best-of-3 with all totals
@@ -464,6 +491,13 @@ def main() -> int:
         2, work="/tmp/pdng-curate-exact-bench", near_dedup="exact"
     )
     incr = increment_bench(spark, sf_dir)
+    # exact-family increment at the bench SF: the denominator its sf1
+    # twin's ratio needs (best-of-2 — secondary variant, same budget
+    # rule as cur_exact)
+    incr_exact = increment_bench(
+        spark, sf_dir, work="/tmp/pdng-incr-exact-bench", n_runs=2,
+        near_dedup="exact",
+    )
     # build/probe split for the prefix-index serving path, plus a 10x
     # probe anchor against a PREBUILT twin index: the per-batch probe is
     # the recurring cost at scale, so it gets its own number and ratio
@@ -602,6 +636,10 @@ def main() -> int:
             "runs": cur_exact.get("runs"),
         },
         "increment": {"total": incr.get("total"), "runs": incr.get("runs")},
+        "increment_exact": {
+            "total": incr_exact.get("total"),
+            "runs": incr_exact.get("runs"),
+        },
         "served": {
             "build_s": served.get("build_s"),
             "probe_s": served.get("probe_s"),
@@ -613,6 +651,8 @@ def main() -> int:
         },
         "curation_sf1": _ratio(cur_sf1, cur),
         "increment_sf1": _ratio(incr_sf1, incr),
+        "curation_exact_sf1": _ratio(cur_exact_sf1, cur_exact),
+        "increment_exact_sf1": _ratio(incr_exact_sf1, incr_exact),
         # scalar = time ratio; [time_ratio, rows_ratio] for the pair-
         # enumerating extras whose output itself grows super-linearly
         "sf1_ratio": {
@@ -640,6 +680,9 @@ def main() -> int:
         "served_sf1": served_sf1,
         "curation_sf1_full": cur_sf1,
         "increment_sf1_full": incr_sf1,
+        "increment_exact": incr_exact,
+        "curation_exact_sf1_full": cur_exact_sf1,
+        "increment_exact_sf1_full": incr_exact_sf1,
     }
     try:
         with open(

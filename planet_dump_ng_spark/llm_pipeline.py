@@ -78,6 +78,13 @@ def _dsir_model_dir(dataset_dir: str) -> str:
     return dataset_dir.rstrip("/") + "_dsir"
 
 
+def _lm_model_dir(dataset_dir: str) -> str:
+    """The frozen bigram-LM artifact a ``max_surprisal_bits`` dataset
+    persists beside itself (operators.lm.write_bigram_lm) — the
+    surprisal twin of the ``_dsir`` domain model."""
+    return dataset_dir.rstrip("/") + "_lm"
+
+
 def _pindex_dir(dataset_dir: str) -> str:
     """The corpus prefix-index artifact a ``near_dedup="exact"`` dataset
     persists beside itself (operators.dedup.write_prefix_index) — the
@@ -106,6 +113,7 @@ def _write_dedup_artifact(
     max_bucket: int | None = None,
     include_buckets: bool = True,
     buckets: DataFrame | None = None,
+    url_col: str | None = None,
 ) -> None:
     """Persist the dataset's dedup probe tables beside it — the corpus
     fingerprint set (16-byte digests) and the LSH bucket table
@@ -124,7 +132,9 @@ def _write_dedup_artifact(
     waste; the fingerprint commit-marker discipline is unchanged.
 
     Write order is the crash-safety contract: META first, BUCKETS next,
-    FINGERPRINTS last, because the stale-artifact repair in
+    URLS next (``url_col`` datasets only — the canonical-URL hash
+    table increments probe), FINGERPRINTS last, because the
+    stale-artifact repair in
     :func:`curate_increment` uses the fingerprint row count as the
     commit marker — the same write-the-idempotence-key-last discipline
     as ivfpq_add_to_dir.  A crash anywhere before the fingerprints
@@ -175,6 +185,15 @@ def _write_dedup_artifact(
         if max_bucket is not None:
             bkt = dd.cap_lsh_buckets(bkt, max_bucket)
         bkt.write.mode(mode).parquet(f"{d}/buckets")
+    if url_col is not None:
+        # canonical-URL fingerprint table (url_col datasets): 8-byte
+        # xxhash64 of the canonical URL — what each increment batch
+        # anti-joins against instead of re-canonicalizing the corpus.
+        # Written BEFORE fingerprints so the commit-marker order holds.
+        docs.select(
+            F.col("doc_id"),
+            F.xxhash64(tx.canonical_url(F.col(url_col))).alias("ufp"),
+        ).write.mode(mode).parquet(f"{d}/urls")
     docs.select(
         F.col("doc_id"), tx.fingerprint("text").alias("fp")
     ).write.mode(mode).parquet(f"{d}/fingerprints")
@@ -252,7 +271,11 @@ def dedup_compact(spark, dataset_dir: str) -> dict:
 
     art = _dedup_artifact_dir(dataset_dir)
     _check_dedup_meta(art)
-    keys = {"buckets": ["band", "bh"], "fingerprints": ["doc_id"]}
+    keys = {
+        "buckets": ["band", "bh"],
+        "urls": ["ufp"],
+        "fingerprints": ["doc_id"],
+    }
     # recovery preamble: heal the crash windows of a PRIOR compact
     for t in keys:
         src, tmp, old = f"{art}/{t}", f"{art}/{t}.compact", f"{art}/{t}.old"
@@ -342,12 +365,14 @@ def curate(
     quality_temper: tuple[float, float, float, float] | None = None,
     token_budget: int | None = None,
     write_dedup_artifact: bool = True,
-    lsh_mode: str = "star",
+    lsh_mode: str | None = None,
     max_bucket: int | None = None,
     auto_star_width: int = 256,
     dsir_target: "Column | str | None" = None,
     dsir_min_bits: float | None = None,
     near_dedup: str = "lsh",
+    max_surprisal_bits: float | None = None,
+    url_col: str | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation sequence; returns (split manifest, report).
 
@@ -359,7 +384,12 @@ def curate(
     that will never take increments.
 
     ``lsh_mode`` selects the near-dedup candidate emission
-    (operators.dedup.minhash_lsh_candidates): ``"star"`` (DEFAULT —
+    (operators.dedup.minhash_lsh_candidates; ``None`` — the default —
+    resolves to ``"star"`` under the LSH family, and is the ONLY legal
+    value under ``near_dedup="exact"``, which runs no banding: passing
+    any concrete mode alongside the exact family raises instead of
+    being silently discarded, the same refuse-loudly discipline as
+    every other contradictory policy pair): ``"star"`` (—
     each bucket emits members paired with its minimum id, O(B) per
     bucket instead of O(B^2); the shape a crawl-scale corpus with
     viral-boilerplate clusters REQUIRES, and curation's survivor rule
@@ -431,12 +461,48 @@ def curate(
     probes only over-index).  The mode is recorded in the artifact
     header and inherited by every increment under the same
     inherit-or-refuse discipline as the other policies.
+
+    ``max_surprisal_bits`` enables the CCNet-style LM-surprisal quality
+    gate (operators.lm): a bigram LM trains on this run's post-quality
+    survivors, persists at ``<out_dir>_lm`` (the frozen model every
+    increment scores under — the fluency definition must not drift
+    batch by batch), and docs keep iff their MEAN per-bigram surprisal
+    under that model is <= the ceiling (bits, integer-exact bit-length
+    arithmetic — text whose word transitions the corpus finds
+    surprising is boilerplate/spam/noise even when its vocabulary
+    looks ordinary).  Docs that emit no bigram (<2 tokens) carry no
+    transition evidence and drop — unreachable whenever
+    ``min_tokens >= 2``, since the rule gate runs first.  The ceiling
+    is recorded in the artifact header with the same inherit-or-refuse
+    discipline as ``dsir_min_bits``.
+
+    ``url_col`` enables canonical-URL exact dedup as the FIRST stage —
+    the cheapest gate a crawl pipeline runs: re-crawls of the same
+    page differ in tracking params / fragment / host case long before
+    content hashing can catch them (after template drift the content
+    hash misses entirely; the URL never drifts).  One doc survives per
+    canonical URL (operators.text.canonical_url; min doc_id), the
+    dataset's ``_dedup`` artifact gains a ``urls`` table of 8-byte
+    canonical-URL hashes each increment batch anti-joins against (no
+    corpus re-canonicalization per batch), and the column name is
+    recorded with the usual inherit-or-refuse discipline.
     """
     if near_dedup not in ("lsh", "exact"):
         raise ValueError(
             f"near_dedup must be 'lsh' or 'exact', got {near_dedup!r}"
         )
-    if lsh_mode not in ("pairs", "star", "auto"):
+    if near_dedup == "exact":
+        if lsh_mode is not None:
+            raise ValueError(
+                f"lsh_mode={lsh_mode!r} with near_dedup='exact': the "
+                "exact family runs no banding, so a concrete emission "
+                "mode cannot take effect — omit lsh_mode (silently "
+                "discarding it would let a caller believe a policy was "
+                "applied that never ran)"
+            )
+    elif lsh_mode is None:
+        lsh_mode = "star"
+    elif lsh_mode not in ("pairs", "star", "auto"):
         raise ValueError(
             f"lsh_mode must be 'pairs', 'star' or 'auto', got {lsh_mode!r}"
         )
@@ -491,6 +557,20 @@ def curate(
         _tick(stage)
         return df
 
+    # 0. optional canonical-URL dedup, FIRST: strictly cheaper than any
+    # content stage (regexp/array ops on the URL string, one 8-byte-key
+    # group), and removing re-crawls up front shrinks everything after
+    if url_col is not None:
+        curled = docs.withColumn("_curl", tx.canonical_url(F.col(url_col)))
+        keep_url = curled.groupBy("_curl").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        docs = checkpoint(
+            "url_dedup",
+            curled.join(keep_url.select("doc_id"), "doc_id", "left_semi")
+            .drop("_curl"),
+        )
+
     # 1. exact dedup: keep the first occurrence per canonical fingerprint
     docs = checkpoint("exact_dedup", dd.dedup_keep_first(docs))
 
@@ -511,8 +591,6 @@ def curate(
     # identical to exhaustive all-pairs Jaccard, no LSH recall trade.
     # near_dedup="lsh": LSH candidates -> exact-Jaccard verify.
     bkts = None
-    if near_dedup == "exact":
-        lsh_mode = None  # no banding ran; the record must not claim one
     if lsh_mode == "auto":
         # one lazy localCheckpoint: the stats probe and the candidate
         # join read the SAME materialized bucket table (no second
@@ -613,6 +691,26 @@ def curate(
                 "doc_id",
                 "left_semi",
             ),
+        )
+
+    # 5b2. optional LM-surprisal quality gate (CCNet-style,
+    # operators.lm): train the bigram LM on THIS RUN's survivors in one
+    # tokenize scan (bigram_lm_train_and_score shares the materialized
+    # instance table between the count aggregate, the artifact write
+    # and the score joins), persist it beside the dataset, keep docs
+    # whose mean per-bigram surprisal clears the ceiling.  Runs after
+    # the rule/classifier gates so the model's transition statistics
+    # come from text that could actually ship, before DSIR/mixing so
+    # domain selection acts on fluent docs.
+    if max_surprisal_bits is not None:
+        from planet_dump_ng_spark.operators import lm as blm
+
+        _, sc = blm.bigram_lm_train_and_score(docs, _lm_model_dir(out_dir))
+        keep_ids = sc.filter(
+            F.col("mean_bits") <= F.lit(float(max_surprisal_bits))
+        ).select("doc_id")
+        docs = checkpoint(
+            "surprisal_gate", docs.join(keep_ids, "doc_id", "left_semi")
         )
 
     # 5c. optional DSIR domain gate (operators.dsir): train the hashed
@@ -760,6 +858,13 @@ def curate(
         docs = docs.join(
             comp.select(F.col("id").alias("doc_id"), "component"), "doc_id"
         )
+        # materialize the component-joined survivors ONCE: this plan
+        # re-derives the split-guard pair stage (the most expensive
+        # stage under near_dedup="exact"), and without the checkpoint
+        # materialize_splits, write_prefix_index AND
+        # _write_dedup_artifact below would each re-execute it — the
+        # same eager-checkpoint discipline as the increment path
+        docs = docs.localCheckpoint(eager=True)
         manifest = materialize_splits(
             docs, out_dir, "doc_id", fractions, split_key="component"
         )
@@ -791,7 +896,20 @@ def curate(
             or {"train": 0.8, "val": 0.1, "test": 0.1},
             "leakage_free": leakage_free,
             "near_dedup": near_dedup,
+            # the dedup thresholds are part of the dataset's guarantee
+            # ("no pair >= jaccard_threshold survives"; leakage_free
+            # adds "no pair >= split_jaccard straddles splits") — an
+            # increment running at a DIFFERENT threshold would weaken
+            # that guarantee mid-dataset, so record them for the same
+            # inherit-or-refuse defaulting as every policy above.
+            # split_jaccard is recorded only when leakage_free: it has
+            # no effect otherwise, and recording an inert default would
+            # make a later leakage-free restatement refusable for no
+            # reason.
+            "jaccard_threshold": float(jaccard_threshold),
         }
+        if leakage_free:
+            extra_meta["split_jaccard"] = float(split_jaccard)
         if lsh_mode is not None:  # exact mode ran no banding
             extra_meta["lsh_mode"] = lsh_mode
         if max_bucket is not None:
@@ -802,6 +920,12 @@ def curate(
             # threshold (inherit-or-refuse, like every policy above)
             extra_meta["dsir_min_bits"] = float(dsir_min_bits)
             extra_meta["dsir_target_desc"] = tgt_desc
+        if max_surprisal_bits is not None:
+            # same contract as the DSIR gate: increments must score
+            # under the frozen model at the recorded ceiling
+            extra_meta["max_surprisal_bits"] = float(max_surprisal_bits)
+        if url_col is not None:
+            extra_meta["url_col"] = url_col
         if near_dedup == "exact":
             # the exact twin of the LSH bucket artifact: every increment
             # equi-joins its batch prefix against this instead of
@@ -818,6 +942,7 @@ def curate(
         _write_dedup_artifact(
             docs, out_dir, extra_meta=extra_meta, max_bucket=max_bucket,
             include_buckets=(near_dedup != "exact"),
+            url_col=url_col,
         )
         _tick("dedup_artifact")
     if prev is not None:  # the dataset is on disk; release the last cache
@@ -829,19 +954,21 @@ def curate_increment(
     new_docs: DataFrame,
     dataset_dir: str,
     bench: DataFrame | None = None,
-    jaccard_threshold: float = 0.8,
+    jaccard_threshold: float | None = None,
     containment_threshold: float = 0.5,
     min_tokens: int = 20,
     max_stopword_ratio: float = 0.7,
     scrub_pii: bool = True,
     fractions: dict[str, float] | None = None,
     leakage_free: bool | None = None,
-    split_jaccard: float = 0.3,
+    split_jaccard: float | None = None,
     lsh_mode: str | None = None,
     max_bucket: int | None = None,
     audit_tokens: bool = False,
     dsir_min_bits: float | None = None,
     near_dedup: str | None = None,
+    max_surprisal_bits: float | None = None,
+    url_col: str | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Incremental curation: run a NEW batch through the curation gates
     AGAINST the standing curated dataset and append the survivors — the
@@ -861,7 +988,8 @@ def curate_increment(
     split-consistent with a from-scratch curation; the append lands via
     ``materialize_splits(mode="append")``.
 
-    ``fractions``, ``leakage_free``, ``lsh_mode`` and ``max_bucket``
+    ``fractions``, ``leakage_free``, ``jaccard_threshold``,
+    ``split_jaccard``, ``lsh_mode`` and ``max_bucket``
     DEFAULT from the dedup artifact's recorded curation parameters
     (written by :func:`curate`) — the xxhash split gate is
     content-stable only if the fraction boundaries match the original
@@ -879,6 +1007,11 @@ def curate_increment(
     representatives); increments append their batch buckets capped the
     same way and probe with the cap re-applied, so a hot boilerplate
     bucket hands each batch doc O(cap) candidates forever.
+
+    ``dsir_min_bits`` and ``max_surprisal_bits`` inherit the recorded
+    gate thresholds and apply the FROZEN persisted models (an increment
+    never retrains a gate); passing either without a recorded gate
+    raises — there is no model to score under.
 
     ``near_dedup`` inherits the recorded detection family the same way:
     a dataset curated with ``near_dedup="exact"`` takes its increments
@@ -986,6 +1119,40 @@ def curate_increment(
         raise ValueError(
             f"near_dedup must be 'lsh' or 'exact', got {near_dedup!r}"
         )
+    # dedup thresholds inherit-or-refuse, same as every policy above:
+    # the dataset's "no pair >= t survives" guarantee is only as strong
+    # as its weakest increment, and the _pindex floor check catches
+    # only a LOWER probe threshold — a silently-raised one would
+    # weaken the exactness guarantee mid-dataset with no error at all.
+    _jt_known = (
+        jaccard_threshold is not None or "jaccard_threshold" in recorded
+    )
+    if jaccard_threshold is None:
+        jaccard_threshold = float(recorded.get("jaccard_threshold", 0.8))
+    elif "jaccard_threshold" in recorded and float(
+        recorded["jaccard_threshold"]
+    ) != float(jaccard_threshold):
+        raise ValueError(
+            f"jaccard_threshold={jaccard_threshold} contradicts the "
+            f"dataset's recorded jaccard_threshold="
+            f"{recorded['jaccard_threshold']} — increments deduped at a "
+            "different threshold would silently change the dataset's "
+            "near-dup guarantee mid-dataset; omit the argument to "
+            "inherit the recorded one"
+        )
+    _sj_known = split_jaccard is not None or "split_jaccard" in recorded
+    if split_jaccard is None:
+        split_jaccard = float(recorded.get("split_jaccard", 0.3))
+    elif "split_jaccard" in recorded and float(
+        recorded["split_jaccard"]
+    ) != float(split_jaccard):
+        raise ValueError(
+            f"split_jaccard={split_jaccard} contradicts the dataset's "
+            f"recorded split_jaccard={recorded['split_jaccard']} — the "
+            "leakage-free guarantee ('no pair >= split_jaccard "
+            "straddles splits') holds at ONE similarity level; omit "
+            "the argument to inherit the recorded one"
+        )
     if max_bucket is None:
         max_bucket = recorded.get("max_bucket")
     elif (
@@ -1016,6 +1183,44 @@ def curate_increment(
             f"recorded dsir_min_bits={recorded['dsir_min_bits']} — the "
             "gate threshold is part of the curation contract; omit the "
             "argument to inherit it"
+        )
+    # LM-surprisal gate: same frozen-model discipline — an increment
+    # can never retrain the fluency definition, only apply it.
+    _ms_known = "max_surprisal_bits" in recorded
+    if max_surprisal_bits is None:
+        max_surprisal_bits = recorded.get("max_surprisal_bits")
+    elif not _ms_known:
+        raise ValueError(
+            "max_surprisal_bits passed but the dataset records no "
+            "surprisal gate — there is no frozen bigram LM to score "
+            "under; enable the gate at curate() time"
+        )
+    elif recorded["max_surprisal_bits"] != max_surprisal_bits:
+        raise ValueError(
+            f"max_surprisal_bits={max_surprisal_bits} contradicts the "
+            f"dataset's recorded max_surprisal_bits="
+            f"{recorded['max_surprisal_bits']} — the gate ceiling is "
+            "part of the curation contract; omit the argument to "
+            "inherit it"
+        )
+    # canonical-URL dedup stage: inherit the recorded column (the
+    # standing corpus was URL-deduped against it, so batches must be
+    # too), refuse a contradiction or an unrecorded enablement.
+    _url_known = "url_col" in recorded
+    if url_col is None:
+        url_col = recorded.get("url_col")
+    elif not _url_known:
+        raise ValueError(
+            "url_col passed but the dataset records no URL-dedup stage "
+            "— the standing docs were never URL-deduped, so the "
+            "guarantee would start mid-dataset; enable it at curate() "
+            "time"
+        )
+    elif recorded["url_col"] != url_col:
+        raise ValueError(
+            f"url_col={url_col!r} contradicts the dataset's recorded "
+            f"url_col={recorded['url_col']!r} — omit the argument to "
+            "inherit the recorded column"
         )
 
     def _counts(df: DataFrame) -> tuple[int, int | None]:
@@ -1090,10 +1295,14 @@ def curate_increment(
     # the corpus (and the next compact preamble would delete the real
     # one as .old debris)
     lsh_family = near_dedup != "exact"
-    probe_tables_ok = os.path.exists(f"{art}/fingerprints") and (
-        os.path.exists(f"{art}/buckets")
-        if lsh_family
-        else os.path.isdir(f"{pind}/pindex")
+    probe_tables_ok = (
+        os.path.exists(f"{art}/fingerprints")
+        and (
+            os.path.exists(f"{art}/buckets")
+            if lsh_family
+            else os.path.isdir(f"{pind}/pindex")
+        )
+        and (url_col is None or os.path.exists(f"{art}/urls"))
     )
     if have_art and not (os.path.exists(synced) and probe_tables_ok):
         # repair a STALE artifact (a crash between a prior increment's
@@ -1117,8 +1326,10 @@ def curate_increment(
         except AnalysisException:
             n_fp = -1
         n_corpus = corpus.count()
-        if n_fp != n_corpus or (
-            lsh_family and not os.path.exists(f"{art}/buckets")
+        if (
+            n_fp != n_corpus
+            or (lsh_family and not os.path.exists(f"{art}/buckets"))
+            or (url_col is not None and not os.path.exists(f"{art}/urls"))
         ):
             # rebuild preserves the recorded curation parameters — the
             # repair must not erase the fractions/leakage_free record.
@@ -1130,7 +1341,7 @@ def curate_increment(
             # clear compact debris first: a parked buckets.old must not
             # survive the rebuild for a later compact preamble to
             # "restore" over the fresh table
-            for t in ("buckets", "fingerprints"):
+            for t in ("buckets", "urls", "fingerprints"):
                 for sfx in (".old", ".compact"):
                     _shutil.rmtree(f"{art}/{t}{sfx}", ignore_errors=True)
             _write_dedup_artifact(
@@ -1142,12 +1353,14 @@ def curate_increment(
                     for k in (
                         "fractions", "leakage_free", "lsh_mode",
                         "max_bucket", "dsir_min_bits", "dsir_target_desc",
-                        "near_dedup",
+                        "near_dedup", "jaccard_threshold", "split_jaccard",
+                        "max_surprisal_bits", "url_col",
                     )
                     if k in recorded
                 },
                 max_bucket=recorded.get("max_bucket"),
                 include_buckets=(near_dedup != "exact"),
+                url_col=url_col,
             )
         if near_dedup == "exact":
             # the prefix index has its own crash windows (a kill inside
@@ -1159,21 +1372,60 @@ def curate_increment(
             # a table at .old with the header intact — the eager parquet
             # read inside read_prefix_index surfaces it; rebuild, same
             # as a headerless index
+            pmeta: dict = {}
             try:
                 _, _, pmeta = dd.read_prefix_index(spark, pind)
                 pindex_ok = pmeta.get("n_docs") == n_corpus
             except (ValueError, AnalysisException):
                 pindex_ok = False
             if not pindex_ok:
+                # rebuild at the INDEX's recorded floor when the header
+                # survived (count-mismatch staleness): the repair must
+                # not silently RAISE the floor to this call's threshold
+                # — later probes at the original (valid) threshold
+                # would start refusing.  Only the headerless case falls
+                # back to the call-time threshold (which, under the
+                # inherit-or-refuse defaulting above, is the recorded
+                # curation threshold anyway).
+                want = float(
+                    split_jaccard if leakage_free else jaccard_threshold
+                )
+                if "threshold" in pmeta:
+                    want = min(float(pmeta["threshold"]), want)
                 dd.write_prefix_index(
-                    corpus,
-                    pind,
-                    k=_DEDUP_LSH["k"],
-                    threshold=(
-                        split_jaccard if leakage_free else jaccard_threshold
-                    ),
+                    corpus, pind, k=_DEDUP_LSH["k"], threshold=want
                 )
     _tick("stale_check")
+
+    # 2a. canonical-URL dedup (url_col datasets), cheapest probe first:
+    # within-batch min-id per canonical URL, then anti-join the batch's
+    # 8-byte URL hashes against the artifact's ``urls`` table (present
+    # whenever the gate is recorded — the stale check above rebuilds a
+    # missing one); the fallback derivation canonicalizes the corpus's
+    # url column once (artifact-less write_dedup_artifact=False
+    # datasets only).
+    if url_col is not None:
+        curled = docs.withColumn("_curl", tx.canonical_url(F.col(url_col)))
+        keep_url = curled.groupBy("_curl").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        corp_u = (
+            spark.read.parquet(f"{art}/urls").select(
+                F.col("ufp").alias("_ufp")
+            )
+            if os.path.exists(f"{art}/urls")
+            else corpus.select(
+                F.xxhash64(tx.canonical_url(F.col(url_col))).alias("_ufp")
+            )
+        ).distinct()
+        docs = checkpoint(
+            "url_dedup",
+            curled.join(keep_url.select("doc_id"), "doc_id", "left_semi")
+            .withColumn("_ufp", F.xxhash64("_curl"))
+            .join(corp_u, "_ufp", "left_anti")
+            .drop("_ufp", "_curl"),
+        )
+
     corp_fp = (
         spark.read.parquet(f"{art}/fingerprints").select(
             F.col("fp").alias("_fp")
@@ -1295,6 +1547,22 @@ def curate_increment(
         & F.col("repetition_keep")
     ).select("doc_id")
     docs = checkpoint("quality", docs.join(keep, "doc_id", "left_semi"))
+
+    # 4a0. LM-surprisal gate under the FROZEN bigram LM curate()
+    # persisted — same stage position and mean-bits semantics as the
+    # original run, so an appended doc faces exactly the fluency gate
+    # the standing docs passed.  A recorded gate whose model directory
+    # is missing/half-written raises loudly inside read_bigram_lm.
+    if max_surprisal_bits is not None:
+        from planet_dump_ng_spark.operators import lm as blm
+
+        sc = blm.score_with_bigram_lm(docs, _lm_model_dir(dataset_dir))
+        keep_ids = sc.filter(
+            F.col("mean_bits") <= F.lit(float(max_surprisal_bits))
+        ).select("doc_id")
+        docs = checkpoint(
+            "surprisal_gate", docs.join(keep_ids, "doc_id", "left_semi")
+        )
 
     # 4a. DSIR domain gate under the FROZEN model curate() persisted —
     # same stage position and threshold semantics as the original run
@@ -1478,12 +1746,20 @@ def curate_increment(
         extra["fractions"] = fractions
     if _lf_known:
         extra["leakage_free"] = leakage_free
+    if _jt_known:
+        extra["jaccard_threshold"] = float(jaccard_threshold)
+    if _sj_known:
+        extra["split_jaccard"] = float(split_jaccard)
     if max_bucket is not None:
         extra["max_bucket"] = max_bucket
     if _dsir_known:
         extra["dsir_min_bits"] = recorded["dsir_min_bits"]
         if "dsir_target_desc" in recorded:
             extra["dsir_target_desc"] = recorded["dsir_target_desc"]
+    if _ms_known:
+        extra["max_surprisal_bits"] = recorded["max_surprisal_bits"]
+    if _url_known:
+        extra["url_col"] = recorded["url_col"]
     if near_dedup == "exact":
         # extend the prefix index with the appended survivors BEFORE the
         # _dedup append re-creates _synced (the marker must only assert
@@ -1518,6 +1794,7 @@ def curate_increment(
             extra_meta=extra, max_bucket=recorded.get("max_bucket"),
             include_buckets=(near_dedup != "exact"),
             buckets=reuse,
+            url_col=url_col,
         )
     else:
         _write_dedup_artifact(
@@ -1527,6 +1804,7 @@ def curate_increment(
             extra_meta=extra,
             max_bucket=max_bucket,
             include_buckets=(near_dedup != "exact"),
+            url_col=url_col,
         )
     # _write_dedup_artifact re-created the _synced marker after its
     # fingerprints append — the artifact is in step with the dataset again
@@ -1574,7 +1852,9 @@ def main(argv: list[str] | None = None) -> int:
         "SemDeDup semantic-dedup stage",
     )
     p.add_argument("--semantic-threshold", type=float, default=0.9)
-    p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    # None default: a fresh curate resolves to 0.8; an --increment
+    # inherits the dataset's recorded threshold (contradicting it raises)
+    p.add_argument("--jaccard-threshold", type=float, default=None)
     p.add_argument("--containment-threshold", type=float, default=0.5)
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--max-stopword-ratio", type=float, default=0.7)
@@ -1610,9 +1890,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--split-jaccard",
         type=float,
-        default=0.3,
+        default=None,
         help="similarity level that must not cross splits when "
-        "--leakage-free-split is on (default 0.3)",
+        "--leakage-free-split is on (default 0.3; with --increment, "
+        "omitted = inherit the dataset's recorded value, contradicting "
+        "it raises)",
     )
     p.add_argument(
         "--classifier-margin",
@@ -1706,6 +1988,28 @@ def main(argv: list[str] | None = None) -> int:
         "(default 0.0 at curate time: keep docs that look more target "
         "than raw on average).  With --increment, omitted = inherit "
         "the recorded threshold; contradicting it raises",
+    )
+    p.add_argument(
+        "--max-surprisal-bits",
+        type=float,
+        default=None,
+        help="enable the CCNet-style LM-surprisal quality gate: train a "
+        "bigram LM on this run's survivors, persist it at <output>_lm, "
+        "and keep docs whose mean per-bigram surprisal under it is <= "
+        "this many bits (integer-exact bit-length arithmetic).  With "
+        "--increment, omitted = inherit the recorded ceiling and score "
+        "under the FROZEN model; contradicting the record raises",
+    )
+    p.add_argument(
+        "--url-col",
+        default=None,
+        help="enable canonical-URL exact dedup as the FIRST stage: one "
+        "doc survives per canonicalized value of this column "
+        "(lowercased scheme+host, fragment/tracking-params/default-"
+        "port/trailing-slash stripped); the _dedup artifact gains a "
+        "'urls' hash table increments probe.  With --increment, "
+        "omitted = inherit the recorded column; contradicting it (or "
+        "enabling on a dataset that never recorded it) raises",
     )
     p.add_argument(
         "--compact-dedup",
@@ -1804,6 +2108,8 @@ def main(argv: list[str] | None = None) -> int:
             max_bucket=args.max_bucket,
             dsir_min_bits=args.dsir_min_bits,
             near_dedup=args.near_dedup,
+            max_surprisal_bits=args.max_surprisal_bits,
+            url_col=args.url_col,
         )
         toks = dict(report.tokens)
         for stage, n in report.stages:
@@ -1825,7 +2131,9 @@ def main(argv: list[str] | None = None) -> int:
         docs,
         args.output,
         bench=bench,
-        jaccard_threshold=args.jaccard_threshold,
+        jaccard_threshold=(
+            0.8 if args.jaccard_threshold is None else args.jaccard_threshold
+        ),
         containment_threshold=args.containment_threshold,
         min_tokens=args.min_tokens,
         max_stopword_ratio=args.max_stopword_ratio,
@@ -1836,18 +2144,22 @@ def main(argv: list[str] | None = None) -> int:
         semantic_threshold=args.semantic_threshold,
         classifier_margin=args.classifier_margin,
         leakage_free=args.leakage_free_split,
-        split_jaccard=args.split_jaccard,
+        split_jaccard=(
+            0.3 if args.split_jaccard is None else args.split_jaccard
+        ),
         lang_temperature=args.lang_temperature,
         span_dedup_tokens=args.span_dedup_tokens,
         quality_temper=tuple(
             float(x) for x in args.quality_temper.split(",")
         ) if args.quality_temper else None,
         token_budget=args.token_budget,
-        lsh_mode=args.lsh_mode or "star",
+        lsh_mode=args.lsh_mode,
         max_bucket=args.max_bucket,
         dsir_target=args.dsir_target,
         dsir_min_bits=args.dsir_min_bits,
         near_dedup=args.near_dedup or "lsh",
+        max_surprisal_bits=args.max_surprisal_bits,
+        url_col=args.url_col,
     )
     if args.export_jsonl:
         (

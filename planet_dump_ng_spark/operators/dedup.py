@@ -513,6 +513,15 @@ def prefix_index_add(
     fresh = (
         spread_small_input(new_docs)
         .select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        # the anti-join below only screens ids ALREADY in the index: a
+        # batch carrying the same id twice (reachable via the public
+        # pindex_cli add) would otherwise append duplicate docs/pindex
+        # rows — inflating n_docs and emitting duplicate pairs from
+        # every later probe.  One batch-sized shuffle; the index-side
+        # builder (write_prefix_index) takes curation survivors, whose
+        # ids are unique by construction, and skips this corpus-sized
+        # guard deliberately.
+        .dropDuplicates(["id"])
         .join(
             spark.read.parquet(f"{d}/docs").select("id"), "id", "left_anti"
         )
@@ -1054,6 +1063,123 @@ def superset_containment_pairs(
     out = out.persist()
     out.count()
     ex.unpersist()
+    return out
+
+
+# -- Winnowing ----------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 31,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — public): ``(id, h)`` with one row per DISTINCT selected
+    fingerprint per document.
+
+    Every character position's k-gram is hashed (31-bit folded
+    xxhash64, the corpus-wide fingerprint namespace the strided
+    substring detector shares), then each sliding window of ``w``
+    consecutive hashes contributes its MINIMUM — so two documents
+    sharing any substring of length >= ``w + k - 1`` chars share at
+    least one selected fingerprint (the windows covering the match see
+    the same hash sequence, hence pick the same minimum).  That is a
+    GUARANTEE the strided sampler cannot give: stride-s sampling
+    misses any duplicate whose window never lands on a sampled
+    position, while winnowing's expected index density ~2/(w+1) is
+    BETTER than 1/s at comparable guarantees (w=31, k=20 detects
+    every >= 50-char copy at ~6.3% of positions indexed vs stride-10's
+    10% with a one-window miss bound).
+
+    Plan shape: map-only per document — the hash array is projected
+    into a column FIRST and the window-min transform reads the
+    projected array (per the repo's lambda-capture discipline:
+    expressions inside ``F.transform`` lambdas re-evaluate per
+    element), costing O(n·w) comparisons per doc with w a small
+    constant; no UDF, no shuffle before the fingerprint explode.  Docs
+    shorter than ``w + k - 1`` chars carry no full window and drop
+    (exact-dedup territory).
+    """
+    docs = spread_small_input(df).filter(
+        F.length(text_col) >= k + w - 1
+    )
+    hs = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"q -> pmod(xxhash64(substring({text_col}, q, {k})), "
+        f"{_MERSENNE_31}))"
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(_hs) - {w - 1}), "
+        f"j -> array_min(slice(_hs, j, {w}))))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), hs.alias("_hs"))
+        .select("id", F.explode(fps).alias("h"))
+    )
+
+
+def substring_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "winnow",
+    k: int = 20,
+    w: int = 31,
+    stride: int = 10,
+    window: int = 50,
+) -> DataFrame:
+    """Char-level substring-duplication stats per document:
+    ``(doc_id, n_fingerprints, n_dup_fingerprints,
+    dup_fingerprint_fraction)`` — a fingerprint is "dup" when its hash
+    occurs in at least one OTHER document.
+
+    ``mode="winnow"`` (default): winnowing fingerprints — every
+    duplicated substring of >= ``w + k - 1`` chars is detected
+    (see :func:`winnow_fingerprints`).  ``mode="strided"``: the
+    measured control — every ``window``-char gram at ``stride``
+    positions, detection bounded by a one-window miss (the trade the
+    exact_substring_duplication registry query documents).
+    """
+    if mode == "winnow":
+        fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    elif mode == "strided":
+        grams = F.expr(
+            f"transform(sequence(1, length({text_col}) - {window - 1}, "
+            f"{stride}), q -> substring({text_col}, q, {window}))"
+        )
+        fp = (
+            spread_small_input(df)
+            .filter(F.length(text_col) >= window)
+            .select(F.col(id_col).alias("id"), F.explode(grams).alias("s"))
+            .select(
+                "id",
+                F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_31)).alias("h"),
+            )
+        )
+    else:
+        raise ValueError(f"mode must be 'winnow' or 'strided', got {mode!r}")
+    fp = fp.persist()  # feeds the corpus count AND the join-back
+    cnt = fp.groupBy("h").agg(F.countDistinct("id").alias("ndocs"))
+    dup = (F.col("ndocs") > 1).cast("bigint")
+    out = (
+        fp.join(cnt, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(dup).cast("bigint").alias("n_dup_fingerprints"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_fingerprint_fraction"
+            ),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+    out = out.persist()
+    out.count()
+    fp.unpersist()
     return out
 
 

@@ -370,6 +370,50 @@ def repetition_features(
     )
 
 
+#: query parameters stripped by canonical_url — the tracking params
+#: production crawl pipelines normalize away before URL-level dedup
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalized URL for crawl-dedup: the cheapest dedup gate a
+    production pipeline runs — re-crawls of the same page differ only
+    in tracking params / fragment / host case / default port long
+    before content hashing can catch them (template drift defeats the
+    content hash; the URL never drifts).
+
+    Rules (all JVM-side regexp/array ops — no UDF, map-only):
+    scheme+host lowercased (path case PRESERVED — it is significant),
+    fragment stripped, ``utm_*``/``fbclid``/``gclid`` query params
+    dropped (other params kept in order), default ports ``:443`` \
+    (https) / ``:80`` (http) stripped, trailing slashes trimmed, and a
+    query left empty by param filtering loses its ``?``.  No lookahead
+    anywhere, so the DuckDB oracle twin replays rule-for-rule under
+    RE2."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, "#.*$", "")  # fragment
+    # lowercase scheme://host[:port] only: extract the anchored head,
+    # remove it, and re-prepend lowered (no-scheme strings pass through
+    # untouched — head extracts '')
+    head_re = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    head = F.regexp_extract(u, head_re, 0)
+    u = F.concat(F.lower(head), F.regexp_replace(u, head_re, ""))
+    u = F.regexp_replace(u, "^(https://[^/:?#]*):443([/?].*)?$", "$1$2")
+    u = F.regexp_replace(u, "^(http://[^/:?#]*):80([/?].*)?$", "$1$2")
+    base = F.regexp_replace(F.substring_index(u, "?", 1), "/+$", "")
+    qstr = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(qstr, "&"), lambda p: ~p.rlike(TRACKING_PARAM_RE)
+    )
+    return F.concat(
+        base,
+        F.when(
+            (qstr != F.lit("")) & (F.size(params) > 0),
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of casefolded, whitespace-collapsed text.
 

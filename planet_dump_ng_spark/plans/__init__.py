@@ -34,3 +34,6 @@ def load_all() -> None:
 
     # dsir_plans (round 7): same last-import rule as above.
     from planet_dump_ng_spark.plans import dsir_plans  # noqa: F401
+
+    # round10_plans: same last-import rule as above.
+    from planet_dump_ng_spark.plans import round10_plans  # noqa: F401
