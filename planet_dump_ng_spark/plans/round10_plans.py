@@ -334,3 +334,115 @@ def dedup_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+# -- unigram-LM tokenizer ------------------------------------------------------
+
+
+def _unigram_vocab_oracle(
+    n_pieces: int = 64, L: int = 4, cap: int = 12
+) -> str:
+    """Full SQL replay of operators.unigram.unigram_vocab: seed counts,
+    deterministic top-N cut, the Viterbi DP unrolled as ``cap`` chained
+    CTEs with a ROW_NUMBER argmin per position (tie order = the
+    operator's (bits, n_pieces, split) key), backtrack as ``cap`` more
+    chained CTEs walking the backpointer table, then the hard-EM
+    re-score."""
+    ctes = [
+        f"""w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+       WHERE length(w) <= {cap} GROUP BY w)""",
+        f"""sub AS (SELECT f, unnest(flatten(list_transform(
+             range(1, length(w) + 1),
+             i -> list_transform(range(1, least({L}, length(w) - i + 1) + 1),
+                                 l -> substr(w, i, l))))) AS piece
+        FROM w0)""",
+        """cnt AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
+        FROM sub GROUP BY piece)""",
+        f"""multi AS (SELECT piece, cnt FROM cnt WHERE length(piece) > 1
+          ORDER BY cnt DESC, piece LIMIT {n_pieces})""",
+        """vocab0 AS (SELECT piece, cnt FROM cnt WHERE length(piece) = 1
+           UNION ALL SELECT piece, cnt FROM multi)""",
+        "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab0)",
+        """vocab AS MATERIALIZED (SELECT piece, cnt,
+           CAST(length(bin(t)) - length(bin(cnt)) AS BIGINT) AS bits
+         FROM vocab0, tot)""",
+        """d0 AS (SELECT w, f, 0 AS pos, CAST(0 AS BIGINT) AS bits,
+              0 AS np, 0 AS bj FROM w0)""",
+    ]
+    for k in range(1, cap + 1):
+        prevs = " UNION ALL ".join(
+            f"SELECT * FROM d{j}" for j in range(max(0, k - L), k)
+        )
+        ctes.append(
+            f"""d{k} AS (SELECT w, f, {k} AS pos, bits, np, bj FROM (
+      SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c.w
+               ORDER BY c.bits, c.np, c.bj) AS rn FROM (
+        SELECT d.w, d.f, d.bits + v.bits AS bits, d.np + 1 AS np,
+               d.pos AS bj
+        FROM ({prevs}) d
+        JOIN vocab v ON v.piece = substr(d.w, d.pos + 1, {k} - d.pos)
+        WHERE length(d.w) >= {k}) c) WHERE rn = 1)"""
+        )
+    bp_union = " UNION ALL ".join(
+        f"SELECT w, pos, bj FROM d{k}" for k in range(1, cap + 1)
+    )
+    ctes.append(f"bp AS MATERIALIZED ({bp_union})")
+    ctes.append("s0 AS (SELECT w, f, length(w) AS pos FROM w0)")
+    for m in range(1, cap + 1):
+        ctes.append(
+            f"""s{m} AS (SELECT s.w, s.f, bp.bj AS pos,
+             substr(s.w, bp.bj + 1, s.pos - bp.bj) AS piece
+         FROM s{m - 1} s JOIN bp ON bp.w = s.w AND bp.pos = s.pos
+         WHERE s.pos > 0)"""
+        )
+    seg_union = " UNION ALL ".join(
+        f"SELECT f, piece FROM s{m}" for m in range(1, cap + 1)
+    )
+    ctes.append(f"pieces AS ({seg_union})")
+    ctes.append(
+        """usage AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS used_count
+        FROM pieces GROUP BY piece)"""
+    )
+    ctes.append(
+        "tot2 AS (SELECT CAST(SUM(used_count) AS BIGINT) AS t2 FROM usage)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT v.piece,
+           v.cnt AS seed_count,
+           CAST(COALESCE(u.used_count, 0) AS BIGINT) AS used_count,
+           v.bits AS seed_bits,
+           CAST(CASE WHEN COALESCE(u.used_count, 0) > 0
+                     THEN length(bin(t2)) - length(bin(u.used_count))
+                     ELSE length(bin(t2)) + 1 END AS BIGINT) AS em_bits
+    FROM vocab v LEFT JOIN usage u USING (piece), tot2
+    WHERE COALESCE(u.used_count, 0) > 0 OR length(v.piece) = 1
+    """
+    )
+
+
+@register(
+    "unigram_lm_vocab",
+    _unigram_vocab_oracle(),
+    doc="SentencePiece-unigram tokenizer training (Kudo 2018, public — "
+    "operators/unigram.py), one hard-EM round, under the no-libm "
+    "discipline: substring seed counts over DISTINCT words, a "
+    "deterministic (count DESC, piece ASC) top-N cut, integer "
+    "bit-length piece costs, Viterbi segmentation minimizing "
+    "(total_bits, n_pieces, split) — the third key makes every tie "
+    "deterministic — and a usage-count re-score with unused multi-char "
+    "pieces pruned and unused single chars kept at the worst-case cost "
+    "(they are the coverage guarantee).  The oracle unrolls the DP as "
+    "12 chained argmin CTEs plus 12 backtrack CTEs over the "
+    "backpointer table — the Lloyd/BPE oracle-unrolling pattern.  "
+    "Scale: everything vocabulary-bound; the Viterbi runs once per "
+    "DISTINCT word (Arrow-batched), documents never re-segment.",
+    tags=("text", "tokenizer"),
+)
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planet_dump_ng_spark.operators import unigram as ug
+
+    return ug.unigram_vocab(table(spark, sf_dir, "documents"))
