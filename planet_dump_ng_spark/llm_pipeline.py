@@ -189,10 +189,14 @@ def _write_dedup_artifact(
         # canonical-URL fingerprint table (url_col datasets): 8-byte
         # xxhash64 of the canonical URL — what each increment batch
         # anti-joins against instead of re-canonicalizing the corpus.
-        # Written BEFORE fingerprints so the commit-marker order holds.
+        # NULL urls are EXCLUDED before hashing: xxhash64(NULL) is the
+        # seed CONSTANT, not NULL, so one stored null-url row would
+        # anti-join away every future null-url batch doc.  Written
+        # BEFORE fingerprints so the commit-marker order holds.
         docs.select(
-            F.col("doc_id"),
-            F.xxhash64(tx.canonical_url(F.col(url_col))).alias("ufp"),
+            F.col("doc_id"), tx.canonical_url(F.col(url_col)).alias("_cu")
+        ).filter(F.col("_cu").isNotNull()).select(
+            F.col("doc_id"), F.xxhash64("_cu").alias("ufp")
         ).write.mode(mode).parquet(f"{d}/urls")
     docs.select(
         F.col("doc_id"), tx.fingerprint("text").alias("fp")
@@ -559,15 +563,22 @@ def curate(
 
     # 0. optional canonical-URL dedup, FIRST: strictly cheaper than any
     # content stage (regexp/array ops on the URL string, one 8-byte-key
-    # group), and removing re-crawls up front shrinks everything after
+    # group), and removing re-crawls up front shrinks everything after.
+    # NULL urls carry no URL evidence and PASS THROUGH untouched
+    # (mixed-source crawls routinely lack URLs; grouping them would
+    # collapse every url-less doc into one arbitrary survivor) — the
+    # content stages downstream still dedup them.
     if url_col is not None:
         curled = docs.withColumn("_curl", tx.canonical_url(F.col(url_col)))
-        keep_url = curled.groupBy("_curl").agg(
-            F.min("doc_id").alias("doc_id")
+        keep_url = (
+            curled.filter(F.col("_curl").isNotNull())
+            .groupBy("_curl")
+            .agg(F.min("doc_id").alias("doc_id"))
         )
         docs = checkpoint(
             "url_dedup",
             curled.join(keep_url.select("doc_id"), "doc_id", "left_semi")
+            .unionByName(curled.filter(F.col("_curl").isNull()))
             .drop("_curl"),
         )
 
@@ -1087,6 +1098,7 @@ def curate_increment(
             "header); increments inherit the recorded concrete mode — "
             "omit the flag"
         )
+    _lsh_explicit = lsh_mode is not None
     if lsh_mode is None:
         lsh_mode = recorded.get("lsh_mode", "pairs")
     elif (
@@ -1118,6 +1130,16 @@ def curate_increment(
     if near_dedup not in ("lsh", "exact"):
         raise ValueError(
             f"near_dedup must be 'lsh' or 'exact', got {near_dedup!r}"
+        )
+    if near_dedup == "exact" and _lsh_explicit:
+        # exact datasets record no lsh_mode, so the contradiction check
+        # above never fires for them — refuse the same contradictory
+        # pair curate() refuses, instead of silently discarding a mode
+        # the caller believes was applied
+        raise ValueError(
+            f"lsh_mode={lsh_mode!r} with a near_dedup='exact' dataset: "
+            "the exact family runs no banding, so the mode cannot take "
+            "effect — omit the flag"
         )
     # dedup thresholds inherit-or-refuse, same as every policy above:
     # the dataset's "no pair >= t survives" guarantee is only as strong
@@ -1405,9 +1427,15 @@ def curate_increment(
     # url column once (artifact-less write_dedup_artifact=False
     # datasets only).
     if url_col is not None:
+        # NULL urls pass through both probes untouched (no URL
+        # evidence; and xxhash64(NULL) is the seed constant, so hashing
+        # them would collide every null-url doc — the curate() stage
+        # documents the same rule)
         curled = docs.withColumn("_curl", tx.canonical_url(F.col(url_col)))
-        keep_url = curled.groupBy("_curl").agg(
-            F.min("doc_id").alias("doc_id")
+        keep_url = (
+            curled.filter(F.col("_curl").isNotNull())
+            .groupBy("_curl")
+            .agg(F.min("doc_id").alias("doc_id"))
         )
         corp_u = (
             spark.read.parquet(f"{art}/urls").select(
@@ -1415,7 +1443,9 @@ def curate_increment(
             )
             if os.path.exists(f"{art}/urls")
             else corpus.select(
-                F.xxhash64(tx.canonical_url(F.col(url_col))).alias("_ufp")
+                tx.canonical_url(F.col(url_col)).alias("_cu")
+            ).filter(F.col("_cu").isNotNull()).select(
+                F.xxhash64("_cu").alias("_ufp")
             )
         ).distinct()
         docs = checkpoint(
@@ -1423,6 +1453,9 @@ def curate_increment(
             curled.join(keep_url.select("doc_id"), "doc_id", "left_semi")
             .withColumn("_ufp", F.xxhash64("_curl"))
             .join(corp_u, "_ufp", "left_anti")
+            .unionByName(curled.filter(F.col("_curl").isNull()).withColumn(
+                "_ufp", F.lit(None).cast("bigint")
+            ))
             .drop("_ufp", "_curl"),
         )
 
@@ -1748,7 +1781,10 @@ def curate_increment(
         extra["leakage_free"] = leakage_free
     if _jt_known:
         extra["jaccard_threshold"] = float(jaccard_threshold)
-    if _sj_known:
+    if _sj_known and leakage_free:
+        # curate() records split_jaccard only when leakage_free (inert
+        # otherwise); recording an inert passed value here would make a
+        # later equally-inert restatement refusable for no reason
         extra["split_jaccard"] = float(split_jaccard)
     if max_bucket is not None:
         extra["max_bucket"] = max_bucket

@@ -799,42 +799,25 @@ def _substring_dup_oracle(w: int = 50, stride: int = 10) -> str:
     tags=("dedup", "text", "bench"),
 )
 def exact_substring_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE strided-fingerprint implementation: operators.dedup.
+    # substring_duplication(mode="strided") is the same pipeline the
+    # winnow query's docstring names as the measured control — sharing
+    # it here means a change to the hash fold or window bounds can
+    # never silently diverge the control from the guarantee path.
     w, stride = 50, 10
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= w)
-    grams = F.expr(
-        f"transform(sequence(1, length(text) - {w - 1}, {stride}), "
-        f"p -> substring(text, p, {w}))"
+    out = dd.substring_duplication(
+        table(spark, sf_dir, "documents"),
+        mode="strided", window=w, stride=stride,
     )
-    sh = docs.select(
+    return out.select(
         "doc_id",
-        F.explode(grams).alias("s"),
-    ).select(
-        "doc_id",
-        F.pmod(F.xxhash64("s"), F.lit(dd._MERSENNE_31)).alias("h"),
-    ).persist()  # feeds the corpus count AND the join-back
-    cnt = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
-    dup = (F.col("ndocs") > 1).cast("bigint")
-    out = (
-        sh.join(cnt, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(dup).alias("n_dup_grams"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_dup_grams",
-            (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias(
-                "dup_gram_fraction"
-            ),
-            (F.col("n_dup_grams") * stride).cast("bigint").alias("est_dup_chars"),
-        )
-        .persist()
+        F.col("n_fingerprints").alias("n_grams"),
+        F.col("n_dup_fingerprints").alias("n_dup_grams"),
+        F.col("dup_fingerprint_fraction").alias("dup_gram_fraction"),
+        (F.col("n_dup_fingerprints") * stride).cast("bigint").alias(
+            "est_dup_chars"
+        ),
     )
-    out.count()
-    sh.unpersist(blocking=True)
-    return out
 
 
 def _minhash_estimate_oracle(num_hashes: int = 64, bands: int = 16,

@@ -74,12 +74,13 @@ def _surprisal_gate_oracle(ceiling: float = _SURPRISAL_CEILING) -> str:
     tags=("text", "curation", "bench"),
 )
 def surprisal_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from planet_dump_ng_spark.operators import lm
+    from planet_dump_ng_spark.plans.dedup_plans import _fresh_index_dir
 
     docs = table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="pdng-bigram-lm-")
+    # unique per-run model dir with stale-sibling pruning — repeated
+    # sweeps must not grow /tmp without bound
+    d = _fresh_index_dir("pdng-bigram-lm-")
     _, sc = lm.bigram_lm_train_and_score(docs, d)
     return sc.filter(F.col("mean_bits") <= F.lit(_SURPRISAL_CEILING))
 

@@ -543,6 +543,74 @@ def test_increment_url_dedup_inherits_and_probes(spark, tmp_path):
         curate_increment(new, out2, min_tokens=5, url_col="url")
 
 
+def test_url_dedup_null_urls_pass_through(spark, tmp_path):
+    """NULL urls carry no URL evidence: they must pass the stage
+    untouched in BOTH paths (grouping them would collapse every
+    url-less doc to one survivor; and xxhash64(NULL) is the seed
+    constant, so a stored null row would anti-join away every future
+    null-url batch doc)."""
+    d = _url_docs(spark)
+    nulls = spark.createDataFrame(
+        [
+            (
+                100 + j,
+                f"unique url-less body {j} with plenty of distinct words "
+                f"to clear every quality gate marker {j * 11} end now",
+                "feed",
+                None,
+            )
+            for j in range(3)
+        ],
+        "doc_id long, text string, source string, url string",
+    )
+    out = str(tmp_path / "ds")
+    _, report = curate(
+        d.unionByName(nulls), out, min_tokens=5, url_col="url"
+    )
+    # 4 url survivors + ALL 3 null-url docs
+    assert dict(report.stages)["url_dedup"] == 7
+    # the urls artifact holds only the 4 non-null hashes
+    urls = spark.read.parquet(f"{_dedup_artifact_dir(out)}/urls")
+    assert urls.count() == 4
+    # increment: null-url batch docs are not anti-joined away
+    more_nulls = spark.createDataFrame(
+        [
+            (
+                200,
+                "another wholly distinct url-less document body with many "
+                "fresh words beyond any prior text marker omega final",
+                "feed",
+                None,
+            )
+        ],
+        "doc_id long, text string, source string, url string",
+    )
+    manifest, inc_report = curate_increment(more_nulls, out, min_tokens=5)
+    assert dict(inc_report.stages)["url_dedup"] == 1
+    assert sum(r.n_rows for r in manifest.collect()) == 1
+
+
+def test_increment_lsh_mode_on_exact_dataset_refuses(docs, tmp_path):
+    base, batch = _base_batch(docs)
+    out = str(tmp_path / "ds")
+    curate(base, out, near_dedup="exact")
+    with pytest.raises(ValueError, match="lsh_mode"):
+        curate_increment(batch, out, lsh_mode="star")
+
+
+def test_increment_inert_split_jaccard_not_recorded(docs, tmp_path):
+    """An explicit split_jaccard on a non-leakage-free pre-header
+    dataset is inert — the backfill must not enshrine it (a later
+    equally-inert restatement would become refusable for no reason)."""
+    base, batch = _base_batch(docs)
+    out = str(tmp_path / "ds")
+    curate(base, out, write_dedup_artifact=False)
+    curate_increment(batch, out, split_jaccard=0.5)
+    meta = json.load(open(f"{_dedup_artifact_dir(out)}/meta.json"))
+    assert "split_jaccard" not in meta
+    curate_increment(batch, out, split_jaccard=0.3)  # no spurious refusal
+
+
 def test_curate_exact_leakage_free_still_green(docs, tmp_path):
     """Behavior pin for the single-execution checkpoint cleanup: the
     exact+leakage-free curation still produces a split-consistent
