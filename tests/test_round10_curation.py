@@ -611,6 +611,48 @@ def test_increment_inert_split_jaccard_not_recorded(docs, tmp_path):
     curate_increment(batch, out, split_jaccard=0.3)  # no spurious refusal
 
 
+def test_curate_ingest_stream_inherits_surprisal_gate(spark, docs, tmp_path):
+    """The streaming ingest twin under the surprisal gate: each
+    micro-batch's curate_increment inherits the recorded ceiling and
+    scores under the FROZEN bigram LM, and the streamed dataset equals
+    the sequential-batch reference (the round-9 exact-family pin's
+    shape, for the round-10 policy)."""
+    from planet_dump_ng_spark.streaming import jobs
+
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+
+    ref = str(tmp_path / "seq_ds")
+    curate(base, ref, min_tokens=5, max_surprisal_bits=4.7)
+    curate_increment(b1.select(*cols), ref, min_tokens=5)
+    curate_increment(b2.select(*cols), ref, min_tokens=5)
+    want = {
+        (r.doc_id, r.split)
+        for r in spark.read.parquet(ref).select("doc_id", "split").collect()
+    }
+
+    out = str(tmp_path / "stream_ds")
+    curate(base, out, min_tokens=5, max_surprisal_bits=4.7)
+    bus = str(tmp_path / "bus")
+    b1.select(*cols).coalesce(1).write.mode("append").parquet(bus)
+    b2.select(*cols).coalesce(1).write.mode("append").parquet(bus)
+    stream = jobs.read_documents_stream(spark, bus, max_files_per_trigger=1)
+    reports = jobs.curate_ingest_stream(
+        stream, out, str(tmp_path / "ckpt"), min_tokens=5
+    )
+    got = {
+        (r.doc_id, r.split)
+        for r in spark.read.parquet(out).select("doc_id", "split").collect()
+    }
+    assert got == want
+    # every micro-batch actually ran the gate
+    assert all(
+        "surprisal_gate" in dict(rep.stages) for _bid, rep in reports
+    )
+
+
 def test_curate_exact_leakage_free_still_green(docs, tmp_path):
     """Behavior pin for the single-execution checkpoint cleanup: the
     exact+leakage-free curation still produces a split-consistent
