@@ -666,3 +666,40 @@ def test_curate_exact_leakage_free_still_green(docs, tmp_path):
     assert os.path.exists(f"{_dedup_artifact_dir(out)}/_synced")
     meta = json.load(open(f"{_dedup_artifact_dir(out)}/meta.json"))
     assert meta["near_dedup"] == "exact" and meta["split_jaccard"] == 0.3
+
+
+# -- lm_cli --------------------------------------------------------------------
+
+
+def test_lm_cli_train_score_gate(spark, docs, tmp_path, capsys):
+    """The standalone lifecycle CLI over the bigram-LM artifact:
+    train persists the count tables + header, score serves the frozen
+    model, gate keeps exactly the docs the curation stage would."""
+    from planet_dump_ng_spark import lm_cli
+
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    d = str(tmp_path / "lm")
+    assert lm_cli.main(["train", "--input", src, "--model-dir", d]) == 0
+    assert os.path.exists(f"{d}/meta.json")
+    out = str(tmp_path / "scores.parquet")
+    assert lm_cli.main(
+        ["score", "--input", src, "--model-dir", d, "--out", out]
+    ) == 0
+    scored = spark.read.parquet(out)
+    assert scored.count() > 0 and "mean_bits" in scored.columns
+    kept_out = str(tmp_path / "kept.parquet")
+    assert lm_cli.main(
+        ["gate", "--input", src, "--model-dir", d,
+         "--max-bits", "4.6", "--out", kept_out]
+    ) == 0
+    kept = spark.read.parquet(kept_out)
+    want = {
+        r["doc_id"]
+        for r in lm.score_with_bigram_lm(docs, d)
+        .filter(F.col("mean_bits") <= 4.6)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == want
+    assert 0 < len(want) < docs.count()  # the ceiling discriminates
