@@ -703,3 +703,55 @@ def test_lm_cli_train_score_gate(spark, docs, tmp_path, capsys):
     }
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} == want
     assert 0 < len(want) < docs.count()  # the ceiling discriminates
+
+
+def test_policies_compose_exact_surprisal_url(spark, tmp_path):
+    """All three round-10 policies on one exact-family dataset: the
+    header records every knob, a default increment inherits them all
+    (url anti-join + frozen-LM gate + pindex probe in one run), and
+    the crash-window check covers the full probe-table set (urls AND
+    pindex AND fingerprints must be live for _synced to short-circuit)."""
+    d = _url_docs(spark)
+    out = str(tmp_path / "ds")
+    curate(
+        d.filter(F.col("doc_id") < 8), out, min_tokens=5,
+        near_dedup="exact", max_surprisal_bits=9.0, url_col="url",
+    )
+    meta = json.load(open(f"{_dedup_artifact_dir(out)}/meta.json"))
+    assert meta["near_dedup"] == "exact"
+    assert meta["max_surprisal_bits"] == 9.0
+    assert meta["url_col"] == "url"
+    assert os.path.exists(f"{_dedup_artifact_dir(out)}/urls")
+    assert os.path.exists(f"{_pindex_dir(out)}/meta.json")
+    # new canonical URL + fresh text + fluent enough -> appends through
+    # every inherited gate
+    new = spark.createDataFrame(
+        [
+            (
+                50,
+                "an entirely fresh page about completely different topics "
+                "carrying plenty of distinct tokens to pass the quality "
+                "gate with common transitions and the usual filler words",
+                "web",
+                "https://brandnew.example/page?x=9",
+            )
+        ],
+        "doc_id long, text string, source string, url string",
+    )
+    manifest, report = curate_increment(new, out, min_tokens=5)
+    stages = dict(report.stages)
+    assert "url_dedup" in stages and "surprisal_gate" in stages
+    assert sum(r.n_rows for r in manifest.collect()) == 1
+    # a re-crawl of a standing URL drops at the url stage even though
+    # its text is fresh (the gate order: URL first, cheapest)
+    recrawl = new.withColumn(
+        "url", F.lit("HTTPS://Site0.COM:443/page?utm_source=s0&x=1")
+    ).withColumn("doc_id", F.lit(51).cast("long")).withColumn(
+        "text", F.lit(
+            "wholly different fresh text body with many novel distinct "
+            "words beyond anything stored so only the url can match it"
+        )
+    )
+    m2, r2 = curate_increment(recrawl, out, min_tokens=5)
+    assert dict(r2.stages)["url_dedup"] == 0
+    assert sum(r.n_rows for r in m2.collect()) == 0
