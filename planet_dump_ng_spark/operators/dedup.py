@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from planet_dump_ng_spark.operators.text import fingerprint, tokens
+from planet_dump_ng_spark.operators.text import bind, fingerprint, tokens
 
 # 31-bit Mersenne prime: with h, a, b < 2^31, (a*h + b) < 2^62 never
 # overflows a signed 64-bit long (Spark 4 runs ANSI mode, which would throw).
@@ -83,24 +83,29 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     Built by k-1 zip_with passes (each joining the array against itself
     shifted one position) instead of a slice-per-window transform —
     O(n*k) with no per-window array allocation, ~5x faster on real text.
+    The token array is LET-BOUND (text.bind): the expression below
+    references it ~8 times, and Catalyst re-evaluates HOF subtrees per
+    reference — binding runs the regex tokenizer once per row (measured
+    1.7x on the shingle+hash scan, identical output).
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    acc = toks
-    for shift in range(1, k):
-        # exact remaining length: start+length must stay within int32
-        # (a huge constant length silently overflows and yields [])
-        shifted = F.slice(toks, shift + 1, F.greatest(n - shift, F.lit(1)))
-        # zip_with pads the shorter side with NULL; concat_ws skips NULLs,
-        # so tail entries become short joins — cut below by the slice to
-        # n-(k-1) windows.
-        acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
-    windows = (
-        F.when(n >= k, F.slice(acc, 1, n - (k - 1)))
-        .when(n > 0, F.array(F.array_join(toks, " ")))
-        .otherwise(F.slice(toks, 1, 0))  # typed empty array<string>
-    )
-    return F.array_distinct(windows)
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        acc = toks
+        for shift in range(1, k):
+            # exact remaining length: start+length must stay within int32
+            # (a huge constant length silently overflows and yields [])
+            shifted = F.slice(toks, shift + 1, F.greatest(n - shift, F.lit(1)))
+            # zip_with pads the shorter side with NULL; concat_ws skips
+            # NULLs, so tail entries become short joins — cut below by the
+            # slice to n-(k-1) windows.
+            acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
+        return (
+            F.when(n >= k, F.slice(acc, 1, n - (k - 1)))
+            .when(n > 0, F.array(F.array_join(toks, " ")))
+            .otherwise(F.slice(toks, 1, 0))  # typed empty array<string>
+        )
+
+    return F.array_distinct(bind(tokens(col), body))
 
 
 def shingle_hashes(col: Column | str, k: int = 3) -> Column:
@@ -382,6 +387,60 @@ def _bucket_candidates(
     )
 
 
+def _prefix_pos_explode(threshold: float, sh_col: str = "sh"):
+    """``posexplode`` of the doc's prefix (the ``floor((1-t)|sh|)+2``
+    smallest xxhash64 shingle hashes) -> (p, h) with ``p`` the 0-based
+    rank of ``h`` in the doc's full ascending hash order.  The rank is
+    what the ppjoin POSITIONAL filter consumes; emitting it costs
+    nothing (posexplode vs explode) because the prefix is already built
+    from the sorted array."""
+    ordered = F.array_sort(
+        F.transform(F.col(sh_col), lambda s: F.xxhash64(s))
+    )
+    plen = (
+        F.floor(F.size(sh_col) * F.lit(1.0 - threshold)) + F.lit(2)
+    ).cast("int")
+    return F.posexplode(F.slice(ordered, 1, plen))
+
+
+def _ppjoin_length_filter(threshold: float) -> Column:
+    """ppjoin length filter: Jaccard >= t forces min(|A|,|B|) >=
+    t*max(|A|,|B|).  Pruned with ONE unit of slack — sizes are ints, so
+    the slack swallows any float rounding in t*max and can never drop a
+    qualifying pair (verification is exact)."""
+    return (
+        F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+        >= F.lit(threshold)
+        * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
+        - F.lit(1.0)
+    )
+
+
+def _ppjoin_positional_filter(threshold: float) -> Column:
+    """ppjoin POSITIONAL filter (Xiao et al., public): for a candidate
+    row matching on hash ``h`` at 0-based sorted ranks (pa, pb), the
+    overlap can never exceed ``1 + min(|A|-pa-1, |B|-pb-1)`` when ``h``
+    is the smallest shared hash — and Jaccard >= t needs overlap >=
+    t/(1+t) * (|A|+|B|).  Recall stays EXACT: for every qualifying
+    pair the minimum shared hash sits inside both prefixes (the
+    prefix-filter guarantee) and its first-occurrence row passes this
+    bound, so at least one row per qualifying pair always survives;
+    rows this drops are duplicates or non-qualifying (verification is
+    exact either way).  ONE unit of float slack, same discipline as
+    the length filter.  Cuts candidate-pair mass ~2x at t=0.5 on the
+    bench corpus (measured 453,950 -> 229,608 distinct candidates)."""
+    return (
+        F.lit(1.0)
+        + F.least(
+            F.col("a.sz") - F.col("a.p") - F.lit(1),
+            F.col("b.sz") - F.col("b.p") - F.lit(1),
+        ).cast("double")
+        >= F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.sz") + F.col("b.sz")).cast("double")
+        - F.lit(1.0)
+    )
+
+
 #: persisted corpus prefix-index artifact format (write_prefix_index)
 PREFIX_INDEX_FORMAT = "ngram-prefix-index-v1"
 
@@ -437,13 +496,9 @@ def write_prefix_index(
         "overwrite"
     ).parquet(f"{d}/docs")
     persisted = spark.read.parquet(f"{d}/docs")
-    ordered = F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
-    plen = (
-        F.floor(F.col("sz") * F.lit(1.0 - threshold)) + F.lit(2)
-    ).cast("int")
     obs_pi = Observation()
     persisted.select(
-        "id", "sz", F.explode(F.slice(ordered, 1, plen)).alias("h")
+        "id", "sz", _prefix_pos_explode(threshold).alias("p", "h")
     ).observe(obs_pi, F.count(F.lit(1)).alias("n")).write.mode(
         "overwrite"
     ).parquet(f"{d}/pindex")
@@ -534,14 +589,26 @@ def prefix_index_add(
     )
     meta_path = f"{d}/meta.json"
     os.remove(meta_path)  # header absent until both appends land
-    ordered = F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
-    plen = (
-        F.floor(F.col("sz") * F.lit(1.0 - threshold)) + F.lit(2)
-    ).cast("int")
+    # schema compatibility: a pre-positional index (no rank column)
+    # keeps appending the legacy (id, sz, h) shape; a positional one
+    # appends (id, sz, p, h) — mixing shapes would corrupt the table
+    legacy = "p" not in spark.read.parquet(f"{d}/pindex").columns
+    if legacy:
+        ordered = F.array_sort(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+        )
+        plen = (
+            F.floor(F.col("sz") * F.lit(1.0 - threshold)) + F.lit(2)
+        ).cast("int")
+        entries = fresh.select(
+            "id", "sz", F.explode(F.slice(ordered, 1, plen)).alias("h")
+        )
+    else:
+        entries = fresh.select(
+            "id", "sz", _prefix_pos_explode(threshold).alias("p", "h")
+        )
     obs_pi = Observation()
-    fresh.select(
-        "id", "sz", F.explode(F.slice(ordered, 1, plen)).alias("h")
-    ).observe(obs_pi, F.count(F.lit(1)).alias("n")).write.mode(
+    entries.observe(obs_pi, F.count(F.lit(1)).alias("n")).write.mode(
         "append"
     ).parquet(f"{d}/pindex")
     obs_docs = Observation()
@@ -696,16 +763,10 @@ def ngram_jaccard_join(
         )
 
     def prefix_index(docs: DataFrame) -> DataFrame:
-        ordered = F.array_sort(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s))
-        )
-        plen = (
-            F.floor(F.size("sh") * F.lit(1.0 - threshold)) + F.lit(2)
-        ).cast("int")
         return docs.select(
             "id",
             F.size("sh").alias("sz"),
-            F.explode(F.slice(ordered, 1, plen)).alias("h"),
+            _prefix_pos_explode(threshold).alias("p", "h"),
         )
 
     nd = prep(new)
@@ -753,13 +814,13 @@ def ngram_jaccard_join(
     cond = (
         (F.col("a.h") == F.col("b.h"))
         & (F.col("a.id") != F.col("b.id"))
-        & (
-            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
-            >= F.lit(threshold)
-            * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
-            - F.lit(1.0)
-        )
+        & _ppjoin_length_filter(threshold)
     )
+    if "p" in pc.columns:
+        # positional filter needs the rank on BOTH sides; a
+        # pre-positional persisted index (legacy (id, sz, h) layout)
+        # serves without it — extra candidates only, never a lost pair
+        cond = cond & _ppjoin_positional_filter(threshold)
     cand = (
         pn.join(pc, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -931,32 +992,18 @@ def ngram_jaccard_pairs(
         # shingle text) — a 64-bit collision only ADDS a candidate pair
         # that exact verification discards, it can never lose one, so
         # hash ties need no tiebreak and exactness is untouched
-        ordered = F.array_sort(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s))
-        )
-        plen = (
-            F.floor(F.size("sh") * F.lit(1.0 - threshold)) + F.lit(2)
-        ).cast("int")
         pex = docs.select(
             "id",
             *(["blk"] if block_col else []),
             F.size("sh").alias("sz"),
-            F.explode(F.slice(ordered, 1, plen)).alias("h"),
+            _prefix_pos_explode(threshold).alias("p", "h"),
         )
         pa, pb = pex.alias("a"), pex.alias("b")
         cond = (F.col("a.h") == F.col("b.h")) & (
             F.col("a.id") < F.col("b.id")
         )
-        # ppjoin length filter: Jaccard >= t forces min(|A|,|B|) >=
-        # t*max(|A|,|B|).  Pruned with ONE unit of slack — sizes are
-        # ints, so the slack swallows any float rounding in t*max and
-        # can never drop a qualifying pair (verification is exact).
-        cond = cond & (
-            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
-            >= F.lit(threshold)
-            * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
-            - F.lit(1.0)
-        )
+        cond = cond & _ppjoin_length_filter(threshold)
+        cond = cond & _ppjoin_positional_filter(threshold)
         if block_col:
             cond = cond & (F.col("a.blk") == F.col("b.blk"))
         cand = (
@@ -1302,23 +1349,28 @@ def span_occurrences(
     span-dedup election runs on.  The final window is allowed to be short
     (token mass must be conserved); empty documents produce no spans.
     """
-    toks = tokens(text_col)
-    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
-    # sequence(1, 0) would yield a DESCENDING [1, 0]; guard empties out.
-    idx = F.when(n_spans >= 1, F.sequence(F.lit(1), n_spans)).otherwise(
-        F.array().cast("array<int>")
-    )
-    span = lambda i: F.slice(  # noqa: E731
-        toks, (i - F.lit(1)) * span_tokens + F.lit(1), F.lit(span_tokens)
-    )
-    spans = F.transform(
-        idx,
-        lambda i: F.struct(
-            (i - F.lit(1)).cast("int").alias("span_idx"),
-            F.array_join(span(i), " ").alias("span_text"),
-            F.size(span(i)).alias("n_span_tokens"),
-        ),
-    )
+    def body(toks: Column) -> Column:
+        # let-bound token array (text.bind): the per-span slice lambda
+        # references toks twice PER SPAN ELEMENT, so without the binding
+        # the regex tokenizer re-runs ~2*n_spans times per row
+        n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+        # sequence(1, 0) would yield a DESCENDING [1, 0]; guard empties out.
+        idx = F.when(n_spans >= 1, F.sequence(F.lit(1), n_spans)).otherwise(
+            F.array().cast("array<int>")
+        )
+        span = lambda i: F.slice(  # noqa: E731
+            toks, (i - F.lit(1)) * span_tokens + F.lit(1), F.lit(span_tokens)
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                (i - F.lit(1)).cast("int").alias("span_idx"),
+                F.array_join(span(i), " ").alias("span_text"),
+                F.size(span(i)).alias("n_span_tokens"),
+            ),
+        )
+
+    spans = bind(tokens(text_col), body)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("s"))
         .select("doc_id", "s.span_idx", "s.span_text", "s.n_span_tokens")

@@ -53,13 +53,18 @@ def bigram_instances(
     """``(id, p, w)`` — one row per adjacent token pair per document,
     the single tokenize+zip scan both training and scoring run on.
     Docs with <2 tokens emit nothing (no transition evidence)."""
-    toks = tx.tokens(text_col)
-    gl = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-    pair = F.zip_with(
-        F.slice(toks, 1, gl),
-        F.slice(toks, 2, gl),
-        lambda p, w: F.struct(p.alias("p"), w.alias("w")),
-    )
+    def body(toks):
+        # let-bound token array (text.bind): the zip/slice pair builder
+        # references it 5 times; binding runs the regex tokenizer once
+        # per row (identical output)
+        gl = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, gl),
+            F.slice(toks, 2, gl),
+            lambda p, w: F.struct(p.alias("p"), w.alias("w")),
+        )
+
+    pair = tx.bind(tx.tokens(text_col), body)
     return df.select(
         F.col(id_col).alias("id"), F.explode(pair).alias("b")
     ).select("id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))

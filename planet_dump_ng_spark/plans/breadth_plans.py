@@ -607,34 +607,43 @@ def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("array", "scalar"),
 )
 def array_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from planet_dump_ng_spark.operators.text import tokens
+    from planet_dump_ng_spark.operators.text import bind_struct, tokens
 
     d = table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    t = d.select("doc_id", toks.alias("toks"))
-    tk = F.col("toks")
     sep = "\x01"
-    return t.select(
-        "doc_id",
-        F.size(tk).alias("n_toks"),
-        F.array_join(F.array_sort(F.array_distinct(tk)), sep).alias("uniq_sorted"),
-        F.array_join(F.slice(tk, 2, 3), sep).alias("mid3"),
-        F.array_contains(tk, "the").alias("has_the"),
-        F.array_position(tk, "table").cast("int").alias("table_at"),
-        F.array_join(
-            F.array_sort(F.filter(tk, lambda x: F.length(x) > 4)), sep
-        ).alias("long_toks"),
-        F.array_join(
-            F.transform(F.slice(tk, 1, 2), lambda x: F.upper(x)), sep
-        ).alias("head_up"),
-        F.aggregate(
-            tk, F.lit(0), lambda acc, x: acc + F.length(x)
-        ).alias("char_sum"),
-        F.exists(tk, lambda x: x == "spark").alias("any_spark"),
-        F.array_join(
-            F.flatten(F.array(F.slice(tk, 1, 1), F.slice(tk, 1, 1))), sep
-        ).alias("first_twice"),
-    )
+
+    def _matrix(tk):
+        # all 10 array-surface outputs read the SAME let-bound token
+        # array (text.bind_struct): one tokenizer evaluation per row
+        # instead of one per output column
+        return F.struct(
+            F.size(tk).alias("n_toks"),
+            F.array_join(F.array_sort(F.array_distinct(tk)), sep).alias(
+                "uniq_sorted"
+            ),
+            F.array_join(F.slice(tk, 2, 3), sep).alias("mid3"),
+            F.array_contains(tk, "the").alias("has_the"),
+            F.array_position(tk, "table").cast("int").alias("table_at"),
+            F.array_join(
+                F.array_sort(F.filter(tk, lambda x: F.length(x) > 4)), sep
+            ).alias("long_toks"),
+            F.array_join(
+                F.transform(F.slice(tk, 1, 2), lambda x: F.upper(x)), sep
+            ).alias("head_up"),
+            F.aggregate(
+                tk, F.lit(0), lambda acc, x: acc + F.length(x)
+            ).alias("char_sum"),
+            F.exists(tk, lambda x: x == "spark").alias("any_spark"),
+            F.array_join(
+                F.flatten(F.array(F.slice(tk, 1, 1), F.slice(tk, 1, 1))), sep
+            ).alias("first_twice"),
+        )
+
+    return bind_struct(
+        d.select("doc_id", "text"), tokens("text"), _matrix,
+        ["n_toks", "uniq_sorted", "mid3", "has_the", "table_at",
+         "long_toks", "head_up", "char_sum", "any_spark", "first_twice"],
+    ).drop("text")
 
 
 @register(

@@ -61,13 +61,17 @@ def _bitlen(c):
 )
 def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = tx.tokens("text")
-    gl = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-    pair = F.zip_with(
-        F.slice(toks, 1, gl),
-        F.slice(toks, 2, gl),
-        lambda p, w: F.struct(p.alias("p"), w.alias("w")),
-    )
+    def _pair_body(toks):
+        # let-bound token array (text.bind): 5 references, one tokenizer
+        # evaluation per row (identical output)
+        gl = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, gl),
+            F.slice(toks, 2, gl),
+            lambda p, w: F.struct(p.alias("p"), w.alias("w")),
+        )
+
+    pair = tx.bind(tx.tokens("text"), _pair_body)
     bg = (
         d.select("doc_id", F.explode(pair).alias("b"))
         .select("doc_id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))
@@ -1159,13 +1163,17 @@ def _heldout_surprisal_oracle(holdout_mod: int = 10) -> str:
 def heldout_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     holdout_mod = 10
     d = table(spark, sf_dir, "documents")
-    toks = tx.tokens("text")
-    gl = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-    pair = F.zip_with(
-        F.slice(toks, 1, gl),
-        F.slice(toks, 2, gl),
-        lambda p, w: F.struct(p.alias("p"), w.alias("w")),
-    )
+    def _pair_body(toks):
+        # let-bound token array (text.bind): 5 references, one tokenizer
+        # evaluation per row (identical output)
+        gl = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, gl),
+            F.slice(toks, 2, gl),
+            lambda p, w: F.struct(p.alias("p"), w.alias("w")),
+        )
+
+    pair = tx.bind(tx.tokens("text"), _pair_body)
     bg = (
         d.select("doc_id", F.explode(pair).alias("b"))
         .select("doc_id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))
