@@ -394,13 +394,24 @@ def _prefix_pos_explode(threshold: float, sh_col: str = "sh"):
     what the ppjoin POSITIONAL filter consumes; emitting it costs
     nothing (posexplode vs explode) because the prefix is already built
     from the sorted array."""
+    return F.posexplode(_prefix_array(threshold, sh_col))
+
+
+def _prefix_array(threshold: float, sh_col: str = "sh") -> Column:
+    """The doc's prefix as an ARRAY column: the ``floor((1-t)|sh|)+2``
+    smallest xxhash64 shingle hashes, ascending.  Split from the
+    posexplode so callers can compute the hash+sort ONCE, materialize
+    the (id, sz, pref, sh) shape with a lazy localCheckpoint, and
+    derive both the exploded index (twice, as a self-join) and the
+    verify arrays from that one evaluation instead of re-running
+    tokenize+shingle+sort per subtree reference."""
     ordered = F.array_sort(
         F.transform(F.col(sh_col), lambda s: F.xxhash64(s))
     )
     plen = (
         F.floor(F.size(sh_col) * F.lit(1.0 - threshold)) + F.lit(2)
     ).cast("int")
-    return F.posexplode(F.slice(ordered, 1, plen))
+    return F.slice(ordered, 1, plen)
 
 
 def _ppjoin_length_filter(threshold: float) -> Column:
@@ -440,6 +451,91 @@ def _ppjoin_positional_filter(threshold: float) -> Column:
         - F.lit(1.0)
     )
 
+
+def _jaccard_verify(
+    pairs: DataFrame, threshold: float, hashed: bool = False
+) -> DataFrame:
+    """Exact-Jaccard verification projection over candidate pairs joined
+    back to their shingle arrays (aliases ``a``/``b``, columns id + sh,
+    plus ``hs`` — the sorted xxhash64 array — when ``hashed``):
+    ``(id_a, id_b, jaccard)`` rows at jaccard >= threshold.
+
+    Two structural optimizations, both result-identical:
+
+    1. The intersection size is LET-BOUND under a Generate (``inline``
+       over a 1-element array — the one operator boundary Catalyst
+       cannot inline expressions through), so ``array_intersect`` runs
+       ONCE per candidate pair.  Without the barrier, CollapseProject
+       folds the jaccard alias into the ``>= t`` filter, the filter
+       pushes into the verify join's condition, and the intersect is
+       evaluated twice there plus twice in the surviving row's
+       projection — measured as 38 s of a 45 s run on the 10x corpus.
+
+    2. ``hashed``: a provably-superset PRE-filter on the 8-byte hash
+       arrays runs first, and the expensive string intersect only on
+       its survivors.  Long-set intersection is several times cheaper
+       than UTF8 string hashing, and at t=0.5 on the 10x corpus ~98%
+       of candidate pairs fail verification — they now fail on longs.
+       EXACTNESS: with I_h = |hs_a ∩ hs_b| (array_intersect is a SET
+       intersect, so I_h counts distinct common hash values) and
+       m = min(|sh_a|-nhd_a, |sh_b|-nhd_b) where nhd is the doc's
+       DISTINCT-hash count (so |sh|-nhd is its intra-document
+       collision count — observable, normally 0; note |hs| itself is
+       no measure of it, transform preserves length), every
+       string-intersection member maps into hs_a ∩ hs_b losing at
+       most one member per intra-document collision inside the
+       intersection, so |sh_a ∩ sh_b| <= I_h + m.
+       Jaccard is monotone in the intersection at fixed sizes, so
+       pairs with (I_h+m)/(|sh_a|+|sh_b|-(I_h+m)) < t can NEVER reach
+       t on strings and are dropped with zero false negatives; the
+       string phase recomputes the exact value for the rest.
+       Arithmetic of the final value is IDENTICAL to the inlined form
+       (int sizes, one double cast at the division), so results are
+       bit-for-bit unchanged."""
+    if _DISABLE_HV:
+        hashed = False
+    sz_sum = F.size(F.col("a.sh")) + F.size(F.col("b.sh"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    exact_j = bind(inter, lambda i: i.cast("double") / (sz_sum - i))
+    if not hashed:
+        row = F.inline(
+            F.transform(
+                F.array(inter),
+                lambda i: F.struct(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    (i.cast("double") / (sz_sum - i)).alias("jaccard"),
+                ),
+            )
+        )
+        return pairs.select(row).filter(F.col("jaccard") >= threshold)
+    h_inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    slack = F.least(
+        F.size(F.col("a.sh")) - F.col("a.nhd"),
+        F.size(F.col("b.sh")) - F.col("b.nhd"),
+    )
+    row = F.inline(
+        F.transform(
+            F.array(h_inter + slack),
+            lambda ib: F.struct(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.when(
+                    ib.cast("double") / (sz_sum - ib)
+                    >= F.lit(threshold),
+                    exact_j,
+                ).alias("jaccard"),
+            ),
+        )
+    )
+    # NULL jaccard = failed the hash pre-filter; NULL >= t is false
+    return pairs.select(row).filter(F.col("jaccard") >= threshold)
+
+
+#: measurement toggle only (tools/ A-B runs); production default is on
+import os as _os
+_DISABLE_POS = _os.environ.get("PDNG_DISABLE_POSFILTER", "") == "1"
+_DISABLE_HV = _os.environ.get("PDNG_DISABLE_HASHVERIFY", "") == "1"
 
 #: persisted corpus prefix-index artifact format (write_prefix_index)
 PREFIX_INDEX_FORMAT = "ngram-prefix-index-v1"
@@ -758,15 +854,37 @@ def ngram_jaccard_join(
     )
 
     def prep(df: DataFrame) -> DataFrame:
-        return spread_small_input(df).select(
-            F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+        # one derivation pass per side: sz, the full sorted hash array
+        # (the verify pre-filter's input) and the sorted prefix ride
+        # along with sh in a lazily-checkpointed frame, so the prefix
+        # index and the verify join read the SAME materialized rows
+        # instead of re-running tokenize+shingle+hash+sort per subtree
+        plen = (
+            F.floor(F.size("sh") * F.lit(1.0 - threshold)) + F.lit(2)
+        ).cast("int")
+        return (
+            spread_small_input(df)
+            .select(
+                F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+            )
+            .withColumn("sz", F.size("sh"))
+            .withColumn(
+                "hs",
+                F.array_sort(
+                    F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+                ),
+            )
+            # distinct-hash count: the verify pre-filter's collision
+            # slack is |sh| - nhd (|hs| is useless for it — transform
+            # preserves length, so |sh| - |hs| is identically 0)
+            .withColumn("nhd", F.size(F.array_distinct("hs")))
+            .withColumn("pref", F.slice(F.col("hs"), 1, plen))
+            .localCheckpoint(eager=False)
         )
 
     def prefix_index(docs: DataFrame) -> DataFrame:
         return docs.select(
-            "id",
-            F.size("sh").alias("sz"),
-            _prefix_pos_explode(threshold).alias("p", "h"),
+            "id", "sz", F.posexplode("pref").alias("p", "h")
         )
 
     nd = prep(new)
@@ -805,7 +923,15 @@ def ngram_jaccard_join(
                 f"{meta['threshold']}; querying t={threshold} would "
                 "silently lose pairs — rebuild the index at the lower t"
             )
-        cd = cdocs.select("id", "sh")
+        # the artifact's docs table stores (id, sh) only; derive the
+        # sorted hash array at probe time so the verify pre-filter can
+        # fail ~98% of candidates on 8-byte longs instead of strings —
+        # one vectorized hash+sort pass over rows the verify join
+        # reads anyway
+        cd = cdocs.select("id", "sh").withColumn(
+            "hs",
+            F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s))),
+        ).withColumn("nhd", F.size(F.array_distinct("hs")))
         pc = cpindex.alias("b")
     else:
         cd = prep(corpus)
@@ -816,7 +942,7 @@ def ngram_jaccard_join(
         & (F.col("a.id") != F.col("b.id"))
         & _ppjoin_length_filter(threshold)
     )
-    if "p" in pc.columns:
+    if "p" in pc.columns and not _DISABLE_POS:
         # positional filter needs the rank on BOTH sides; a
         # pre-positional persisted index (legacy (id, sz, h) layout)
         # serves without it — extra candidates only, never a lost pair
@@ -830,13 +956,7 @@ def ngram_jaccard_join(
     pairs = cand.join(a, cand.id_a == F.col("a.id")).join(
         b, cand.id_b == F.col("b.id")
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    return pairs.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        (inter.cast("double") / union).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    return _jaccard_verify(pairs, threshold, hashed=True)
 
 
 def minhash_lsh_join(
@@ -964,25 +1084,22 @@ def ngram_jaccard_pairs(
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
 
-    def _verify(cand: DataFrame) -> DataFrame:
+    def _verify(cand: DataFrame, hashed: bool = False) -> DataFrame:
         a = docs.alias("a")
         b = docs.alias("b")
         pairs = (
             cand.join(a, cand.id_a == F.col("a.id"))
             .join(b, cand.id_b == F.col("b.id"))
         )
-        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-        union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-        return (
-            pairs.select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                (inter.cast("double") / union).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
+        return _jaccard_verify(pairs, threshold, hashed=hashed)
 
     if candidates is not None:
+        # NOT checkpointed: the two verify sides each derive the shingle
+        # scan lazily, and measured A/B (best-of-5, isolated sessions)
+        # showed the one-pass localCheckpoint variant ~15% SLOWER here —
+        # the saved tokenize pass doesn't cover the materialize+cache
+        # cost when only two readers exist and both sit under broadcast
+        # builds.  (The prefix path keeps it: four readers + the sort.)
         return _verify(candidates)
 
     assert threshold > 0, "inverted-index path requires a positive threshold"
@@ -991,19 +1108,43 @@ def ngram_jaccard_pairs(
         # on the HASH, not the string (8-byte shuffle keys instead of
         # shingle text) — a 64-bit collision only ADDS a candidate pair
         # that exact verification discards, it can never lose one, so
-        # hash ties need no tiebreak and exactness is untouched
+        # hash ties need no tiebreak and exactness is untouched.
+        # ONE derivation pass: sz + sorted prefix ride along with sh in
+        # a lazily-checkpointed frame, so the index self-join (2 refs)
+        # and the verify join (2 refs) all read the same materialized
+        # rows — 1 tokenize+shingle+hash+sort pass instead of 4.  At
+        # 100 TB this trades local-disk residency of (id, sh, pref) for
+        # 3 corpus rescans, the same trade the exhaustive path makes.
+        plen = (
+            F.floor(F.size("sh") * F.lit(1.0 - threshold)) + F.lit(2)
+        ).cast("int")
+        docs = (
+            docs.withColumn("sz", F.size("sh"))
+            .withColumn(
+                "hs",
+                F.array_sort(
+                    F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+                ),
+            )
+            # verify pre-filter collision slack input (see prep() in
+            # ngram_jaccard_join): |sh| - nhd, NOT |sh| - |hs|
+            .withColumn("nhd", F.size(F.array_distinct("hs")))
+            .withColumn("pref", F.slice(F.col("hs"), 1, plen))
+            .localCheckpoint(eager=False)
+        )
         pex = docs.select(
             "id",
             *(["blk"] if block_col else []),
-            F.size("sh").alias("sz"),
-            _prefix_pos_explode(threshold).alias("p", "h"),
+            "sz",
+            F.posexplode("pref").alias("p", "h"),
         )
         pa, pb = pex.alias("a"), pex.alias("b")
         cond = (F.col("a.h") == F.col("b.h")) & (
             F.col("a.id") < F.col("b.id")
         )
         cond = cond & _ppjoin_length_filter(threshold)
-        cond = cond & _ppjoin_positional_filter(threshold)
+        if not _DISABLE_POS:
+            cond = cond & _ppjoin_positional_filter(threshold)
         if block_col:
             cond = cond & (F.col("a.blk") == F.col("b.blk"))
         cand = (
@@ -1013,7 +1154,7 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        return _verify(cand)
+        return _verify(cand, hashed=True)
     blk_cols = ["blk"] if block_col else []
     # carry the set size on every inverted-index row: the pair aggregation
     # then needs no join-back against a sizes table (2 fewer shuffles for a

@@ -42,6 +42,7 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
         },
     )
     sc = spark.sparkContext
@@ -60,16 +61,37 @@ def main() -> int:
         sc.setJobDescription(None)
         print(f"== {name}: best {best:.3f}s over {runs} runs")
     spark.stop()
-    # parse event log
-    path = os.path.join(evdir, app_id)
-    if not os.path.exists(path):
-        for f in os.listdir(evdir):
-            if f.startswith(app_id):
-                path = os.path.join(evdir, f)
+    # parse event log (Spark 4 rolling layout: eventlog_v2_<appid>/events_*)
+    candidates = [
+        os.path.join(evdir, f)
+        for f in os.listdir(evdir)
+        if app_id in f
+    ]
+    files: list[str] = []
+    for path in candidates:
+        if os.path.isdir(path):
+            files.extend(
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.startswith("events")
+            )
+        else:
+            files.append(path)
     jobs = {}
     stages = {}
-    with open(path) as fh:
-        for line in fh:
+    import io
+    try:
+        import zstandard as _zstd
+    except ImportError:
+        _zstd = None
+    def _open_ev(p):
+        if p.endswith(".zstd"):
+            if _zstd is None:
+                raise RuntimeError("zstandard module needed for .zstd event logs")
+            return io.TextIOWrapper(_zstd.ZstdDecompressor().stream_reader(open(p, "rb")))
+        return open(p)
+    for path in files:
+        for line in _open_ev(path):
             try:
                 ev = json.loads(line)
             except ValueError:
@@ -90,11 +112,25 @@ def main() -> int:
                     jobs[jid]["t1"] = ev["Completion Time"]
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
-                stages[si["Stage ID"]] = {
+                st = stages.setdefault(si["Stage ID"], {})
+                st.update({
                     "name": si["Stage Name"].split("\n")[0][:80],
                     "tasks": si["Number of Tasks"],
                     "ms": (si.get("Completion Time", 0) - si.get("Submission Time", 0)),
-                }
+                })
+            elif e == "SparkListenerTaskEnd":
+                st = stages.setdefault(ev["Stage ID"], {})
+                tm = ev.get("Task Metrics") or {}
+                st["run_ms"] = st.get("run_ms", 0) + tm.get("Executor Run Time", 0)
+                st["cpu_ms"] = st.get("cpu_ms", 0) + tm.get("Executor CPU Time", 0) // 1_000_000
+                st["gc_ms"] = st.get("gc_ms", 0) + tm.get("JVM GC Time", 0)
+                srm = tm.get("Shuffle Read Metrics") or {}
+                st["sh_read_mb"] = st.get("sh_read_mb", 0) + (
+                    srm.get("Local Bytes Read", 0) + srm.get("Remote Bytes Read", 0)
+                ) / 1e6
+                st["fetch_ms"] = st.get("fetch_ms", 0) + srm.get("Fetch Wait Time", 0)
+                swm = tm.get("Shuffle Write Metrics") or {}
+                st["sh_write_mb"] = st.get("sh_write_mb", 0) + swm.get("Shuffle Bytes Written", 0) / 1e6
     per_desc: dict[str, list] = {}
     for jid, j in sorted(jobs.items()):
         if "t1" not in j:
@@ -107,11 +143,17 @@ def main() -> int:
         total = sum(ms for _, ms, _ in js)
         print(f"\n## {d}  jobs={len(js)} total={total/1000:.2f}s")
         for jid, ms, st in js:
-            names_ = []
+            print(f"  job {jid}: {ms/1000:.2f}s")
             for s in st:
-                if s in stages:
-                    names_.append(f"{stages[s]['name']}({stages[s]['ms']}ms/{stages[s]['tasks']}t)")
-            print(f"  job {jid}: {ms/1000:.2f}s  stages: {'; '.join(names_[:6])}")
+                g = stages.get(s)
+                if not g or "name" not in g:
+                    continue
+                print(
+                    f"    s{s} {g['ms']/1000:6.2f}s {g['tasks']:4d}t "
+                    f"run={g.get('run_ms',0)/1000:7.1f}s cpu={g.get('cpu_ms',0)/1000:7.1f}s "
+                    f"gc={g.get('gc_ms',0)/1000:5.1f}s fetchwait={g.get('fetch_ms',0)/1000:5.1f}s "
+                    f"shR={g.get('sh_read_mb',0):7.1f}MB shW={g.get('sh_write_mb',0):7.1f}MB  {g['name'][:60]}"
+                )
     return 0
 
 
