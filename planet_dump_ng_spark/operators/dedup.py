@@ -139,17 +139,25 @@ def minhash_signature(
     sig[i] = min over shingles s of (a_i * h(s) + b_i) mod P.  With
     h(s) < P < 2^31 and a_i < P, the product stays below 2^62 — the
     arithmetic is designed NOT to overflow, so ANSI mode never trips.
-    """
-    hashes = shingle_hashes(col, k)
 
+    The shingle-hash array is LET-BOUND (text.bind): each of the
+    ``num_hashes`` array_min branches references it, and Catalyst
+    re-evaluates HOF subtrees once per reference — without the binding
+    the regex tokenizer + shingle build ran num_hashes times per row
+    (the reason a separate explode+agg formulation used to exist; see
+    :func:`minhash_signatures_df`)."""
     def perm(a: int, b: int):
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))
 
-    mins = [
-        F.array_min(F.transform(hashes, perm(a, b)))
-        for a, b in _hash_params(num_hashes, seed)
-    ]
-    return F.array(*mins)
+    def body(hashes: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(hashes, perm(a, b)))
+                for a, b in _hash_params(num_hashes, seed)
+            ]
+        )
+
+    return bind(shingle_hashes(col, k), body)
 
 
 def minhash_signatures_df(
@@ -162,30 +170,19 @@ def minhash_signatures_df(
 ) -> DataFrame:
     """MinHash signatures as a DataFrame plan: (id, sig array<long>).
 
-    Unlike the single-expression :func:`minhash_signature` — whose
-    ``num_hashes`` array_min branches each embed a full copy of the
-    tokenize+shingle+hash subtree, so Catalyst evaluates it num_hashes
-    times per row — this explodes the shingle hashes ONCE and computes the
-    per-permutation minima as ordinary MIN aggregates (map-side partial
-    agg, one shuffle on id).  ~60x faster at num_hashes=64 and the only
-    shape that survives planet-scale corpora.
-    """
-    ex = spread_small_input(df).select(
+    MAP-ONLY: one let-bound expression per row (shingle hashes computed
+    once, 64 array_min folds over the bound array) — no explode, no
+    aggregation, NO SHUFFLE.  History: before text.bind existed this was
+    an explode + 64-column MIN aggregate (one exchange of partial-agg
+    rows) because the single-expression form re-ran tokenize+shingle per
+    array_min branch; with the binding the expression form is both
+    shuffle-free and measured faster (sf0.1 A/B best-of-5: 0.92 s vs
+    1.14 s for the agg form, bit-identical output on all 5000 docs) —
+    and a map-only stage scales with no shuffle-block quadratics
+    (guide §2.2)."""
+    return spread_small_input(df).select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(text_col, k)).alias("h"),
-    )
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(
-            f"_m{i}"
-        )
-        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
-    ]
-    return (
-        ex.groupBy("id")
-        .agg(*aggs)
-        .select(
-            "id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
-        )
+        minhash_signature(text_col, num_hashes, k, seed).alias("sig"),
     )
 
 

@@ -879,9 +879,19 @@ def _minhash_estimate_oracle(num_hashes: int = 64, bands: int = 16,
 )
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    num_hashes = 64
+    num_hashes, bands = 64, 16
     sigs = dd.minhash_signatures_df(docs, num_hashes=num_hashes, k=3).persist()
-    cands = dd.minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=16, k=3)
+    # band the PERSISTED signatures into the candidate buckets instead of
+    # letting minhash_lsh_candidates re-derive signatures from text — the
+    # signature map is the dominant per-doc cost and this query needs the
+    # signatures anyway for the estimator columns (one pass, two readers)
+    bkts = sigs.select(
+        "id",
+        F.explode(
+            dd.lsh_bands("sig", bands, num_hashes // bands)
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cands = dd.minhash_lsh_candidates(docs, buckets=bkts)
     sh = docs.select("doc_id", dd.shingles("text", 3).alias("sh"))
     ga = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     gb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -895,16 +905,37 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    est = matches.cast("double") / F.lit(float(num_hashes))
-    exact = inter.cast("double") / union
+    sz_sum = F.size("sh_a") + F.size("sh_b")
+
+    # let-bind (matches, inter, size-sum) under one inline Generate: the
+    # output columns below reference matches 3x and the intersect 4x,
+    # and CollapseProject would re-evaluate both per reference
+    def body(mi: Column) -> Column:
+        m, i = mi["m"], mi["i"]
+        est = m.cast("double") / F.lit(float(num_hashes))
+        exact = i.cast("double") / (mi["s"] - i)
+        return F.struct(
+            m.cast("int").alias("n_sig_matches"),
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+
     out = j.select(
         "id_a",
         "id_b",
-        matches.cast("int").alias("n_sig_matches"),
-        est.alias("est_jaccard"),
-        exact.alias("exact_jaccard"),
-        F.abs(est - exact).alias("abs_err"),
+        F.inline(
+            F.transform(
+                F.array(
+                    F.struct(
+                        matches.alias("m"),
+                        inter.alias("i"),
+                        sz_sum.alias("s"),
+                    )
+                ),
+                body,
+            )
+        ),
     ).persist()
     out.count()
     sigs.unpersist(blocking=True)
