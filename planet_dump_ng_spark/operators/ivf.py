@@ -634,19 +634,16 @@ def train_semantic_quantizer(
     k1 = derive_super_cells(n_cells)
     sample = _train_sample(vecs, TRAIN_ROWS_PER_CELL * n_cells).persist()
     sample.count()
-    # the two quantizer levels train independently over the same cached
-    # sample — overlap their per-round driver materializations (same
-    # trick as pq_codebooks; halves training wall-clock)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_fine = pool.submit(
-            train_kmeans, sample, dim, n_cells, vec_col="v", id_col="vec_id"
-        )
-        f_sup = pool.submit(
-            train_kmeans, sample, dim, k1, vec_col="v", id_col="vec_id"
-        )
-        fine, sup = f_fine.result(), f_sup.result()
+    # the two quantizer levels train FUSED over the same cached sample:
+    # one seed collect (the super seeds are the k1-prefix of the fine
+    # seeds under the same (xxhash64(id), id) order), then ONE assignment
+    # pass + ONE means aggregation + ONE collect per round for both
+    # levels.  Replaces two thread-overlapped train_kmeans calls — at the
+    # bench SF training wall-clock is driver/job-launch latency (profiled
+    # 17 jobs, 1.5 s execution inside 4.6 s wall), so halving the job
+    # count is the lever; arithmetic per level is bit-identical to
+    # train_kmeans (same seeds, same argmin kernel, same quantized means).
+    fine, sup = _train_two_kmeans(sample, n_cells, k1)
     sample.unpersist()
     return {
         "n_cells": n_cells,
@@ -655,6 +652,121 @@ def train_semantic_quantizer(
         "sup": sup,
         "f2s": _fine_to_super(fine, sup),
     }
+
+
+def _train_two_kmeans(
+    vecs: DataFrame, n_cells: int, k1: int, n_rounds: int = 3
+) -> tuple[
+    list[tuple[int, list[float]]], list[tuple[int, list[float]]]
+]:
+    """Lloyd rounds for TWO centroid sets over one (vec_id, v) sample in
+    one job chain — (fine, sup), each bit-identical to
+    ``train_kmeans(vecs, dim, n)`` run separately:
+
+    - seeds: one TakeOrdered collect of the ``n_cells`` smallest
+      (xxhash64(vec_id), vec_id) rows; the super seeds are its first
+      ``k1`` rows — exactly ``limit(k1)`` of the same total order.
+    - per round: one mapInPandas pass computes BOTH nearest-centroid
+      assignments (the :func:`_assign_np` argmin kernel per level), the
+      exploded (level, cell, pos, val) rows feed ONE grouped aggregate
+      with train_kmeans's 1e-12-quantized integer-sum mean (integer
+      sums are associative, so tagging levels changes nothing), and one
+      collect retrieves both mean tables.  Empty cells keep their
+      previous centroid per level, as in train_kmeans.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    seeds = (
+        vecs.withColumn("_h", F.xxhash64(F.col("vec_id")))
+        .orderBy("_h", "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    fine = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)]
+    sup = fine[:k1]
+    base = vecs.select("vec_id", "v")
+    schema = StructType(
+        list(base.schema.fields)
+        + [
+            StructField("cf", IntegerType(), False),
+            StructField("cs", IntegerType(), False),
+        ]
+    )
+    for _ in range(n_rounds):
+        cf_arr = np.array([c for c, _ in fine], dtype=np.int64)
+        Cf = np.array([v for _, v in fine], dtype=np.float64)
+        cs_arr = np.array([c for c, _ in sup], dtype=np.int64)
+        Cs = np.array([v for _, v in sup], dtype=np.float64)
+        bc = vecs.sparkSession.sparkContext.broadcast(
+            (cf_arr, Cf, cs_arr, Cs)
+        )
+
+        def assign(batches, _bc=bc):
+            cf_b, Cf_b, cs_b, Cs_b = _bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                i_f = np.empty(len(pdf), dtype=np.int64)
+                i_s = np.empty(len(pdf), dtype=np.int64)
+                for lo in range(0, len(pdf), _ASSIGN_CHUNK):
+                    hi = min(lo + _ASSIGN_CHUNK, len(pdf))
+                    i_f[lo:hi] = np.argmin(
+                        _dist2_fold(V[lo:hi], Cf_b), axis=1
+                    )
+                    i_s[lo:hi] = np.argmin(
+                        _dist2_fold(V[lo:hi], Cs_b), axis=1
+                    )
+                out = pdf.copy()
+                out["cf"] = cf_b[i_f].astype(np.int32)
+                out["cs"] = cs_b[i_s].astype(np.int32)
+                yield out
+
+        means = (
+            base.mapInPandas(assign, schema=schema)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(0).alias("lv"), F.col("cf").alias("cell")
+                        ),
+                        F.struct(
+                            F.lit(1).alias("lv"), F.col("cs").alias("cell")
+                        ),
+                    )
+                ).alias("t"),
+                "v",
+            )
+            .select(
+                F.col("t.lv").alias("lv"),
+                F.col("t.cell").alias("cell"),
+                F.posexplode("v").alias("pos", "val"),
+            )
+            .groupBy("lv", "cell", "pos")
+            .agg(
+                (
+                    F.sum((F.col("val").cast("double") * 1e12).cast("long"))
+                    .cast("double")
+                    / F.lit(1e12)
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("lv", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new_f, new_s = dict(fine), dict(sup)
+        for r in means:
+            tgt = new_f if r["lv"] == 0 else new_s
+            tgt[r["cell"]] = [float(x) for x in r["centroid"]]
+        fine, sup = sorted(new_f.items()), sorted(new_s.items())
+    return fine, sup
 
 
 def assign_semantic_cells(vecs: DataFrame, quant: dict) -> DataFrame:
