@@ -54,6 +54,22 @@ def get_spark(
         # right granularity for a 1000-executor cluster; local SFs produce
         # one partition per file, which AQE then keeps cheap.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-parallelism FLOOR (split size = min(maxPartitionBytes,
+        # max(openCostInBytes, bytes/minPartitionNum))): the default 4 MB
+        # openCost floored an 11 MB table into 3 splits, so single-task
+        # scan stages strand the other 31 cores at bench SFs (profiled:
+        # assemble_order_lines ran its probe-side scan+join as ONE 0.9 s
+        # task).  128 KB only binds when bytes/core < 4 MB — at 100 TB
+        # bytes/core >> maxPartitionBytes, so production splits stay
+        # 128 MB and this knob is inert; it is a small-input floor, not a
+        # local[32] tuning constant.
+        .config("spark.sql.files.openCostInBytes", "131072")
+        # Same floor for AQE-coalesced reduce partitions: the 1 MB
+        # default minPartitionSize collapses a 5 MB shuffle to ~5 tasks
+        # under parallelismFirst.  At scale advisoryPartitionSizeInBytes
+        # (bytes/core >> advisory) governs coalescing and this floor is
+        # inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # FAIR task scheduling: the multicast emit (pipeline.write_outputs)
