@@ -171,6 +171,92 @@ def hashed_gram_features(
     )
 
 
+def hashed_gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, ``__buckets`` array<bigint>) — each document's hashed-gram
+    feature instances kept as ONE array row instead of exploded
+    instances.  Map-only: the per-doc scoring fold
+    (:func:`_weights_from_buckets`) reads the array in place, so no
+    per-instance row ever exists, let alone shuffles.  The model
+    aggregate still wants instances; it explodes THIS table (after its
+    one materialization), which is a map-side expansion feeding a
+    partial aggregate — never an exchange of instance rows."""
+    t = df.select(id_col, *carry, tx.tokens(text_col).alias("__toks"))
+    return t.select(
+        id_col,
+        *carry,
+        F.transform(
+            grams_from_tokens(F.col("__toks")),
+            lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)),
+        ).alias("__buckets"),
+    )
+
+
+def _weights_from_buckets(
+    bk: DataFrame, scores: DataFrame, id_col: str, n_buckets: int
+) -> DataFrame:
+    """Per-document weights from a (id, __buckets) table and a bucket-
+    score dimension — the dimension rides as ONE broadcast DENSE-ARRAY
+    row (position b+1 holds bucket b's delta, null = bucket absent)
+    and each doc folds its bucket array against it in a single
+    Project: no explode, no per-instance join, no regroup-by-doc
+    exchange, and every lookup is an O(1) array index (a
+    map_from_entries dimension measured 3x SLOWER than the exploded
+    join it replaced: Catalyst's GetMapValue is a linear scan, 4096
+    comparisons per gram instance).  Buckets absent from the dimension
+    are dropped per instance and docs with no surviving instance emit
+    no row — exactly the inner-join semantics of the exploded form;
+    the Q20 sums are exact BIGINTs, so the fold order cannot change
+    the value."""
+    sm = scores.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("delta_q20")))
+        ).alias("__sm")
+    ).select(
+        # densify ONCE on the 1-row dimension (nb linear lookups of an
+        # nb-entry map, trivial), so the per-instance path never scans
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+            lambda i: F.element_at(F.col("__sm"), i.cast("bigint")),
+        ).alias("__sd")
+    )
+    matched = F.filter(
+        F.transform(
+            F.col("__buckets"),
+            lambda b: F.element_at(
+                F.col("__sd"), (b + F.lit(1)).cast("int")
+            ),
+        ),
+        lambda v: v.isNotNull(),
+    )
+
+    def body(m: Column) -> Column:
+        s = F.aggregate(
+            m, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        )
+        return F.struct(
+            F.size(m).cast("bigint").alias("n_feats"),
+            s.alias("logw_q20"),
+            (s.cast("double") / F.lit(float(Q20))).alias("logw_bits"),
+        )
+
+    return (
+        tx.bind_struct(
+            bk.join(F.broadcast(sm)),
+            matched,
+            body,
+            ["n_feats", "logw_q20", "logw_bits"],
+        )
+        .filter(F.col("n_feats") > 0)
+        .select(id_col, "n_feats", "logw_q20", "logw_bits")
+    )
+
+
 def dsir_bucket_scores(
     df: DataFrame,
     target: Column,
@@ -265,36 +351,35 @@ def dsir_importance_weights(
     train-once/apply-anywhere shape: score a new crawl batch under a
     frozen target model without rescanning the reference corpus).
 
-    When training inline (``scores=None``), the feature pass is
-    materialized ONCE (lazy localCheckpoint — no stranded CacheManager
-    entry) and feeds both the bucket-model aggregate and the per-doc
-    join: at corpus scale the tokenize+explode scan is the dominant
-    cost, and it must not run twice.
+    When training inline (``scores=None``), the tokenize pass is
+    materialized ONCE as per-doc bucket ARRAYS (lazy localCheckpoint —
+    no stranded CacheManager entry); the bucket-model aggregate
+    explodes that checkpoint (map-side expansion into a partial
+    aggregate) and the per-doc weights fold the same arrays against
+    the broadcast score map: at corpus scale the tokenize scan runs
+    once and NO per-instance row ever crosses an exchange (the
+    pre-round-10 shape shuffled every instance through a join and a
+    regroup-by-doc).
     """
     if scores is None:
-        feats_t = hashed_gram_features(
+        bk = hashed_gram_buckets(
             df.withColumn("__is_t", target.cast("long")),
             text_col=text_col,
             id_col=id_col,
             n_buckets=n_buckets,
             carry=("__is_t",),
         ).localCheckpoint(eager=False)
-        scores = _scores_from_features(feats_t, n_buckets)
-        feats = feats_t.drop("__is_t")
+        scores = _scores_from_features(
+            bk.select("__is_t", F.explode("__buckets").alias("bucket")),
+            n_buckets,
+        )
+        bk = bk.drop("__is_t")
     else:
-        feats = hashed_gram_features(
+        bk = hashed_gram_buckets(
             df, text_col=text_col, id_col=id_col, n_buckets=n_buckets
         )
-    return (
-        feats.join(F.broadcast(scores.select("bucket", "delta_q20")), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("delta_q20").cast("bigint").alias("logw_q20"),
-            (F.sum("delta_q20").cast("double") / F.lit(float(Q20))).alias(
-                "logw_bits"
-            ),
-        )
+    return _weights_from_buckets(
+        bk, scores.select("bucket", "delta_q20"), id_col, n_buckets
     )
 
 
@@ -435,7 +520,7 @@ def dsir_train_and_score(
     scores table, so what gates the corpus is exactly what later
     increments will score under (and the values are exact integers, so
     read-back changes nothing).  Returns (meta, weights)."""
-    feats = hashed_gram_features(
+    bk = hashed_gram_buckets(
         df.withColumn("__is_t", target.cast("long")),
         text_col=text_col,
         id_col=id_col,
@@ -449,20 +534,14 @@ def dsir_train_and_score(
         text_col=text_col,
         n_buckets=n_buckets,
         target_desc=target_desc,
-        _feats=feats,
+        _feats=bk.select(
+            id_col, "__is_t", F.explode("__buckets").alias("bucket")
+        ),
     )
     scores = df.sparkSession.read.parquet(f"{model_dir.rstrip('/')}/scores")
-    w = (
-        feats.drop("__is_t")
-        .join(F.broadcast(scores.select("bucket", "delta_q20")), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("delta_q20").cast("bigint").alias("logw_q20"),
-            (F.sum("delta_q20").cast("double") / F.lit(float(Q20))).alias(
-                "logw_bits"
-            ),
-        )
+    w = _weights_from_buckets(
+        bk.drop("__is_t"), scores.select("bucket", "delta_q20"), id_col,
+        n_buckets,
     )
     return meta, w
 

@@ -499,25 +499,46 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
 
 
-_BPE_MERGE_EXPR = """aggregate(s, CAST(array() AS array<string>),
-  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b
-              THEN concat(slice(acc, 1, size(acc) - 1),
-                          array(concat(element_at(acc, -1), x)))
-              ELSE concat(acc, array(x)) END)"""
+def _bpe_merge_fold(a: str, b: str) -> Column:
+    """Left-to-right non-overlapping merge of the elected pair (a, b)
+    over the symbol array ``s`` — the literal-rule form of the fold
+    (the rule is a known Python string, so it compiles into the
+    expression instead of arriving via a broadcast crossJoin)."""
+    return F.aggregate(
+        F.col("s"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+_RULE_SCHEMA = "round int, pair_left string, pair_right string, n bigint"
 
 
 def _bpe_rounds(
     docs: DataFrame, text_col: str, n_merges: int
-) -> tuple[DataFrame, list[DataFrame], list[DataFrame]]:
-    """(final word-symbol table, 1-row rule DataFrame per round, all
-    persisted round tables) — the shared BPE training loop.  EVERY
-    round table stays cached until the caller has materialized its
-    output and calls unpersist on the returned cache list: rule r's
-    plan reads round r's symbol table, so dropping a round's cache
-    mid-loop would silently recompute the whole earlier chain when the
-    rules finally execute.  The tables are vocabulary-sized, so
-    holding n_merges of them is cheap.
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """(final word-symbol table, learned-rule DataFrame, persisted
+    tables to unpersist) — the shared BPE training loop.
+
+    Each round is ONE job: a TakeOrdered(1) collect of the elected pair
+    (a bounded 1-row driver collect, like the curation manifests).  The
+    rewrite folds the literal rule into the next round's plan lazily; a
+    lazy localCheckpoint per round truncates lineage when the next
+    election (or the caller's materialization) runs, so no round ever
+    pays a separate checkpoint job and the plan never embeds the whole
+    chain.  Round tables are vocabulary-sized.  (The pre-round-10 form
+    spent two extra jobs per round — a broadcast-exchange build of the
+    1-row rule and an eager checkpoint — on the same arithmetic.)
     """
+    spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -531,9 +552,9 @@ def _bpe_rounds(
         ).alias("s"),
     ).persist()
     caches = [cur]
-    rules = []
+    rows: list[tuple] = []
     for r in range(n_merges):
-        pairs = (
+        top = (
             cur.filter(F.size("s") >= 2)
             .select(
                 "cnt",
@@ -544,44 +565,25 @@ def _bpe_rounds(
                     )
                 ).alias("p"),
             )
-            .select("p.a", "p.b", "cnt")
-        )
-        # Sentinel ('', '', -1) keeps the rule table NON-EMPTY when a
-        # round has no adjacent pairs left (merge-exhausted corpus):
-        # without it the crossJoin against 0 rows would wipe the whole
-        # word-symbol table.  The sentinel's empty symbols can never
-        # match a fold step (symbols are non-empty), so the rewrite is
-        # the identity, and sentinel rounds are filtered from the
-        # learned-rule output (a corpus may honestly yield < n_merges
-        # rules).  The oracle replays the same sentinel.
-        sentinel = pairs.sparkSession.createDataFrame(
-            [("", "", -1)], "a string, b string, n long"
-        )
-        rule = (
-            pairs.groupBy("a", "b")
+            .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").cast("bigint").alias("n"))
-            .unionByName(sentinel)
             .orderBy(F.col("n").desc(), "a", "b")
             .limit(1)
+            .collect()
         )
-        rules.append(
-            rule.filter(F.col("n") >= 0).select(
-                F.lit(r + 1).cast("int").alias("round"),
-                F.col("a").alias("pair_left"),
-                F.col("b").alias("pair_right"),
-                "n",
-            )
-        )
-        # localCheckpoint (eager): materializes the round AND truncates
-        # its lineage, so round r+1's analyzed plan (and every rule's)
-        # starts from a leaf scan instead of embedding all prior rounds
-        # (pre-cut plan text for bpe_encode_stats carried 342 exchange
-        # nodes).  Round tables are vocabulary-sized.
-        nxt = cur.crossJoin(F.broadcast(rule.select("a", "b"))).select(
-            "w", "cnt", F.expr(_BPE_MERGE_EXPR).alias("s")
-        ).localCheckpoint(eager=True)
+        if not top:
+            # merge-exhausted corpus: no adjacent pairs left, so every
+            # later round is the identity too — a corpus may honestly
+            # yield < n_merges rules (the old sentinel-row semantics)
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        rows.append((r + 1, a, b, int(n)))
+        nxt = cur.select(
+            "w", "cnt", _bpe_merge_fold(a, b).alias("s")
+        ).localCheckpoint(eager=False)
         caches.append(nxt)
         cur = nxt
+    rules = spark.createDataFrame(rows, _RULE_SCHEMA)
     return cur, rules, caches
 
 
@@ -601,25 +603,15 @@ def bpe_learn_merges(
     (vocabulary-sized — grows sub-linearly with the corpus, so at
     100 TB this is a few million rows after one corpus-wide word
     count), each round is one map-side-combinable pair count plus a
-    TakeOrdered(1); the elected rule is a 1-row broadcast into the
-    merge rewrite, so nothing but the word count ever scans the
-    corpus and NO rule ever routes through the driver.  Per-round
-    state is persisted and the previous round unpersisted, mirroring
-    operators.graph.connected_components.
+    TakeOrdered(1) whose 1-row result is collected and folded into the
+    next round's rewrite as a literal (a bounded collect, like the
+    curation manifests), so nothing but the word count ever scans the
+    corpus and each round costs exactly one job.
     """
-    from functools import reduce
-
     _, rules, caches = _bpe_rounds(docs, text_col, n_merges)
-    # localCheckpoint, not persist: the rule plans read the round tables,
-    # so the output must materialize BEFORE those caches drop — but a
-    # persist here stranded one CacheManager entry per call (bench runs
-    # this twice per invocation); checkpointed blocks release on GC.
-    out = reduce(lambda x, y: x.unionAll(y), rules).localCheckpoint(
-        eager=True
-    )
     for c in caches:
         c.unpersist()
-    return out
+    return rules
 
 
 def bpe_encode_stats(

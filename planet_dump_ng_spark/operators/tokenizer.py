@@ -209,21 +209,18 @@ def write_bpe_tokenizer(
     (text._bpe_rounds) provides both the rule rows and the folded
     symbol arrays, so the vocab build is a vocabulary-sized explode —
     no second corpus scan, no re-fold."""
-    from functools import reduce
-
     from planet_dump_ng_spark.operators.text import _bpe_rounds
 
     if n_merges < 1:
-        # a 0-rule "tokenizer" would also die later in reduce() with an
-        # opaque TypeError — refuse up front, at the CLI-reachable edge
+        # a 0-rule "tokenizer" is not a tokenizer — refuse up front, at
+        # the CLI-reachable edge
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     d = tokenizer_dir.rstrip("/")
     os.makedirs(d, exist_ok=True)
     meta_path = f"{d}/meta.json"
     if os.path.exists(meta_path):
         os.remove(meta_path)
-    cur, rule_dfs, caches = _bpe_rounds(docs, text_col, n_merges)
-    merges = reduce(lambda x, y: x.unionAll(y), rule_dfs)
+    cur, merges, caches = _bpe_rounds(docs, text_col, n_merges)
     merges.orderBy("round").coalesce(1).write.mode("overwrite").parquet(
         f"{d}/merges"
     )

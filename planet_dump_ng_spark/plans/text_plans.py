@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from planet_dump_ng_spark.operators import text as tx
@@ -448,33 +448,75 @@ _VOCAB_CTES = f"""
     FROM ids GROUP BY doc_id
     """,
     doc="Tokenizer transform step (the fit half is build_vocab): map each "
-    "document to its token-id sequence via a broadcast hash join against "
-    "the <=V-row vocabulary, OOV -> -1.  The sequence is reassembled "
-    "from (pos, id) pairs with array_sort — order preserved without any "
-    "window.  One explode + one broadcast join + one groupBy: the "
-    "standard fit/transform shape a 100 TB tokenization run needs "
-    "(vocab ships to executors; corpus never re-shuffles on term).",
+    "document to its token-id sequence against the <=V-row vocabulary "
+    "folded into ONE broadcast map row (map_from_entries over the vocab "
+    "aggregate), OOV -> -1.  The per-document transform is a map lookup "
+    "per token inside a single Project — no explode, no per-instance "
+    "join, no regroup-by-doc shuffle: the only exchanges left are the "
+    "vocabulary fit's own aggregates, so a 100 TB tokenization run "
+    "never shuffles token instances at all (the pre-round-10 shape "
+    "exploded every token and re-grouped by doc_id).",
     tags=("text", "bench"),
 )
 def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     vocab = build_vocab(spark, sf_dir).select("term", "token_id")
-    tok = docs.select(
-        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "term")
-    )
-    ids = tok.join(F.broadcast(vocab), "term", "left").select(
-        "doc_id", "pos", F.coalesce("token_id", F.lit(-1)).alias("tid")
-    )
-    return ids.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("tid") == -1, 1).otherwise(0)).alias("n_oov"),
-        F.array_join(
+    # the whole vocabulary as ONE broadcast hash-chained dense array:
+    # slot pmod(xxhash64(term), NB) holds that bucket's (term, id)
+    # chain, so a lookup is one O(1) array index + a ~1-entry chain
+    # probe (a map_from_entries dimension would linear-scan all V
+    # entries per token: Catalyst's GetMapValue has no hash structure)
+    _NB = 4096
+    chains = (
+        vocab.groupBy(
+            F.pmod(F.xxhash64("term"), F.lit(_NB)).alias("__b")
+        )
+        .agg(F.collect_list(F.struct("term", "token_id")).alias("__es"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__es"))
+            ).alias("__cm")
+        )
+        .select(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                lambda s: s["tid"].cast("string"),
-            ),
-            " ",
-        ).alias("token_ids"),
+                F.sequence(F.lit(0), F.lit(_NB - 1)),
+                lambda i: F.element_at(F.col("__cm"), i.cast("bigint")),
+            ).alias("__vd")
+        )
+    )
+
+    def _lookup(w: Column) -> Column:
+        ch = F.element_at(
+            F.col("__vd"),
+            (F.pmod(F.xxhash64(w), F.lit(_NB)) + F.lit(1)).cast("int"),
+        )
+        hit = F.get(F.filter(ch, lambda e: e["term"] == w), 0)
+        return F.coalesce(hit["token_id"], F.lit(-1))
+
+    vm = chains
+    tids = F.transform(tx.tokens("text"), _lookup)
+
+    def body(t: Column) -> Column:
+        # all three outputs read the SAME evaluated id array (bind_struct)
+        return F.struct(
+            F.size(t).cast("bigint").alias("n_tokens"),
+            F.size(F.filter(t, lambda x: x == -1))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.array_join(
+                F.transform(t, lambda x: x.cast("string")), " "
+            ).alias("token_ids"),
+        )
+
+    return (
+        tx.bind_struct(
+            docs.join(F.broadcast(vm)),
+            tids,
+            body,
+            ["n_tokens", "n_oov", "token_ids"],
+        )
+        .filter(F.col("n_tokens") > 0)  # explode semantics: 0-token docs
+        .select("doc_id", "n_tokens", "n_oov", "token_ids")
     )
 
 

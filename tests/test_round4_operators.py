@@ -223,17 +223,20 @@ def test_bpe_learn_merges_hand_corpus(spark):
 
 
 def test_bpe_merge_fold_left_to_right(spark):
-    """The rewrite is the non-overlapping left-to-right BPE merge."""
-    from planet_dump_ng_spark.operators.text import _BPE_MERGE_EXPR
+    """The rewrite is the non-overlapping left-to-right BPE merge (the
+    literal-rule fold the round-10 single-job loop compiles per round)."""
+    from planet_dump_ng_spark.operators.text import _bpe_merge_fold
 
-    df = spark.createDataFrame(
-        [("aaaa", "a", "a"), ("banana", "a", "n"), ("xy", "x", "y")],
-        "w string, a string, b string",
-    ).withColumn(
-        "s",
-        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-    )
-    out = {r.w: r.m for r in df.select("w", F.expr(_BPE_MERGE_EXPR).alias("m")).collect()}
+    cases = [("aaaa", "a", "a"), ("banana", "a", "n"), ("xy", "x", "y")]
+    out = {}
+    for w, a, b in cases:
+        df = spark.createDataFrame([(w,)], "w string").withColumn(
+            "s",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ),
+        )
+        out[w] = df.select(_bpe_merge_fold(a, b).alias("m")).collect()[0].m
     assert out["aaaa"] == ["aa", "aa"]
     assert out["banana"] == ["b", "an", "an", "a"]
     assert out["xy"] == ["xy"]
