@@ -75,6 +75,7 @@ def write_bigram_lm(
     model_dir: str,
     text_col: str = "text",
     _bg: DataFrame | None = None,
+    _keep: list | None = None,
 ) -> dict:
     """Train the bigram LM once and persist it: ``cnt`` (p, w, c) and
     ``ctx`` (p, cp) — exact BIGINT counts, so the artifact round-trips
@@ -86,6 +87,10 @@ def write_bigram_lm(
 
     ``_bg``: internal — a pre-materialized instance table so
     :func:`bigram_lm_train_and_score` pays the tokenize scan once.
+    ``_keep``: internal — when a list, the checkpointed (cnt, ctx)
+    DataFrames are appended to it so the caller can keep scoring from
+    the exact rows the write jobs emitted (integer-exact, so identical
+    to a read-back) without re-listing/re-scanning the fresh artifact.
     """
     d = model_dir.rstrip("/")
     os.makedirs(d, exist_ok=True)
@@ -99,8 +104,16 @@ def write_bigram_lm(
     )
     from pyspark.sql import Observation
 
-    cnt = bg.groupBy("p", "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # The count table is lazily localCheckpointed: the cnt write is the
+    # one action that materializes it (and the _bg checkpoint under it),
+    # and the ctx aggregate + the caller's score joins then read those
+    # vocabulary-sized blocks directly — the pre-round-10 shape
+    # re-opened the just-written parquet (schema-inference + listing
+    # jobs, and a serial disk round-trip between the two writes).
+    cnt = (
+        bg.groupBy("p", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
     # counts ride an Observation on the write job — zero extra scans
     # (the artifact-meta discipline of write_prefix_index)
@@ -110,13 +123,17 @@ def write_bigram_lm(
         F.count(F.lit(1)).alias("n_bigram_types"),
         F.sum("c").cast("bigint").alias("nb"),
     ).write.mode("overwrite").parquet(f"{d}/cnt")
-    persisted = docs.sparkSession.read.parquet(f"{d}/cnt")
+    ctx = (
+        cnt.groupBy("p")
+        .agg(F.sum("c").cast("bigint").alias("cp"))
+        .localCheckpoint(eager=False)
+    )
     obs_ctx = Observation()
-    persisted.groupBy("p").agg(
-        F.sum("c").cast("bigint").alias("cp")
-    ).observe(obs_ctx, F.count(F.lit(1)).alias("n_contexts")).write.mode(
+    ctx.observe(obs_ctx, F.count(F.lit(1)).alias("n_contexts")).write.mode(
         "overwrite"
     ).parquet(f"{d}/ctx")
+    if _keep is not None:
+        _keep.extend((cnt, ctx))
     nb = obs.get["nb"]
     if not nb:
         # no header is ever written, so the empty tables read as "not a
@@ -163,9 +180,13 @@ def read_bigram_lm(
             f"{FEATURIZER!r} — scores from a different tokenization are "
             "meaningless"
         )
+    # explicit schemas: the artifact layout is fixed by FORMAT, so the
+    # footer-inference job per read-back is pure launch latency
     return (
-        spark.read.parquet(f"{d}/cnt"),
-        spark.read.parquet(f"{d}/ctx"),
+        spark.read.schema("p string, w string, c bigint").parquet(
+            f"{d}/cnt"
+        ),
+        spark.read.schema("p string, cp bigint").parquet(f"{d}/ctx"),
         meta,
     )
 
@@ -229,14 +250,16 @@ def bigram_lm_train_and_score(
     ``dsir_train_and_score``): the instance table is materialized once
     (lazy localCheckpoint — no stranded cache entry) and feeds the
     count aggregate, the artifact write, and the per-doc score joins.
-    Scores come from the PERSISTED tables, so what gates the corpus is
-    exactly what later increments will score under.  Returns
+    Scores come from the checkpointed count tables the write jobs
+    themselves emitted — bit-identical to a read-back (exact BIGINT
+    counts), so what gates the corpus is exactly what later increments
+    will score under, without re-listing the fresh artifact.  Returns
     (meta, scores)."""
     bg = bigram_instances(docs, text_col=text_col, id_col=id_col)
     bg = bg.localCheckpoint(eager=False)
-    meta = write_bigram_lm(docs, model_dir, text_col=text_col, _bg=bg)
-    d = model_dir.rstrip("/")
-    spark = docs.sparkSession
-    cnt = spark.read.parquet(f"{d}/cnt")
-    ctx = spark.read.parquet(f"{d}/ctx")
+    kept: list = []
+    meta = write_bigram_lm(
+        docs, model_dir, text_col=text_col, _bg=bg, _keep=kept
+    )
+    cnt, ctx = kept
     return meta, _score(bg, cnt, ctx, meta["n_bigrams"])
