@@ -533,13 +533,33 @@ def curate(
         _t_last = now
 
     def _counts(df: DataFrame) -> tuple[int, int]:
-        # one aggregate pass gives both audit columns (docs, tokens)
+        # one aggregate pass gives both audit columns (docs, tokens);
+        # stages carry the per-doc token count as the hidden __ntok
+        # column (recomputed only where the TEXT itself changes), so
+        # every post-raw audit sums a cached long column instead of
+        # re-running the regex tokenizer over the full surviving corpus
+        # — at 100 TB the old shape re-tokenized everything once per
+        # stage boundary purely for the attrition report
+        tok = (
+            F.col("__ntok")
+            if "__ntok" in df.columns
+            else tx.token_count("text").cast("bigint")
+        )
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(tx.token_count("text")).cast("bigint").alias("t"),
+            F.sum(tok).cast("bigint").alias("t"),
         ).first()
         return row["n"], row["t"] or 0
 
+    def _retok(df: DataFrame) -> DataFrame:
+        # (re)derive the audit column — at entry, and after any stage
+        # that rewrites text (span dedup, PII scrub), so the audit sums
+        # stay bit-identical to tokenizing the stage's actual text
+        return df.withColumn(
+            "__ntok", tx.token_count("text").cast("bigint")
+        )
+
+    docs = _retok(docs)
     report.log("raw", *_counts(docs))
     _tick("raw")
 
@@ -593,7 +613,7 @@ def curate(
     if span_dedup_tokens is not None:
         docs = checkpoint(
             "span_dedup",
-            dd.span_dedup_rewrite(docs, span_tokens=span_dedup_tokens),
+            _retok(dd.span_dedup_rewrite(docs, span_tokens=span_dedup_tokens)),
         )
 
     # 2. near-dup removal: the larger doc id of every verified pair
@@ -675,7 +695,7 @@ def curate(
     # 4. PII scrub: a text TRANSFORM (no rows drop) — masks applied
     # before any text leaves the pipeline
     if scrub_pii:
-        docs = docs.withColumn("text", tx.scrub_pii("text"))
+        docs = _retok(docs.withColumn("text", tx.scrub_pii("text")))
 
     # 5. quality filter: token-stat bands + repetition gates, one
     # combined map stage feeding a single semi join
@@ -793,9 +813,10 @@ def curate(
             quality_weighted_sample,
         )
 
-        scored = docs.withColumn(
-            "_qt_score", tx.token_count("text").cast("bigint")
-        )
+        # __ntok is exactly token_count of the CURRENT text (re-derived
+        # at every text rewrite), so the tempering score reuses it
+        # instead of tokenizing the corpus again
+        scored = docs.withColumn("_qt_score", F.col("__ntok"))
         docs = checkpoint(
             "quality_tempered",
             quality_weighted_sample(
@@ -817,12 +838,17 @@ def curate(
                 "_tb_bin",
                 F.floor(F.col("quality_margin") * 100).cast("int"),
             )
-            .withColumn("_tb_tok", tx.token_count("text").cast("bigint"))
+            .withColumn("_tb_tok", F.col("__ntok"))
         )
         kept = select_token_budget(
             g, "_tb_bin", "_tb_tok", "doc_id", token_budget
         )
         docs = checkpoint("token_budget", kept.select(*docs.columns))
+
+    # the audit column never leaves the pipeline: the materialized
+    # splits and every artifact below see exactly the pre-round-10
+    # schema
+    docs = docs.drop("__ntok")
 
     # 7. split + materialize (partitioned parquet, per-split manifest).
     # A RE-curate into an existing out_dir first drops any prior run's
@@ -1250,9 +1276,18 @@ def curate_increment(
             # the doc count comes off the stage cache for free; the
             # token column would re-scan every text per checkpoint
             return df.count(), None
+        # post-raw stages carry the batch token counts as the hidden
+        # __ntok column (the curate() audit discipline), so the opt-in
+        # token audit sums a cached long instead of re-tokenizing the
+        # batch per checkpoint
+        tok = (
+            F.col("__ntok")
+            if "__ntok" in df.columns
+            else tx.token_count("text").cast("bigint")
+        )
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(tx.token_count("text")).cast("bigint").alias("t"),
+            F.sum(tok).cast("bigint").alias("t"),
         ).first()
         return row["n"], row["t"] or 0
 
@@ -1283,6 +1318,12 @@ def curate_increment(
     docs = new_docs.join(corpus.select("doc_id"), "doc_id", "left_anti")
     if scrub_pii:
         docs = docs.withColumn("text", tx.scrub_pii("text"))
+    if audit_tokens:
+        # derive the audit column once, post-scrub (the text never
+        # changes again in this path)
+        docs = docs.withColumn(
+            "__ntok", tx.token_count("text").cast("bigint")
+        )
     docs = checkpoint("batch_exact", dd.dedup_keep_first(docs))
 
     # 2. exact dedup vs the corpus: probe the fingerprint set — digests,
@@ -1740,8 +1781,9 @@ def curate_increment(
     # plan would be recomputed against the GROWN dataset (the id
     # anti-join then sees its own output and the manifest collapses to
     # zero).  Checkpointing materializes the survivors and cuts the
-    # lineage to the dataset path.
-    docs = docs.localCheckpoint(eager=True)
+    # lineage to the dataset path.  The audit column stays out of the
+    # appended dataset (same schema discipline as curate()).
+    docs = docs.drop("__ntok").localCheckpoint(eager=True)
     if prev is not None:
         prev.unpersist()
     # drop the known-clean marker BEFORE the dataset grows: from here

@@ -63,13 +63,19 @@ def get_spark(
         # bytes/core >> maxPartitionBytes, so production splits stay
         # 128 MB and this knob is inert; it is a small-input floor, not a
         # local[32] tuning constant.
-        .config("spark.sql.files.openCostInBytes", "131072")
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"),
+        )
         # Same floor for AQE-coalesced reduce partitions: the 1 MB
         # default minPartitionSize collapses a 5 MB shuffle to ~5 tasks
         # under parallelismFirst.  At scale advisoryPartitionSizeInBytes
         # (bytes/core >> advisory) governs coalescing and this floor is
         # inert.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCE", "65536"),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # FAIR task scheduling: the multicast emit (pipeline.write_outputs)
