@@ -698,8 +698,9 @@ def curate(
         docs = _retok(docs.withColumn("text", tx.scrub_pii("text")))
 
     # 5. quality filter: token-stat bands + repetition gates, one
-    # combined map stage feeding a single semi join
-    feats = tx.repetition_features(tx.quality_features(docs))
+    # combined map stage feeding a single semi join (fused extractor:
+    # one tokenizer pass instead of the composition's two)
+    feats = tx.rule_quality_features(docs)
     keep = feats.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
@@ -1614,7 +1615,7 @@ def curate_increment(
         docs = checkpoint(
             "decontaminated", docs.join(dirty, "doc_id", "left_anti")
         )
-    feats = tx.repetition_features(tx.quality_features(docs))
+    feats = tx.rule_quality_features(docs)
     keep = feats.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("stopword_ratio") <= max_stopword_ratio)

@@ -153,6 +153,14 @@ def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     the score is hash-exact against the SQL oracle.  Map-only: scales
     linearly with input splits, no shuffle.
     """
+    # NOT let-bound, by measurement: the duplicated subtrees here are one
+    # tokens() + two regexp_extract_all over the raw string, and the
+    # bind/inline Generate barrier costs more than the duplicate
+    # evaluations it removes (A/B at sf0.1, best-of-6 interleaved:
+    # unbound 0.35-0.43 s vs bound 0.70-0.80 s).  bind pays off when the
+    # duplicated subtree is re-evaluated per HOF lambda reference inside
+    # ONE projection (shingles, rule_quality_features); here
+    # CollapseProject leaves a flat codegen'd Project that wins.
     c = F.col(text_col)
     n_tok = token_count(c)
     n_char = F.length(c)
@@ -441,6 +449,108 @@ def repetition_features(
         _feats,
         ["n_words", "dup_word_ratio", "top_word_ratio", "dup_bigram_ratio",
          "repetition_keep"],
+    )
+
+
+def rule_quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fused :func:`quality_features` + :func:`repetition_features` — the
+    exact column set (names, order, values) of
+    ``repetition_features(quality_features(df))`` from ONE let-bound
+    tokenizer evaluation per row.
+
+    The composed form stacks two ``bind_struct`` Generates, each binding
+    ``tokens(text)`` separately, so the regex tokenizer runs twice per
+    row; the curation rule gate (batch + increment + streaming twin) is
+    exactly this composition over the full surviving corpus, which at
+    100 TB is a second tokenize pass per curation for no new
+    information.  Every field below is the same expression tree the two
+    operators build — same integer counts, same single IEEE divisions —
+    so outputs are bit-identical to the composition."""
+    c = F.col(text_col)
+    wl = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+
+    def _all(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        n_char = F.length(c)
+        n_punct = F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0))
+        n_stop = F.size(
+            F.filter(toks, lambda t: F.array_contains(wl, F.lower(t)))
+        )
+        d = F.greatest(n_tok, F.lit(1)).cast("double")
+        bigrams = F.when(
+            n_tok >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n_tok - 1),
+                F.slice(toks, 2, n_tok - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def _with_bigrams(bg: Column) -> Column:
+            nb = F.size(bg)
+            db = F.greatest(nb, F.lit(1)).cast("double")
+            return F.struct(
+                n_tok.alias("n_tokens"),
+                n_char.alias("n_chars_calc"),
+                (n_punct.cast("double") / F.greatest(n_char, F.lit(1))).alias(
+                    "punct_ratio"
+                ),
+                (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias(
+                    "stopword_ratio"
+                ),
+                (
+                    (n_char - (n_tok - 1)).cast("double")
+                    / F.greatest(n_tok, F.lit(1))
+                ).alias("mean_token_len"),
+                n_tok.alias("n_words"),
+                (
+                    (n_tok - F.size(F.array_distinct(toks))).cast("double") / d
+                ).alias("dup_word_ratio"),
+                (_longest_equal_run(toks).cast("double") / d).alias(
+                    "top_word_ratio"
+                ),
+                ((nb - F.size(F.array_distinct(bg))).cast("double") / db).alias(
+                    "dup_bigram_ratio"
+                ),
+            )
+
+        def _final(s: Column) -> Column:
+            # second binding level, same as repetition_features: the
+            # ratios are computed once and the keep verdict reads them
+            # as struct-field refs
+            return F.struct(
+                s["n_tokens"].alias("n_tokens"),
+                s["n_chars_calc"].alias("n_chars_calc"),
+                s["punct_ratio"].alias("punct_ratio"),
+                s["stopword_ratio"].alias("stopword_ratio"),
+                s["mean_token_len"].alias("mean_token_len"),
+                s["n_words"].alias("n_words"),
+                s["dup_word_ratio"].alias("dup_word_ratio"),
+                s["top_word_ratio"].alias("top_word_ratio"),
+                s["dup_bigram_ratio"].alias("dup_bigram_ratio"),
+                (
+                    (s["n_words"] < 10)
+                    | (
+                        (s["dup_word_ratio"] <= 0.5)
+                        & (s["top_word_ratio"] <= 0.2)
+                        & (s["dup_bigram_ratio"] <= 0.3)
+                    )
+                ).alias("repetition_keep"),
+            )
+
+        return bind(bind(bigrams, _with_bigrams), _final)
+
+    return bind_struct(
+        df,
+        tokens(c),
+        _all,
+        [
+            "n_tokens", "n_chars_calc", "punct_ratio", "stopword_ratio",
+            "mean_token_len", "n_words", "dup_word_ratio", "top_word_ratio",
+            "dup_bigram_ratio", "repetition_keep",
+        ],
     )
 
 

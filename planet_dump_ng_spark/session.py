@@ -76,6 +76,17 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_MIN_COALESCE", "65536"),
         )
+        # NOTE on spark.sql.optimizer.canChangeCachedPlanOutputPartitioning:
+        # deliberately NOT set globally.  Letting AQE re-partition cached
+        # plans coalesces tiny persisted arrangements (a measured ~2x on
+        # the multicast emit, which scopes the conf around itself —
+        # pipeline.write_outputs), but it also makes the planner treat
+        # every cache's output partitioning as unknown, so consumers that
+        # REUSE a cache's hash partitioning re-shuffle: measured +3
+        # exchanges on supplier_part_pagerank (one per rank round) and a
+        # flapping plan on ngram_containment_pairs.  Per-round shuffles of
+        # the rank table are exactly the scale regression the budgets
+        # exist to catch, so the conf stays scoped to the emit.
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # FAIR task scheduling: the multicast emit (pipeline.write_outputs)
@@ -93,6 +104,29 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def capture_job_context(spark: SparkSession):
+    """Capture the calling thread's scheduler pool + job description and
+    return a thunk that re-applies them on whatever thread calls it.
+
+    PySpark local properties are PER PYTHON THREAD (pinned-thread mode):
+    a plain ``ThreadPoolExecutor`` worker does NOT inherit them, so a
+    sink that fans its write jobs out through a sub-pool silently drops
+    the caller's FAIR pool assignment — every job lands in the default
+    FIFO pool and the one-pool-per-output round-robin the multicast emit
+    relies on (pipeline.write_outputs) never engages.  Each sub-thread
+    task calls the thunk first; worker threads are reused, so it must be
+    applied per task, not per thread."""
+    sc = spark.sparkContext
+    pool = sc.getLocalProperty("spark.scheduler.pool")
+    desc = sc.getLocalProperty("spark.job.description")
+
+    def apply() -> None:
+        sc.setLocalProperty("spark.scheduler.pool", pool)
+        sc.setLocalProperty("spark.job.description", desc)
+
+    return apply
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):

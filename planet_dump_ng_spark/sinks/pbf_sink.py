@@ -796,7 +796,15 @@ def write_pbf_file(
     out_dir = out_path + ".parts"
     os.makedirs(out_dir, exist_ok=True)
 
+    # re-apply the caller's FAIR pool + description on the sub-pool
+    # threads (executor threads don't inherit local properties; see
+    # session.capture_job_context)
+    from planet_dump_ng_spark.session import capture_job_context
+
+    ctx = capture_job_context(nodes.sparkSession)
+
     def encode_one(table: str, df: DataFrame) -> list[str]:
+        ctx()
         if not pre_arranged:
             cols = [F.col("id"), F.col("version")]
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)

@@ -355,7 +355,20 @@ def write_xml_file(
             codec = None
     tmp_dir = tmp_dir or out_path + ".parts"
 
+    # the sub-pool threads below must re-apply the caller's FAIR pool +
+    # job description (plain executor threads don't inherit local
+    # properties — without this every fragment write lands in the
+    # default FIFO pool and the per-output round-robin never engages)
+    from planet_dump_ng_spark.session import capture_job_context
+
+    ctx = (
+        capture_job_context(rendered_in_order[0][0].sparkSession)
+        if rendered_in_order
+        else (lambda: None)
+    )
+
     def write_one(i: int, df: DataFrame, sort_cols: list[str]) -> str:
+        ctx()
         d = os.path.join(tmp_dir, f"t{i}")
         if not pre_arranged:
             cols = [F.col(c) for c in sort_cols]

@@ -306,13 +306,15 @@ def curate_stream(docs: DataFrame) -> DataFrame:
     by tests/test_streaming.py::test_curate_stream_matches_batch).
     """
     from planet_dump_ng_spark.operators.text import (
-        quality_features,
-        repetition_features,
+        rule_quality_features,
         scrub_pii,
     )
 
     scrubbed = docs.withColumn("text", scrub_pii("text"))
-    feats = repetition_features(quality_features(scrubbed))
+    # fused quality+repetition extractor: one tokenizer pass per row,
+    # bit-identical to the repetition_features(quality_features(...))
+    # composition (pinned equal to batch by test_streaming)
+    feats = rule_quality_features(scrubbed)
     return feats.select(
         "doc_id",
         "source",

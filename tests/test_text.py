@@ -52,6 +52,40 @@ def test_quality_features_ranges(docs):
         assert 0.0 <= r.stopword_ratio <= 1.0
 
 
+def test_rule_quality_features_matches_composition(spark):
+    """The fused extractor is bit-identical (names, order, values) to
+    repetition_features(quality_features(df)) — the curation rule gate
+    swapped to it for one tokenizer pass per row, so any divergence here
+    is a curation-semantics change, not a speedup."""
+    rows = [
+        (1, "the the the the the the the the the the the the"),  # repetitive
+        (2, "a genuinely varied sentence with many distinct tokens here"),
+        (3, ""),
+        (4, "x"),
+        (5, "one two one two one two one two one two one two"),  # bigram dups
+        (6, "Hello, world! 42 times... with punct&digits 987"),
+        (7, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = tx.rule_quality_features(df)
+    composed = tx.repetition_features(tx.quality_features(df))
+    assert fused.columns == composed.columns
+    a = {r.doc_id: r.asDict() for r in fused.collect()}
+    b = {r.doc_id: r.asDict() for r in composed.collect()}
+    assert a == b
+
+
+def test_linear_quality_score_bound_columns(spark):
+    """The let-bound rewrite keeps the exact output column set and order
+    (oracled queries hash the schema too)."""
+    df = spark.createDataFrame([(1, "the quick brown fox")], "doc_id long, text string")
+    out = tx.linear_quality_score(df)
+    assert out.columns == [
+        "doc_id", "text", "stop_ratio", "punct_ratio", "digit_ratio",
+        "len_feat", "quality_margin", "keep",
+    ]
+
+
 def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, " HELLO\tWORLD ")],
