@@ -137,6 +137,48 @@ def write_outputs(
     versions; 'changesets'/'discussions' consume only the changesets frame
     (F7).  Frames are persisted when consumed by >1 output (multicast).
     """
+    # Scope canChangeCachedPlanOutputPartitioning=true over the WHOLE
+    # phase: the conf is captured when each InMemoryRelation is created
+    # (the .persist() inside arrange()), so it must be live before the
+    # arrangements are built, not just around the write jobs.  With the
+    # default (false) the persisted arrangements are frozen at the static
+    # shuffle width, so a small dump pays width-many tasks + part files
+    # per frame per output (measured ~2x on the 5-output fixture emit,
+    # 12.4 -> 6.9 s best-of-4 interleaved A/B).  AQE coalescing follows
+    # the advisory size, so at planet scale the arrangements keep their
+    # thousands of ~advisory-sized partitions — scale-adaptive.  NOT set
+    # globally: it hides cache partitioning from consumers, which costs
+    # plans that REUSE it (pagerank's per-round rank cache gained one
+    # exchange per consumer in the pinned budgets).  The emit's consumers
+    # only scan the arrangements in partition order, so here the
+    # unknown-partitioning trade costs nothing.
+    _CACHED_REPART = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    spark_for_conf = frames.changesets.sparkSession
+    _prev_repart = spark_for_conf.conf.get(_CACHED_REPART, None)
+    spark_for_conf.conf.set(_CACHED_REPART, "true")
+    try:
+        _write_outputs_body(
+            frames, outputs, generator, meta, dense_nodes, compress_command
+        )
+    finally:
+        if _prev_repart is None:
+            spark_for_conf.conf.unset(_CACHED_REPART)
+        else:
+            spark_for_conf.conf.set(_CACHED_REPART, _prev_repart)
+
+
+def _write_outputs_body(
+    frames: PlanetFrames,
+    outputs: list[OutputSpec],
+    generator: str,
+    meta: dict | None,
+    dense_nodes: bool,
+    compress_command: str | None,
+) -> None:
+    """The body of :func:`write_outputs` (split out so the cached-
+    repartitioning conf scope above wraps the arrangement persists AND
+    the write jobs — InMemoryRelation captures the conf at persist
+    time)."""
     from pyspark.sql import functions as F
 
     # -- shared arrangement: sort each needed element stream ONCE --------
@@ -261,32 +303,7 @@ def write_outputs(
     shared = [df for df in arranged.values() if df.is_cached]
     if cs_arranged is not None and cs_arranged.is_cached:
         shared.append(cs_arranged)
-    # Scope canChangeCachedPlanOutputPartitioning=true to the emit: the
-    # persisted arrangements are otherwise frozen at the static shuffle
-    # width, so a small dump pays width-many tasks + part files per frame
-    # per output (measured ~2x on the 5-output fixture emit: 12.4 -> 6.9 s
-    # best-of-4 interleaved A/B).  AQE coalescing follows the advisory
-    # size, so at planet scale the arrangements keep their thousands of
-    # ~advisory-sized partitions — scale-adaptive.  NOT set globally:
-    # plans that REUSE a cache's hash partitioning (pagerank's per-round
-    # rank cache) would gain one exchange per consumer.  The emit's
-    # consumers only scan the arrangements in partition order, so here
-    # the unknown-partitioning trade costs nothing.
-    _CACHED_REPART = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    spark_for_conf = (
-        shared[0].sparkSession
-        if shared
-        else (cs_arranged or next(iter(arranged.values()), None) or frames.changesets).sparkSession
-    )
-    _prev_repart = spark_for_conf.conf.get(_CACHED_REPART, None)
-    spark_for_conf.conf.set(_CACHED_REPART, "true")
-    try:
-        _write_all(outputs, arranged, cs_arranged, shared, emit_one)
-    finally:
-        if _prev_repart is None:
-            spark_for_conf.conf.unset(_CACHED_REPART)
-        else:
-            spark_for_conf.conf.set(_CACHED_REPART, _prev_repart)
+    _write_all(outputs, arranged, cs_arranged, shared, emit_one)
 
     for df in arranged.values():
         if df.is_cached:
