@@ -617,28 +617,42 @@ def main() -> int:
             )
         return out
 
-    # The driver records only the TAIL of stdout, so the one JSON line
-    # must stay compact and carry the per-query map LAST: even if the
-    # head is cut, every per-query pair survives in the kept tail.
-    # Full evidence (query_runs, per-phase dicts, raw sf1/scale tables)
-    # goes to BENCH_DETAIL.json beside the repo for the round archive.
+    # The driver records only the LAST 2000 CHARS of stdout and parses
+    # the JSON line from that window, so the one line must fit WHOLE in
+    # 2000 chars with margin (round 9's line overflowed and the round
+    # lost its round-over-round comparison; round 10's 2417-char line
+    # parsed only by driver-side luck).  Shrunk this round (r11): the
+    # per-section "runs" arrays, the per-query sf1_ratio table and the
+    # sf1 e2e totals move to BENCH_DETAIL.json (committed beside the
+    # repo — nothing is lost, it just stops riding the fragile stdout
+    # line); the five e2e sections fold into one "e2e" map and the sf1
+    # anchors into "sf1_e2e" ratio scalars.  Timed regions, methodology
+    # and the metric/value/unit/sf/queries contract are UNCHANGED — the
+    # r10 line shape is reproducible from BENCH_DETAIL.json.  Measured:
+    # r10 data in this shape = 1774 chars (226 margin); per-query map
+    # stays LAST so a cut head still preserves every per-query pair.
     compact = {
         "metric": "bench_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf,
         "calib_s": calib_s,
-        "registry": registry,
-        "pipeline": {"total": pipe.get("total"), "runs": pipe.get("runs")},
-        "curation": {"total": cur.get("total"), "runs": cur.get("runs")},
-        "curation_exact": {
-            "total": cur_exact.get("total"),
-            "runs": cur_exact.get("runs"),
+        "registry": {
+            k: registry[k]
+            for k in (
+                "n_queries",
+                "oldest_driver_round",
+                "oldest_green_round",
+                "never_checked",
+            )
+            if k in registry
         },
-        "increment": {"total": incr.get("total"), "runs": incr.get("runs")},
-        "increment_exact": {
-            "total": incr_exact.get("total"),
-            "runs": incr_exact.get("runs"),
+        "e2e": {
+            "pipeline": pipe.get("total"),
+            "curation": cur.get("total"),
+            "curation_exact": cur_exact.get("total"),
+            "increment": incr.get("total"),
+            "increment_exact": incr_exact.get("total"),
         },
         "served": {
             "build_s": served.get("build_s"),
@@ -649,10 +663,24 @@ def main() -> int:
             for k in ("build_s", "probe_s", "probe_ratio", "rows_ratio", "error")
             if k in served_sf1
         },
-        "curation_sf1": _ratio(cur_sf1, cur),
-        "increment_sf1": _ratio(incr_sf1, incr),
-        "curation_exact_sf1": _ratio(cur_exact_sf1, cur_exact),
-        "increment_exact_sf1": _ratio(incr_exact_sf1, incr_exact),
+        "sf1_e2e": {
+            name: anchor["ratio_vs_bench_sf"]
+            for name, anchor in (
+                ("curation", _ratio(cur_sf1, cur)),
+                ("increment", _ratio(incr_sf1, incr)),
+                ("curation_exact", _ratio(cur_exact_sf1, cur_exact)),
+                ("increment_exact", _ratio(incr_exact_sf1, incr_exact)),
+            )
+            if isinstance(anchor, dict) and "ratio_vs_bench_sf" in anchor
+        },
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+    }
+    detail = {
+        **compact,
+        "registry": registry,
+        "queries": timings,
+        "query_runs": query_runs,
+        "scale_ratio": scale_ratio,
         # scalar = time ratio; [time_ratio, rows_ratio] for the pair-
         # enumerating extras whose output itself grows super-linearly
         "sf1_ratio": {
@@ -664,13 +692,6 @@ def main() -> int:
             for n, v in sf1.items()
             if isinstance(v, dict)
         },
-        "queries": {n: round(t, 2) for n, t in timings.items()},
-    }
-    detail = {
-        **compact,
-        "queries": timings,
-        "query_runs": query_runs,
-        "scale_ratio": scale_ratio,
         "sf1": sf1,
         "pipeline": pipe,
         "curation": cur,

@@ -114,6 +114,7 @@ def _write_dedup_artifact(
     include_buckets: bool = True,
     buckets: DataFrame | None = None,
     url_col: str | None = None,
+    concurrent_extra=None,
 ) -> None:
     """Persist the dataset's dedup probe tables beside it — the corpus
     fingerprint set (16-byte digests) and the LSH bucket table
@@ -157,9 +158,34 @@ def _write_dedup_artifact(
     with NO per-probe re-rank.  On appends the cap applies within the
     appended batch; the probe side re-caps the union (cheap: already
     near-capped) so cross-append accumulation stays bounded, and
-    dedup_compact restores the exact global smallest-id invariant."""
+    dedup_compact restores the exact global smallest-id invariant.
+
+    ``concurrent_extra``: an independent sibling-artifact build (the
+    exact family's ``write_prefix_index``) to overlap with this
+    artifact's writes; it must COMPLETE before the fingerprints commit
+    and the ``_synced`` marker, so the marker's "everything landed"
+    meaning is unchanged.
+
+    CONCURRENCY vs the crash contract: the independent tables write in
+    parallel (each is its own Spark job chain; at bench scale the phase
+    wall is job-launch latency, and on a cluster the concurrent jobs
+    back-fill each other's stragglers — guide §2.6).  The commit-marker
+    ORDER is preserved structurally: in overwrite mode the old
+    fingerprints table is DELETED first and the new one builds in a
+    sibling ``fingerprints.build`` dir, renamed into place strictly
+    after every other write completes — so every crash window leaves
+    the artifact fingerprint-less (the stale state curate_increment
+    rebuilds from), which is strictly SAFER than the old sequential
+    shape, where a re-curate crash mid-buckets left the PREVIOUS
+    same-count fingerprints table in place to vouch for half-written
+    buckets.  Append mode cannot commit by rename, so there the
+    fingerprints append stays strictly last (buckets ∥ urls still
+    overlap — a crash between them leaves the fingerprint count short
+    either way)."""
     import json
     import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     from planet_dump_ng_spark.streaming.jobs import corpus_lsh_buckets
 
@@ -169,9 +195,12 @@ def _write_dedup_artifact(
     if mode == "overwrite" or not os.path.exists(meta_path):
         with open(meta_path, "w", encoding="utf-8") as fh:
             json.dump({**_DEDUP_META, **(extra_meta or {})}, fh)
-    if include_buckets:
-        # near_dedup="exact" datasets probe the _pindex artifact instead
-        # and skip this corpus-sized signature pass entirely.
+
+    def _write_buckets() -> None:
+        if not include_buckets:
+            # near_dedup="exact" datasets probe the _pindex artifact
+            # instead and skip this corpus-sized signature pass entirely
+            return
         # ``buckets``: a precomputed _DEDUP_LSH bucket table of exactly
         # ``docs`` (the increment passes its already-materialized batch
         # buckets semi-joined to the survivors, so the dominant
@@ -185,22 +214,68 @@ def _write_dedup_artifact(
         if max_bucket is not None:
             bkt = dd.cap_lsh_buckets(bkt, max_bucket)
         bkt.write.mode(mode).parquet(f"{d}/buckets")
-    if url_col is not None:
+
+    def _write_urls() -> None:
+        if url_col is None:
+            return
         # canonical-URL fingerprint table (url_col datasets): 8-byte
         # xxhash64 of the canonical URL — what each increment batch
         # anti-joins against instead of re-canonicalizing the corpus.
         # NULL urls are EXCLUDED before hashing: xxhash64(NULL) is the
         # seed CONSTANT, not NULL, so one stored null-url row would
-        # anti-join away every future null-url batch doc.  Written
-        # BEFORE fingerprints so the commit-marker order holds.
+        # anti-join away every future null-url batch doc.  Lands
+        # BEFORE the fingerprints commit so the commit-marker order
+        # holds.
         docs.select(
             F.col("doc_id"), tx.canonical_url(F.col(url_col)).alias("_cu")
         ).filter(F.col("_cu").isNotNull()).select(
             F.col("doc_id"), F.xxhash64("_cu").alias("ufp")
         ).write.mode(mode).parquet(f"{d}/urls")
-    docs.select(
+
+    fp_df = docs.select(
         F.col("doc_id"), tx.fingerprint("text").alias("fp")
-    ).write.mode(mode).parquet(f"{d}/fingerprints")
+    )
+    extras = [concurrent_extra] if concurrent_extra is not None else []
+    if mode == "overwrite":
+        fp_tmp = f"{d}/fingerprints.build"
+        shutil.rmtree(f"{d}/fingerprints", ignore_errors=True)
+        shutil.rmtree(fp_tmp, ignore_errors=True)
+        tasks = [
+            _write_buckets,
+            _write_urls,
+            lambda: fp_df.write.mode("overwrite").parquet(fp_tmp),
+            *extras,
+        ]
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            for fut in [pool.submit(t) for t in tasks]:
+                fut.result()
+        os.rename(fp_tmp, f"{d}/fingerprints")
+    elif include_buckets or url_col is not None:
+        with ThreadPoolExecutor(max_workers=2 + len(extras)) as pool:
+            for fut in [
+                pool.submit(t)
+                for t in (_write_buckets, _write_urls, *extras)
+            ]:
+                fut.result()
+        fp_df.write.mode(mode).parquet(f"{d}/fingerprints")
+    else:
+        # exact-family append: no same-directory table precedes the
+        # commit-marker append, and the concurrent_extra (the prefix
+        # index) carries its OWN header + n_docs crash check that
+        # curate_increment's stale pass validates independently — so
+        # the fingerprints append may overlap it; _synced still lands
+        # only after both complete
+        with ThreadPoolExecutor(max_workers=1 + len(extras)) as pool:
+            for fut in [
+                pool.submit(t)
+                for t in (
+                    *extras,
+                    lambda: fp_df.write.mode(mode).parquet(
+                        f"{d}/fingerprints"
+                    ),
+                )
+            ]:
+                fut.result()
     # known-clean marker, written strictly after the commit-marker table:
     # its presence lets the next increment skip the dataset-vs-artifact
     # count check entirely (curate_increment deletes it before every
@@ -964,23 +1039,31 @@ def curate(
             extra_meta["max_surprisal_bits"] = float(max_surprisal_bits)
         if url_col is not None:
             extra_meta["url_col"] = url_col
+        pindex_task = None
         if near_dedup == "exact":
             # the exact twin of the LSH bucket artifact: every increment
             # equi-joins its batch prefix against this instead of
             # re-deriving corpus shingles.  Built at the lowest threshold
             # increments will probe (the index threshold is a floor).
-            dd.write_prefix_index(
-                docs,
-                _pindex_dir(out_dir),
-                k=_DEDUP_LSH["k"],
-                threshold=(
-                    split_jaccard if leakage_free else jaccard_threshold
-                ),
-            )
+            # Runs CONCURRENTLY with the _dedup tables (docs is cached,
+            # both scan the same persisted survivors); the fingerprints
+            # commit + _synced marker still land strictly after it, so
+            # a crash mid-build leaves the fingerprint-less stale state
+            # both artifacts rebuild from.
+            def pindex_task() -> None:
+                dd.write_prefix_index(
+                    docs,
+                    _pindex_dir(out_dir),
+                    k=_DEDUP_LSH["k"],
+                    threshold=(
+                        split_jaccard if leakage_free else jaccard_threshold
+                    ),
+                )
         _write_dedup_artifact(
             docs, out_dir, extra_meta=extra_meta, max_bucket=max_bucket,
             include_buckets=(near_dedup != "exact"),
             url_col=url_col,
+            concurrent_extra=pindex_task,
         )
         _tick("dedup_artifact")
     if prev is not None:  # the dataset is on disk; release the last cache
@@ -1839,22 +1922,29 @@ def curate_increment(
         extra["max_surprisal_bits"] = recorded["max_surprisal_bits"]
     if _url_known:
         extra["url_col"] = recorded["url_col"]
+    pindex_task = None
     if near_dedup == "exact":
-        # extend the prefix index with the appended survivors BEFORE the
-        # _dedup append re-creates _synced (the marker must only assert
-        # a fully-committed artifact set); a missing index (pre-pindex
-        # exact dataset or crash debris) backfills from the grown corpus
+        # extend the prefix index with the appended survivors.  Runs
+        # CONCURRENTLY with the _dedup fingerprints append (passed as
+        # concurrent_extra): _synced is still created only after BOTH
+        # land, and a crash between them is covered independently — the
+        # fingerprint count check repairs the _dedup side, the pindex
+        # header + n_docs check repairs a half-extended index.  A
+        # missing index (pre-pindex exact dataset or crash debris)
+        # backfills from the grown corpus.
         if have_pindex:
-            dd.prefix_index_add(docs, pind)
+            def pindex_task() -> None:
+                dd.prefix_index_add(docs, pind)
         else:
-            dd.write_prefix_index(
-                spark.read.parquet(dataset_dir),
-                pind,
-                k=_DEDUP_LSH["k"],
-                threshold=(
-                    split_jaccard if leakage_free else jaccard_threshold
-                ),
-            )
+            def pindex_task() -> None:
+                dd.write_prefix_index(
+                    spark.read.parquet(dataset_dir),
+                    pind,
+                    k=_DEDUP_LSH["k"],
+                    threshold=(
+                        split_jaccard if leakage_free else jaccard_threshold
+                    ),
+                )
     if have_art:
         # bake only a RECORDED cap into the appended buckets — an
         # explicit probe-only cap on a capless dataset must not leave
@@ -1874,6 +1964,7 @@ def curate_increment(
             include_buckets=(near_dedup != "exact"),
             buckets=reuse,
             url_col=url_col,
+            concurrent_extra=pindex_task,
         )
     else:
         _write_dedup_artifact(
@@ -1884,6 +1975,7 @@ def curate_increment(
             max_bucket=max_bucket,
             include_buckets=(near_dedup != "exact"),
             url_col=url_col,
+            concurrent_extra=pindex_task,
         )
     # _write_dedup_artifact re-created the _synced marker after its
     # fingerprints append — the artifact is in step with the dataset again

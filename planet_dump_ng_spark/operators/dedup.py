@@ -920,19 +920,18 @@ def ngram_jaccard_join(
                 f"{meta['threshold']}; querying t={threshold} would "
                 "silently lose pairs — rebuild the index at the lower t"
             )
-        # the artifact's docs table stores (id, sh) only; derive the
-        # sorted hash array at probe time so the verify pre-filter can
-        # fail ~98% of candidates on 8-byte longs instead of strings —
-        # one vectorized hash+sort pass over rows the verify join
-        # reads anyway
-        cd = cdocs.select("id", "sh").withColumn(
-            "hs",
-            F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s))),
-        ).withColumn("nhd", F.size(F.array_distinct("hs")))
+        # the artifact's docs table stores (id, sh) only; the sorted
+        # hash array the verify pre-filter needs is derived below,
+        # AFTER the candidate semi-join, so only docs some candidate
+        # actually names pay the hash+sort pass
+        cdocs_arrays = cdocs.select("id", "sh")
+        derive_hs = True
         pc = cpindex.alias("b")
     else:
-        cd = prep(corpus)
-        pc = prefix_index(cd).alias("b")
+        cd0 = prep(corpus)
+        cdocs_arrays = cd0.select("id", "sh", "hs", "nhd")
+        derive_hs = False
+        pc = prefix_index(cd0).alias("b")
     pn = prefix_index(nd).alias("a")
     cond = (
         (F.col("a.h") == F.col("b.h"))
@@ -948,11 +947,58 @@ def ngram_jaccard_join(
         pn.join(pc, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # consumed TWICE below (corpus semi-join + verify join) and NOT
+        # checkpointed: re-running the two-long-column prefix join per
+        # consumer measured FASTER at both scales than materializing it
+        # (checkpoint barrier + write: probe 2.54 s vs 1.87 s at sf0.1,
+        # 9.6 s vs 7.4 s on the 10x corpus) — the subtree is cheap and
+        # deterministic (distinct of an equi-join), so the duplicate
+        # execution is pure pipeline, no correctness exposure
     )
-    a, b = nd.alias("a"), cd.alias("b")
-    pairs = cand.join(a, cand.id_a == F.col("a.id")).join(
-        b, cand.id_b == F.col("b.id")
+    # Verify-join shape (the 10x-corpus probe measured 12.3 GB of
+    # shuffle + 19 GB of sort spill in the old cand->batch->corpus
+    # sort-merge chain, because the first join's output — every
+    # candidate PAIR carrying a full shingle array — re-shuffled for
+    # the second join; 32-way sorts of those wide rows thrashed the
+    # heap, which is why 8 cores beat 32).  Pair-level rows must never
+    # cross an exchange (guide's decide-with-small-rows rule):
+    #   1. corpus docs semi-join to the candidate id_b set FIRST —
+    #      per-probe corpus bytes follow the batch's candidate
+    #      fan-out, not the corpus size — and cross ONE exchange,
+    #      hash-partitioned by id; the hash+sort derivation (index
+    #      mode) runs after the prune, on matched docs only.
+    #   2. the candidate pairs equi-join that pruned corpus side
+    #      (stream side = bare (id_a, id_b) pairs; build side = the
+    #      pruned docs).  The strategy is left to the planner + AQE:
+    #      small corpora broadcast as before, and at scale the session's
+    #      maxShuffledHashJoinLocalMapThreshold (session.py) converts
+    #      the sort-merge to a SHUFFLED-HASH join at runtime — no
+    #      external sort of array rows (the measured 19 GB spill), and
+    #      the id partitioning from step 1 is reused, so the arrays
+    #      still cross only that one exchange.
+    #   3. the BATCH side attaches by BROADCAST: the ingest batch is
+    #      the bounded side of this operator by contract (probe a
+    #      batch against the standing corpus), so its derived arrays
+    #      ship once to every executor and pair rows never carry them
+    #      through an exchange.  PDNG_PROBE_NO_BCAST=1 restores the
+    #      shuffle attach for batches too big to broadcast (hundreds
+    #      of MB of derived arrays); at that size chunk the batch and
+    #      probe per chunk — per-chunk cost stays fan-out-bounded.
+    cd = cdocs_arrays.join(
+        cand.select(F.col("id_b").alias("id")), "id", "left_semi"
     )
+    if derive_hs:
+        cd = cd.withColumn(
+            "hs",
+            F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s))),
+        ).withColumn("nhd", F.size(F.array_distinct("hs")))
+    a = nd.select("id", "sh", "hs", "nhd").alias("a")
+    b = cd.select("id", "sh", "hs", "nhd").alias("b")
+    pairs = cand.join(b, cand.id_b == F.col("b.id"))
+    if _os.environ.get("PDNG_PROBE_NO_BCAST", "") == "1":
+        pairs = pairs.join(a, F.col("id_a") == F.col("a.id"))
+    else:
+        pairs = pairs.join(F.broadcast(a), F.col("id_a") == F.col("a.id"))
     return _jaccard_verify(pairs, threshold, hashed=True)
 
 

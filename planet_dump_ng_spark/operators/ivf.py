@@ -18,6 +18,8 @@ from __future__ import annotations
 import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve via module globals
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from planet_dump_ng_spark.operators import compact_python_input
+
 from planet_dump_ng_spark.operators.similarity import cosine
 
 
@@ -117,7 +119,10 @@ def _assign_np(
     cent = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
     cells_arr = np.array([c for c, _ in cent], dtype=np.int64)
     C = np.array([v for _, v in cent], dtype=np.float64)
-    base = vecs.select("vec_id", "v")
+    # collapse empty scan splits (operators.compact_python_input):
+    # every mapInPandas task pays a Python worker round-trip even
+    # when its byte-range split holds no row group
+    base = compact_python_input(vecs.select("vec_id", "v"))
     schema = StructType(
         list(base.schema.fields) + [StructField("cell", IntegerType(), False)]
     )
@@ -451,7 +456,10 @@ def _hier_assign_np(
         )
         for sc in sup_ids
     ]
-    base = vecs.select("vec_id", "v")
+    # collapse empty scan splits (operators.compact_python_input):
+    # every mapInPandas task pays a Python worker round-trip even
+    # when its byte-range split holds no row group
+    base = compact_python_input(vecs.select("vec_id", "v"))
     schema = StructType(
         list(base.schema.fields)
         + [
@@ -685,7 +693,10 @@ def _train_two_kmeans(
     )
     fine = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)]
     sup = fine[:k1]
-    base = vecs.select("vec_id", "v")
+    # collapse empty scan splits (operators.compact_python_input):
+    # every mapInPandas task pays a Python worker round-trip even
+    # when its byte-range split holds no row group
+    base = compact_python_input(vecs.select("vec_id", "v"))
     schema = StructType(
         list(base.schema.fields)
         + [

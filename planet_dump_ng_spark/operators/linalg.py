@@ -54,7 +54,10 @@ def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
                 {"i": ii.ravel(), "j": jj.ravel(), "part": acc.ravel()}
             )
 
-    parts = df.select(vec_col).mapInPandas(partials, "i int, j int, part long")
+    from planet_dump_ng_spark.operators import compact_python_input
+
+    src = compact_python_input(df.select(vec_col))
+    parts = src.mapInPandas(partials, "i int, j int, part long")
     return parts.groupBy("i", "j").agg(F.sum("part").alias("dot_q"))
 
 

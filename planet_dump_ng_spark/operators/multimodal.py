@@ -27,6 +27,8 @@ import zlib
 from collections.abc import Iterator
 
 import pandas as pd
+
+from planet_dump_ng_spark.operators import compact_python_input
 from pyspark.sql import DataFrame, functions as F
 
 #: output schema of the decode step
@@ -271,7 +273,11 @@ def decode_image_meta(with_payload: DataFrame) -> DataFrame:
                 }
             )
 
-    return with_payload.mapInPandas(batches, IMAGE_META_SCHEMA)
+    # collapse empty scan splits: every Arrow task pays a Python
+    # worker round-trip (operators.compact_python_input)
+    return compact_python_input(with_payload).mapInPandas(
+        batches, IMAGE_META_SCHEMA
+    )
 
 
 def sample_frames(meta: DataFrame, every_n: int = 30) -> DataFrame:
@@ -422,9 +428,9 @@ def audio_energy_stats(
     audio = with_payload.filter(
         F.col("media_meta")["format"].isin("mp4", "wav")
     )
-    return audio.select("doc_id", "payload").mapInPandas(
-        batches, AUDIO_ENERGY_SCHEMA
-    )
+    return compact_python_input(
+        audio.select("doc_id", "payload")
+    ).mapInPandas(batches, AUDIO_ENERGY_SCHEMA)
 
 
 # -- perceptual image near-dup (dHash) -----------------------------------------
@@ -614,9 +620,9 @@ def image_dhash(with_payload: DataFrame) -> DataFrame:
     imgs = with_payload.filter(
         F.col("media_meta")["format"].isin("png", "jpeg")
     )
-    return imgs.select("doc_id", "payload").mapInPandas(
-        batches, IMAGE_DHASH_SCHEMA
-    )
+    return compact_python_input(
+        imgs.select("doc_id", "payload")
+    ).mapInPandas(batches, IMAGE_DHASH_SCHEMA)
 
 
 def dhash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -76,6 +76,20 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_MIN_COALESCE", "65536"),
         )
+        # AQE sort-merge -> shuffled-hash rewrite (guide §3.1): when
+        # every post-shuffle build-side map is under this bound, the
+        # join builds per-partition hash tables instead of externally
+        # SORTING both sides.  Decisive for joins whose rows carry wide
+        # array payloads (the ngram-jaccard verify join measured 19 GB
+        # of sort spill at the 10x corpus; hash-building the same
+        # partitions spills nothing).  Runtime- and size-gated by AQE
+        # itself — partitions above the bound keep sort-merge, so this
+        # is scale-adaptive, not a local[32] constant; pre-AQE plans
+        # (and the pinned exchange budgets) are untouched.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "134217728"),
+        )
         # NOTE on spark.sql.optimizer.canChangeCachedPlanOutputPartitioning:
         # deliberately NOT set globally.  Letting AQE re-partition cached
         # plans coalesces tiny persisted arrangements (a measured ~2x on
@@ -89,6 +103,19 @@ def get_spark(
         # exist to catch, so the conf stays scoped to the emit.
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # JVM unified logging -> STDERR: the default (-Xlog to stdout)
+        # interleaves async GC warnings with the bench's one-line JSON
+        # contract on stdout — observed: "[gc,alloc] ... GCLocker too
+        # often" landing mid-stream during a memory-pressured stage,
+        # which would corrupt the driver's 2000-char stdout tail parse.
+        # Warnings stay visible, just on the diagnostic channel.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-Xlog:disable -Xlog:all=warning:stderr:uptime,level,tags",
+            ),
+        )
         # FAIR task scheduling: the multicast emit (pipeline.write_outputs)
         # submits one job chain per output from threads — under FIFO an
         # earlier output's wide stage monopolizes every task slot and the

@@ -34,14 +34,21 @@ def stage_table(
     present, skips the write and reads the existing stage."""
     path = os.path.join(stage_dir, table)
     marker = os.path.join(path, MARKER)
+    # The read-back schema is the decode plan's own schema — passing it
+    # explicitly skips the per-table parquet footer-inference job (12
+    # staged tables = 12 jobs per pipeline run whose wall is pure
+    # job-launch latency; the operators/lm.py read-back trick).  File
+    # sources force user schemas nullable on read, which is exactly what
+    # footer inference yields for these decoded tables, so the plan is
+    # unchanged beyond the skipped jobs.
     if resume and os.path.exists(marker):
-        return spark.read.parquet(path)
+        return spark.read.schema(df.schema).parquet(path)
     if os.path.exists(path):
         shutil.rmtree(path)
     df.write.mode("overwrite").parquet(path)
     with open(marker, "w") as fh:
         fh.write("complete\n")
-    return spark.read.parquet(path)
+    return spark.read.schema(df.schema).parquet(path)
 
 
 def is_staged(stage_dir: str, table: str) -> bool:

@@ -22,12 +22,16 @@ _QUERIES = sorted(plans.QUERIES)
 
 
 @pytest.fixture(scope="module")
-def plans_info(spark, sf_dir):
+def plans_info(plan_session, sf_dir):
     """(optimized logical, executed physical, schema) per query — built
     in ONE pass.  Several plan functions are eager at construction
     (iterative training loops, persisted materializations), so invoking
     each query once and capturing everything here matters: a separate
-    schema fixture would re-run all those jobs a second time."""
+    schema fixture would re-run all those jobs a second time.  Captured
+    under ``plan_session`` (production planning confs), NOT the
+    latency-tuned test session, so the exchange counts keep matching
+    the QUERIES.md budgets."""
+    spark = plan_session
     out = {}
     for name in _QUERIES:
         # same capture hygiene as tools/gen_query_inventory.plan_budgets:
